@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{DerivedSignalLog, SignalParityPack}
+import graft.analytics.RelationalPack
+import graft.projection.SignalStore
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are organized in [[QueryPack]]s:
+  *   - [[SignalParityPack]]  — reference operators P1-P8 / Q1-Q8
+  *   - [[RelationalPack]]    — joins/aggs/windows/set-ops/sessionization
+  * Every key in `oracleSql` has an exactly-matching DuckDB formulation
+  * (column names aligned; money math in DECIMAL for cross-engine equality).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val packs: Seq[QueryPack] = Seq(
+    SignalParityPack,
+    RelationalPack)
+
+  /** Flagship: the reference's `GET /signals` — newest-first top-50 from
+    * the LWW-projected materialized view (smoke-checked on sf0.001).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    new SignalStore(DerivedSignalLog.signals(spark, "/root/testdata/sf0.001"))
+      .listByCreatedAt(0, 49)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,365 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryPack, Tables}
+
+/** Classic relational operator coverage (SURVEY §2.6 — everything the
+  * reference lacks but a complete engine needs): multi-way joins,
+  * aggregations, window functions, rollup/cube, set ops, semi/anti joins,
+  * event-time windows, sessionization, as-of join.
+  *
+  * Numeric discipline: money columns are cast to DECIMAL before summing, so
+  * results are EXACT and independent of partial-aggregation order — the
+  * Spark result hash-matches the DuckDB oracle at any partitioning/scale.
+  * Ratios are computed as a single IEEE double division of exact operands.
+  *
+  * Scale notes per query are inline; the common principles: dimension
+  * tables are broadcast (no shuffle of the fact side beyond the agg),
+  * filters sit directly on scans (parquet pushdown), every aggregation is
+  * partial+final, and every output is deterministically ordered.
+  */
+object RelationalPack extends QueryPack {
+
+  private def dec(c: String): Column = col(c).cast(DecimalType(12, 2))
+  /** extendedprice * (1 - discount), exact, scale 4. */
+  private val discPrice: Column =
+    (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(DecimalType(18, 4))
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // a1: scan-heavy aggregation (TPC-H Q1 shape). One pass over lineitem,
+    // partial agg per partition, 6-group final — shuffle carries ~6 rows
+    // per map task regardless of input size.
+    "a1_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(discPrice).cast(DecimalType(24, 4)).as("sum_disc_price"),
+          sum(discPrice * (lit(1) + dec("l_tax"))).cast(DecimalType(24, 6)).as("sum_charge"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // a2: selective 3-way join + agg + top-K (TPC-H Q3 shape). customer is
+    // the small filtered side → broadcast; orders⋈lineitem shuffles on
+    // orderkey. Top-10 via TakeOrderedAndProject.
+    "a2_topk_revenue" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").where(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = Tables(s, dir, "lineitem").where(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(discPrice).cast(DecimalType(24, 4)).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // a3: 6-way star join (TPC-H Q5 shape). region/nation/supplier are
+    // broadcast dims; the only big shuffle is lineitem⋈orders on orderkey.
+    "a3_regional_join" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+               col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val su = Tables(s, dir, "supplier")
+      val l = Tables(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast(DecimalType(24, 4)).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // a4: selective filter + global agg (TPC-H Q6 shape) — pure scan with
+    // pushed predicates, no shuffle beyond the single-row final agg.
+    "a4_filter_sum" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+               col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+               col("l_discount").between(0.05, 0.07) &&
+               col("l_quantity") < 24)
+        .agg(
+          sum((dec("l_extendedprice") * dec("l_discount")).cast(DecimalType(18, 4)))
+            .cast(DecimalType(24, 4)).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // a5: ranking window — top-3 most recent orders per customer.
+    // Single shuffle on o_custkey; rank computed per partition.
+    "a5_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // a6: analytic windows — running (decimal-exact) sum + lag per user.
+    "a6_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables(s, dir, "events")
+        .where(col("user_id") < 25)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DecimalType(18, 2)).as("running_value"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // a7: hierarchical rollup over (event_type, day).
+    "a7_rollup" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          col("value"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+    }),
+
+    // a8: full cube over (lang, source).
+    "a8_cube" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    }),
+
+    // a9: set operations — union/intersect/except of two key sets.
+    "a9_setops" -> ((s, dir) => {
+      val a = Tables(s, dir, "customer")
+        .where(col("c_acctbal") > 5000).select(col("c_custkey").as("key"))
+      val b = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 300000).select(col("o_custkey").as("key")).distinct()
+      a.union(b).distinct().select(lit("union").as("op"), col("key"))
+        .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("key")))
+        .unionAll(a.except(b).select(lit("except").as("op"), col("key")))
+        .orderBy("op", "key")
+    }),
+
+    // a10: semi/anti joins (EXISTS / NOT EXISTS). Both plan as broadcast
+    // or shuffled hash semi-joins — no row multiplication.
+    "a10_semi_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").select(col("o_custkey"))
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("op"), col("c_custkey").as("key"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("op"), col("c_custkey").as("key"))
+      semi.unionAll(anti).orderBy("op", "key")
+    }),
+
+    // a11: exact distinct aggregation (expands to two-phase agg).
+    "a11_distinct_agg" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // a12: event-time tumbling window — the streaming-native `window()`
+    // operator run in batch; identical group keys under watermarking.
+    "a12_tumbling_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // a13: session windows (30-min gap) — streaming-native session_window
+    // in batch; oracle mirrors via gaps-and-islands. New session starts
+    // when gap >= 30 min.
+    "a13_session_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // a14: AS-OF join — for each order, the latest event (by ts) of its
+    // pseudo-user at or before the order date. Implemented the scalable
+    // way: tag + union + single window over (key, time) — one shuffle,
+    // no range-join row explosion, works at any skew.
+    "a14_asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events").select(
+        col("user_id").as("key"), col("ts").as("t"), lit(0).as("side"),
+        col("event_id"), col("value"), lit(null).cast("long").as("o_orderkey"))
+      val o = Tables(s, dir, "orders").select(
+        (col("o_custkey") % 150).as("key"), col("o_orderdate").as("t"), lit(1).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("o_orderkey"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("t"), col("side"), col("event_id"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionAll(o)
+        .select(col("key"), col("side"), col("o_orderkey"),
+          last(col("event_id"), ignoreNulls = true).over(w).as("last_event_id"),
+          last(col("value"), ignoreNulls = true).over(w).as("last_event_value"))
+        .where(col("side") === 1)
+        .select(col("o_orderkey"), col("key"), col("last_event_id"), col("last_event_value"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  private val D = "DECIMAL(12,2)"
+  private val discPriceSql =
+    s"CAST(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) AS DECIMAL(18,4))"
+
+  override def oracles: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS $D)) AS DECIMAL(18,2)) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS $D)) AS DECIMAL(18,2)) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS sum_disc_price,
+         |  CAST(sum($discPriceSql * (1 + CAST(l_tax AS $D))) AS DECIMAL(24,6)) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_topk_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "a3_regional_join" ->
+      s"""SELECT n_name, CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "a4_filter_sum" ->
+      s"""SELECT
+         |  CAST(sum(CAST(CAST(l_extendedprice AS $D) * CAST(l_discount AS $D) AS DECIMAL(18,4))) AS DECIMAL(24,4)) AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "a5_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "a6_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS running_value,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |FROM events WHERE user_id < 25 ORDER BY user_id, event_id""".stripMargin,
+
+    "a7_rollup" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |FROM events GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "a8_cube" ->
+      """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "a9_setops" ->
+      """WITH a AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000),
+        |     b AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 300000)
+        |SELECT 'union' AS op, key FROM (SELECT key FROM a UNION SELECT key FROM b)
+        |UNION ALL SELECT 'intersect' AS op, key FROM (SELECT key FROM a INTERSECT SELECT key FROM b)
+        |UNION ALL SELECT 'except' AS op, key FROM (SELECT key FROM a EXCEPT SELECT key FROM b)
+        |ORDER BY op, key""".stripMargin,
+
+    "a10_semi_anti" ->
+      """SELECT 'with_orders' AS op, c_custkey AS key FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS op, c_custkey AS key FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY op, key""".stripMargin,
+
+    "a11_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a12_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a13_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    "a14_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS t, 0 AS side, event_id, value,
+        |         CAST(NULL AS BIGINT) AS o_orderkey
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey % 150 AS key, o_orderdate AS t, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+        |         o_orderkey
+        |  FROM orders),
+        |w AS (
+        |  SELECT key, side, o_orderkey,
+        |    last_value(event_id IGNORE NULLS) OVER win AS last_event_id,
+        |    last_value(value IGNORE NULLS) OVER win AS last_event_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY key ORDER BY t, side, event_id, o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, key, last_event_id, last_event_value
+        |FROM w WHERE side = 1 ORDER BY o_orderkey""".stripMargin
+  )
+}

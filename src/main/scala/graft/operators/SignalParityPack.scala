@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryPack, Tables}
+import graft.domain.PriorityCodec
+import graft.projection.{SignalProjection, SignalStore}
+
+/** Reference-parity operators (SURVEY §2.2 P1-P8, §2.3 Q1-Q8), each as a
+  * DuckDB-checkable query over the derived signal log
+  * ([[DerivedSignalLog]]). Exact event-payload semantics (RFC3339 offsets,
+  * malformed JSON skip, unknown-field tolerance) are additionally covered
+  * by ScalaTest specs over FIXTURES.md payloads.
+  */
+object SignalParityPack extends QueryPack {
+
+  private val cte = DerivedSignalLog.SQL_CTE
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1: JSON event decode with malformed-skip (consumer.go:39-44).
+    // Every 97th props payload is deterministically corrupted; from_json
+    // yields null for it and the row is skipped, not fatal.
+    "p1_event_decode" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val corrupted = when(col("event_id") % 97 === 0,
+        concat(lit("{broken "), col("props"))).otherwise(col("props"))
+      e.select(col("event_id"),
+          from_json(corrupted, new StructType().add("k", LongType)).as("j"))
+        .select(col("event_id"), col("j.k").as("k"))
+        .where(col("k").isNotNull)
+        .orderBy("event_id")
+    }),
+
+    // P3 (+P5 idempotency is q-checked separately): keyed LWW fold, the
+    // materialized view with tombstones still visible.
+    "p3_lww_upsert" -> ((s, dir) => DerivedSignalLog.view(s, dir).orderBy("id")),
+
+    // P4: tombstone filter — deleted keys disappear (Q6 delete-visibility);
+    // a tombstone for an unseen key is a silent no-op by construction.
+    "p4_tombstone_delete" -> ((s, dir) => DerivedSignalLog.signals(s, dir).orderBy("id")),
+
+    // P5: idempotent re-apply — folding the log unioned with itself yields
+    // the same view (projection/signal_test.go:132-151).
+    "p5_idempotent_replay" -> ((s, dir) => {
+      val log = DerivedSignalLog.log(s, dir)
+      SignalProjection.project(log.unionAll(log)).orderBy("id")
+    }),
+
+    // P6: priority label<->score codec round trip (projection/signal.go:21-25).
+    "p6_priority_codec" -> ((s, dir) =>
+      DerivedSignalLog.signals(s, dir)
+        .select(col("id"), col("priority"),
+          PriorityCodec.score(col("priority")).as("pscore"),
+          PriorityCodec.label(PriorityCodec.score(col("priority"))).as("plabel"))
+        .orderBy("id")),
+
+    // P7: timestamp parse with 0-fallback — unparsable strings score 0 and
+    // the record is kept (projection/signal.go:147-153).
+    "p7_ts_parse_fallback" -> ((s, dir) => {
+      val sig = DerivedSignalLog.signals(s, dir)
+      val tsStr = when(col("seq") % 13 === 0, lit("not-a-time"))
+        .otherwise(date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"))
+      sig.select(col("id"), col("seq"), tsStr.as("ts_str"))
+        .withColumn("epoch_s",
+          coalesce(try_to_timestamp(col("ts_str")).cast("long"), lit(0L)))
+        .orderBy("id")
+    }),
+
+    // Q1: top-K newest-first (handler always asks 0..49; cap 50).
+    // Physical plan: TakeOrderedAndProject — no global sort.
+    "q1_topk_by_time" -> ((s, dir) =>
+      new SignalStore(DerivedSignalLog.signals(s, dir)).listByCreatedAt(0, 49)
+        .select("id", "title", "priority", "author", "created_at")),
+
+    // Q2: equality filter by priority, no limit; deterministic id order
+    // (documented choice — reference order is incidental).
+    "q2_filter_by_priority" -> ((s, dir) =>
+      new SignalStore(DerivedSignalLog.signals(s, dir)).listByPriority("High")
+        .select("id", "title", "priority", "created_at")),
+
+    // Q3: point lookup by id (404 path covered in specs).
+    "q3_point_lookup" -> ((s, dir) =>
+      DerivedSignalLog.signals(s, dir).where(col("id") === "42")),
+
+    // Q7: control-plane pagination — page 2, page size 10, newest first
+    // (DRF PageNumberPagination, settings.py:61-64).
+    "q7_pagination" -> ((s, dir) =>
+      new SignalStore(DerivedSignalLog.signals(s, dir)).listByCreatedAt(10, 19)
+        .select("id", "created_at")),
+
+    // Q8: write-time author denormalization — join the users dim at publish
+    // time (signals.py:37-55). users is tiny → broadcast; the big side
+    // streams through without a shuffle.
+    "q8_author_denorm" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val users = e.select(col("user_id")).distinct()
+        .withColumn("username", concat(lit("user-"), col("user_id").cast("string")))
+      e.join(broadcast(users), Seq("user_id"))
+        .groupBy("username").agg(count(lit(1)).as("n_events"))
+        .orderBy("username")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "p1_event_decode" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(c) THEN CAST(json_extract_string(c, '$.k') AS BIGINT) END AS k
+        |  FROM (SELECT event_id,
+        |          CASE WHEN event_id % 97 = 0 THEN '{broken ' || props ELSE props END AS c
+        |        FROM events))
+        |WHERE k IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "p3_lww_upsert" ->
+      (cte + """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
+        |FROM signal_view ORDER BY id""".stripMargin),
+
+    "p4_tombstone_delete" ->
+      (cte + """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
+        |FROM signals ORDER BY id""".stripMargin),
+
+    "p5_idempotent_replay" ->
+      (cte.replace("WITH signal_log AS (", "WITH signal_log0 AS (")
+        .replace("FROM events),", "FROM events),\nsignal_log AS (SELECT * FROM signal_log0 UNION ALL SELECT * FROM signal_log0),")
+        + """SELECT DISTINCT id, seq, action, title, content, priority, author, created_at, updated_at
+        |FROM signals ORDER BY id""".stripMargin),
+
+    "p6_priority_codec" ->
+      (cte + """SELECT id, priority,
+        |  CASE WHEN priority = 'Low' THEN 1 WHEN priority = 'Medium' THEN 2
+        |       WHEN priority = 'High' THEN 3 ELSE 0 END AS pscore,
+        |  CASE CASE WHEN priority = 'Low' THEN 1 WHEN priority = 'Medium' THEN 2
+        |            WHEN priority = 'High' THEN 3 ELSE 0 END
+        |    WHEN 1 THEN 'Low' WHEN 2 THEN 'Medium' WHEN 3 THEN 'High' END AS plabel
+        |FROM signals ORDER BY id""".stripMargin),
+
+    "p7_ts_parse_fallback" ->
+      (cte + """SELECT id, seq, ts_str,
+        |  COALESCE(CAST(floor(epoch(try_cast(ts_str AS TIMESTAMP))) AS BIGINT), 0) AS epoch_s
+        |FROM (SELECT id, seq,
+        |        CASE WHEN seq % 13 = 0 THEN 'not-a-time'
+        |             ELSE strftime(created_at, '%Y-%m-%d %H:%M:%S') END AS ts_str
+        |      FROM signals)
+        |ORDER BY id""".stripMargin),
+
+    "q1_topk_by_time" ->
+      (cte + """SELECT id, title, priority, author, created_at FROM signals
+        |ORDER BY created_at DESC, id DESC LIMIT 50""".stripMargin),
+
+    "q2_filter_by_priority" ->
+      (cte + """SELECT id, title, priority, created_at FROM signals
+        |WHERE priority = 'High' ORDER BY id""".stripMargin),
+
+    "q3_point_lookup" ->
+      (cte + """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
+        |FROM signals WHERE id = '42'""".stripMargin),
+
+    "q7_pagination" ->
+      (cte + """SELECT id, created_at FROM signals
+        |ORDER BY created_at DESC, id DESC LIMIT 10 OFFSET 10""".stripMargin),
+
+    "q8_author_denorm" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id, 'user-' || CAST(user_id AS VARCHAR) AS username FROM events)
+        |SELECT u.username, count(*) AS n_events
+        |FROM events e JOIN users u ON e.user_id = u.user_id
+        |GROUP BY u.username ORDER BY u.username""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft.projection
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import scala.util.Try
+
+/** Read API over the projected view — mirrors the reference's three HTTP
+  * routes + CLI (data-plane/internal/handler/signal.go:24-81,
+  * projection/signal.go:70-113).
+  *
+  * The reference's Redis ZSet secondary indexes are intentionally NOT
+  * ported (SURVEY §2.2 P8): Catalyst turns `orderBy(desc).limit(k)` into
+  * `TakeOrderedAndProject` (distributed top-K, no full sort) and pushes
+  * equality filters into the scan — the declarative plan replaces both
+  * indexes.
+  */
+class SignalStore(view: DataFrame) {
+
+  /** Q1: newest-first listing, positions start..stop (the reference API
+    * always asks 0..49; hard cap 50, handler/signal.go:45). Ties broken by
+    * id desc for determinism. Physical plan: TakeOrderedAndProject — each
+    * partition keeps its local top-(stop+1), the driver merges; no global
+    * sort at any scale.
+    */
+  def listByCreatedAt(start: Int = 0, stop: Int = 49): DataFrame = {
+    val ordered = view.orderBy(desc("created_at"), desc("id"))
+    val limited = if (start > 0) ordered.offset(start) else ordered
+    limited.limit(stop - start + 1)
+  }
+
+  /** Q2: equality filter by priority. The reference's result order is
+    * incidental (ZSet score-then-member, i.e. lexicographic by uuid; tests
+    * assert membership only — projection/signal_test.go:210-238). We order
+    * by id, matching the reference's member order, as the documented
+    * deterministic choice. No limit, exactly like the reference.
+    */
+  def listByPriority(p: String): DataFrame =
+    view.where(col("priority") === p).orderBy("id")
+
+  /** Q3: point lookup; absent id → None (reference: ErrNotFound/404,
+    * handler/signal.go:48-60).
+    */
+  def findById(id: String): Option[Row] =
+    view.where(col("id") === id).limit(1).collect().headOption
+
+  /** Q5: health probe — a trivial action proving the view is servable
+    * (reference: Redis PING, projection/signal.go:111-113).
+    */
+  def health: Boolean = Try(view.limit(1).count()).isSuccess
+}
