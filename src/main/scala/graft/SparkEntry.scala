@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DerivedSignalLog, SignalParityPack}
+import graft.operators.{DedupPack, DerivedSignalLog, MultimodalPack, SignalParityPack, SimilarityPack, TextPack}
 import graft.analytics.RelationalPack
 import graft.projection.SignalStore
 
@@ -18,7 +18,11 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     SignalParityPack,
-    RelationalPack)
+    RelationalPack,
+    TextPack,
+    DedupPack,
+    SimilarityPack,
+    MultimodalPack)
 
   /** Flagship: the reference's `GET /signals` — newest-first top-50 from
     * the LWW-projected materialized view (smoke-checked on sf0.001).

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level function library for the engine's extension operators.
+  * Everything here is either a codegen'd built-in composition or a native
+  * Catalyst expression — no Scala/Python UDFs in any hot path.
+  */
+package object functions {
+
+  import org.apache.spark.sql.graftshim.{columnOf, exprOf}
+
+  /** Fused single-pass cosine similarity (native codegen expression). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    columnOf(CosineSimilarity(exprOf(a), exprOf(b)))
+
+  /** Cosine similarity via built-in higher-order functions — the
+    * no-custom-code formulation, kept as a baseline/fallback. Allocates an
+    * intermediate array per row; prefer [[cosine_similarity]].
+    */
+  def cosine_similarity_hof(a: Column, b: Column): Column = {
+    def dbl(c: Column): Column = c.cast("double")
+    val dot = aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + dbl(v) * dbl(v))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + dbl(v) * dbl(v))
+    when(na =!= 0.0 && nb =!= 0.0, dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Register SQL-callable names for the custom expressions. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "scala_builtin")
+  }
+
+  /** Word tokens (single-space-separated corpus; see FIXTURES.md). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word w-shingles as distinct strings, e.g. 3-grams joined by spaces.
+    * Codegen'd HOF pipeline: transform over an index sequence.
+    */
+  def wordShingles(text: Column, w: Int): Column = {
+    val ws = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - lit(w - 1)),
+      i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*)))
+  }
+
+  /** Cross-engine-stable 64-bit-ish hash: first 15 hex digits of md5 as a
+    * positive long. Used where the DuckDB oracle must reproduce the hash
+    * (Spark's xxhash64/hash have no DuckDB equivalent).
+    */
+  def md5Prefix60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 16-bit cross-engine hash of a string (first 4 md5 hex digits). */
+  def md5Prefix16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+}

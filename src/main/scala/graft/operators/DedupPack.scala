@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.functions.{cosine_similarity, md5Prefix16, wordShingles}
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.1-6):
+  * exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine near-dup.
+  *
+  * Scale architecture: the LSH pipeline (d2→d3) is the 100 TB path —
+  * shingle → per-band minhash (one groupBy doc,band with map-side partial
+  * min) → band-bucket self-join (shuffle on (band,sig), only colliding
+  * buckets pair up). Exact pairwise Jaccard (d4) exists to *verify* LSH
+  * candidates and is deliberately restricted to a bounded sample — the
+  * all-pairs form is O(n²) and must never run on the full corpus.
+  */
+object DedupPack extends QueryPack {
+
+  private val NumBands = 4
+
+  /** (doc_id, band, minhash-sig) — the MinHash signature matrix. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents")
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
+    sh.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(substring(md5(concat(col("band").cast("string"), lit("|"), col("sh"))), 1, 16))
+        .as("minhash"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // d1: exact dedup — hash-groupBy on content fingerprint, keep the
+    // smallest doc_id per group. One shuffle on the 128-bit hash.
+    "d1_dedup_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // d2: MinHash signatures (4 bands, word-3-gram shingles). Hashes are
+    // md5-prefix so the DuckDB oracle reproduces them bit-for-bit.
+    "d2_minhash_signatures" -> ((s, dir) =>
+      signatures(s, dir).orderBy("doc_id", "band")),
+
+    // d3: LSH candidate pairs — docs sharing any band signature. The
+    // self-join keys on (band, minhash): only same-bucket docs pair.
+    "d3_lsh_pairs" -> ((s, dir) => {
+      val sig = signatures(s, dir)
+      val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
+      val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "minhash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // d4: exact n-gram Jaccard on a bounded sample (doc_id < 150) — the
+    // verification stage of the LSH pipeline. Inverted-index join on
+    // shingle, never all-pairs on full data.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .where(col("doc_id") < 150 && size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_both").cast("double") / (col("na") + col("nb") - col("n_both"))).as("jaccard"))
+        .where(col("jaccard") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // d5: SimHash — 16-bit signature from per-bit majorities of token
+    // hashes. Bit-twiddling kept cross-engine (md5-prefix hash, shift/and).
+    "d5_simhash" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("h", md5Prefix16(col("w")))
+      val bitSums = (0 until 16).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+      }
+      val sig = (0 until 16).map { j =>
+        when(col(s"s$j") > 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash16"))
+        .orderBy("doc_id")
+    }),
+
+    // d6: embedding-cosine near-dup pairs over the rounded similarity.
+    // Brute all-pairs here (bench scale); the 100 TB path buckets by LSH
+    // first (see SimilarityPack e4) so only candidate pairs are scored.
+    "d6_embed_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  private val shinglesCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |sig AS (
+      |  SELECT doc_id, CAST(band AS INTEGER) AS band,
+      |    min(substr(md5(CAST(band AS VARCHAR) || '|' || sh), 1, 16)) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+      |  GROUP BY doc_id, band)
+      |""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "d2_minhash_signatures" ->
+      (shinglesCte + "SELECT doc_id, band, minhash FROM sig ORDER BY doc_id, band"),
+
+    "d3_lsh_pairs" ->
+      (shinglesCte +
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM sig a JOIN sig b
+          |  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "d4_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_both
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(n_both AS DOUBLE) / (na.n + nb.n - n_both) AS jaccard
+        |  FROM inter
+        |  JOIN sizes na ON inter.doc_a = na.doc_id
+        |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
+        |WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d5_simhash" -> {
+      val bitSums = (0 until 16).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j" }.mkString(",\n    ")
+      val sig = (0 until 16).map(j => s"CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) AS h
+         |  FROM words),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS INTEGER) AS simhash16
+         |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "d6_embed_neardup" ->
+      """SELECT vec_a, vec_b, cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Multimodal-column plumbing: opaque `BINARY` payloads + typed metadata,
+  * with decode/feature-extraction as per-partition batch transforms.
+  *
+  * The container has no image/audio libraries, so the actual decoder is a
+  * clearly marked STUB ([[Multimodal.decodeImageStub]]) producing
+  * deterministic metadata from the bytes. Everything Spark-side — the
+  * binary column schema, the typed Dataset, the `mapPartitions` batch shape
+  * (the JVM analog of `mapInPandas`: one iterator per partition, amortized
+  * per-batch setup), partitioning — is real and oracle-tested.
+  */
+object Multimodal {
+  /** A media row: opaque bytes + id. At scale this is a parquet BINARY
+    * column read with column pruning — metadata queries never touch it.
+    */
+  final case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int)
+
+  /** STUB decoder — stands in for an image decode (no codec libs in this
+    * container). Deterministic on the payload so tests/oracles are stable.
+    * A real deployment swaps only this function; the surrounding dataflow
+    * (mapPartitions over a binary column) is production-shaped.
+    */
+  def decodeImageStub(bytes: Array[Byte]): MediaMeta =
+    MediaMeta(-1L, bytes.length, bytes.length % 640, bytes.length % 480)
+
+  /** Per-partition batch decode: setup cost (in a real decoder: codec
+    * contexts, model weights) is paid once per partition, not per row.
+    */
+  def decodePartition(records: Iterator[MediaRecord]): Iterator[MediaMeta] = {
+    // per-partition setup would go here (codec init etc.)
+    records.map { r => decodeImageStub(r.media).copy(doc_id = r.doc_id) }
+  }
+}
+
+object MultimodalPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // m1: binary ingestion + batched metadata extraction. The documents
+    // table stands in for a media table (text bytes as payload).
+    "m1_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media: Dataset[Multimodal.MediaRecord] =
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+          .as[Multimodal.MediaRecord]
+      media.mapPartitions(Multimodal.decodePartition)
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+        |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

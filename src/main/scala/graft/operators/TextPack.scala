@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.functions.{md5Prefix16, md5Prefix60, tokens}
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * token stats, quality scoring, language-ID heuristic, document
+  * fingerprinting (md5 + winnowing). All column-level HOF pipelines —
+  * codegen'd, no UDFs, embarrassingly parallel (per-row / per-partition;
+  * the only shuffle is winnowing's per-doc window, partitioned by doc).
+  *
+  * Cross-engine hashing uses md5 prefixes ([[graft.functions.md5Prefix60]])
+  * because Spark's xxhash64 has no DuckDB equivalent; at pure-Spark scale
+  * you'd swap in xxhash64 (cheaper) via the same call sites.
+  */
+object TextPack extends QueryPack {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "is", "in")
+  /** Language marker words (tiny profile lists; real deployments would use
+    * char-n-gram profiles — same dataflow shape).
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las"))
+
+  private def countIn(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => w.isin(words: _*)))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // t1: token counting (whitespace tokens; the corpus is single-space
+    // separated — see FIXTURES.md).
+    "t1_token_stats" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_tokens"),
+        size(array_distinct(ws)).as("n_distinct_tokens"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // t2: quality scoring — stopword ratio + mean token length.
+    "t2_quality_score" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).as("n_tokens"),
+        round(countIn(ws, stopwords).cast("double") / size(ws), 6).as("stopword_ratio"),
+        round(col("n_chars").cast("double") / size(ws), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // t3: language-ID heuristic — stopword-profile scores + deterministic
+    // argmax (ties resolve in profile order).
+    "t3_langid" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      val scores = markers.map { case (l, ms) => l -> countIn(ws, ms) }
+      val Seq(en, de, fr, es) = scores.map(_._2)
+      val guess = when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+      Tables(s, dir, "documents").select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+          scores.map { case (l, c) => c.as(s"s_$l") } :+
+          guess.as("guessed_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // t4: document fingerprints — full md5 + 60-bit numeric prefix (the
+    // cross-engine-stable stand-in for xxhash64).
+    "t4_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        md5Prefix60(col("text")).as("fp60"))
+        .orderBy("doc_id")),
+
+    // t5: winnowing fingerprint (Schleimer et al., SIGMOD'03): hash all
+    // 8-char grams, keep the min hash of each 4-gram window, distinct.
+    // Scales as one narrow explode + one per-doc window — partitioned by
+    // doc_id, no global shuffle.
+    "t5_winnow_fingerprint" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").where(col("n_chars") >= 8)
+      val grams = d.select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), (col("n_chars") - lit(7)).cast("int"))).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5Prefix60(substring_index_pos(col("text"), col("i"))).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.currentRow, 3)
+      grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    })
+  )
+
+  /** substring(text, i, 8) with a column start position. */
+  private def substring_index_pos(text: Column, i: Column): Column =
+    text.substr(i, lit(8))
+
+  private val wsSql = "string_split(text, ' ')"
+  private def countInSql(words: Seq[String]): String =
+    s"len(list_filter($wsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  override def oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($wsSql) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct($wsSql)) AS INTEGER) AS n_distinct_tokens,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len($wsSql) AS INTEGER) AS n_tokens,
+         |  round(CAST(${countInSql(stopwords)} AS DOUBLE) / len($wsSql), 6) AS stopword_ratio,
+         |  round(CAST(n_chars AS DOUBLE) / len($wsSql), 6) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" -> {
+      val scoreCols = markers.map { case (l, ms) =>
+        s"CAST(${countInSql(ms)} AS INTEGER) AS s_$l" }.mkString(",\n  ")
+      s"""SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS guessed_lang
+         |FROM (SELECT doc_id, lang AS labeled_lang,
+         |  $scoreCols
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_winnow_fingerprint" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, CAST(n_chars AS INTEGER) - 6)) AS i
+        |  FROM documents WHERE n_chars >= 8),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT) AS h
+        |  FROM pos),
+        |mins AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM grams)
+        |SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp""".stripMargin
+  )
+}
