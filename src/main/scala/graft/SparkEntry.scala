@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{DedupPack, DerivedSignalLog, MultimodalPack, SignalParityPack, SimilarityPack, TextPack}
 import graft.analytics.RelationalPack
 import graft.projection.SignalStore
+import graft.streaming.StreamingPack
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,8 @@ object SparkEntry {
     TextPack,
     DedupPack,
     SimilarityPack,
-    MultimodalPack)
+    MultimodalPack,
+    StreamingPack)
 
   /** Flagship: the reference's `GET /signals` — newest-first top-50 from
     * the LWW-projected materialized view (smoke-checked on sf0.001).

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.projection.SignalProjection
+
+/** Keyed state table for the streaming projection: hash-bucketed parquet
+  * with per-bucket generations.
+  *
+  * Layout: `dir/bucket=<b>/gen=<batchId>/part-*.parquet`
+  *
+  * Why this shape (the 100 TB design):
+  *   - **Incremental merge.** A micro-batch only rewrites the buckets its
+  *     keys hash into: merge cost is O(touched state), not O(total state).
+  *     With B buckets and a batch touching k keys, at most min(k, B)
+  *     buckets are read+rewritten. B scales with state size (config), so
+  *     bucket files stay executor-memory-sized.
+  *   - **Idempotent replay = exactly-once.** Generations are named by the
+  *     Structured Streaming batchId. If a batch is replayed after a crash,
+  *     the same gen directory is rewritten and the swap is a no-op
+  *     semantically — the checkpoint + idempotent sink contract
+  *     (strictly stronger than the reference's at-least-once + idempotent
+  *     Redis apply, consumer.go:46-51).
+  *   - **Readers never block.** A query reads the latest complete
+  *     generation per bucket; an in-flight merge writes to a staging dir
+  *     and renames (the classic HDFS commit pattern; on object stores or
+  *     for multi-writer setups this slot is where a table format like
+  *     Delta/Iceberg would plug in).
+  *
+  * Tombstones (action='deleted') are retained in state so late replays of
+  * older events cannot resurrect deleted keys; [[compact]] drops them once
+  * the log horizon passes (the same role as Kafka compaction tombstone
+  * retention).
+  */
+class BucketedStateStore(
+    spark: SparkSession,
+    dir: String,
+    numBuckets: Int = 8,
+    key: String = "id",
+    seq: String = "seq") {
+
+  private val root = new Path(dir)
+  private def fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(numBuckets))
+
+  private def bucketPath(b: Long): Path = new Path(root, s"bucket=$b")
+  private def genPath(b: Long, g: Long): Path = new Path(bucketPath(b), s"gen=$g")
+
+  private def listGens(b: Long): Seq[Long] = {
+    val bp = bucketPath(b)
+    if (!fs.exists(bp)) Seq.empty
+    else fs.listStatus(bp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+  }
+
+  private def latestGenPaths(buckets: Seq[Long]): Seq[String] =
+    buckets.flatMap { b =>
+      val gens = listGens(b)
+      if (gens.isEmpty) None
+      else {
+        // skip generations emptied by compaction (no data files)
+        val p = genPath(b, gens.max)
+        val hasData = fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+        if (hasData) Some(p.toString) else None
+      }
+    }
+
+  private def allBuckets: Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+
+  /** Current state (tombstones included); None if no state yet. */
+  def read(): Option[DataFrame] = readBuckets(allBuckets)
+
+  private def readBuckets(buckets: Seq[Long]): Option[DataFrame] = {
+    val paths = latestGenPaths(buckets)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Merge one micro-batch (already reduced to per-key latest) into state.
+    * Only buckets containing batch keys are read and rewritten.
+    */
+  def merge(batchLatest: DataFrame, gen: Long): Unit = {
+    val withBucket = batchLatest.withColumn("_bucket", bucketOf(col(key)))
+    // Tiny driver-side collect: at most numBuckets longs (config-bounded,
+    // scale-independent) — not a data collect.
+    val affected = withBucket.select(col("_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return
+
+    val oldState = readBuckets(affected)
+      .map(_.withColumn("_bucket", bucketOf(col(key))))
+    val combined = oldState match {
+      case Some(old) => old.unionByName(withBucket)
+      case None => withBucket
+    }
+    val merged = SignalProjection.latestByKey(combined, key, seq)
+      .withColumn("_bucket", bucketOf(col(key)))
+
+    val staging = new Path(root, s"_staging_gen_$gen")
+    fs.delete(staging, true)
+    merged.write.partitionBy("_bucket").parquet(staging.toString)
+
+    affected.foreach { b =>
+      val src = new Path(staging, s"_bucket=$b")
+      val dst = genPath(b, gen)
+      fs.delete(dst, true) // idempotent replay of the same batchId
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(src)) fs.rename(src, dst)
+      else fs.mkdirs(dst) // bucket emptied (possible after compaction)
+      // retain only the 2 newest generations per bucket
+      listGens(b).sorted.dropRight(2).foreach(g => fs.delete(genPath(b, g), true))
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Drop tombstones older than `horizonSeq` (log-compaction analog). */
+  def compact(horizonSeq: Long, gen: Long): Unit =
+    read().foreach { st =>
+      val kept = st.where(!(col("action") === "deleted" && col(seq) < horizonSeq))
+      merge(kept, gen)
+    }
+}

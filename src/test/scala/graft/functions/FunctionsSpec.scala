@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecsDf = Seq(
+    (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)), // identical
+    (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)), // orthogonal
+    (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f)) // opposite
+  ).toDF("a", "b")
+
+  test("CosineSimilarity expression: known geometries") {
+    val out = vecsDf.select(cosine_similarity($"a", $"b").as("c"))
+      .as[Double].collect().toSeq
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+
+  test("expression and HOF formulations agree on real embeddings") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings").limit(50)
+    val both = emb.crossJoin(
+        emb.select($"embedding".as("e2"), $"vec_id".as("v2")).limit(5))
+      .select(
+        cosine_similarity($"embedding", $"e2").as("expr"),
+        cosine_similarity_hof($"embedding", $"e2").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("zero-norm and null inputs yield null") {
+    val out = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),
+      (null, Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(cosine_similarity($"a", $"b").as("c"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("md5 prefix hashes are stable") {
+    val out = Seq("hello").toDF("s")
+      .select(md5Prefix60($"s").as("h60"), md5Prefix16($"s").as("h16"))
+      .collect().head
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592
+    assert(out.getLong(0) == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    assert(out.getInt(1) == Integer.parseInt("5d41", 16))
+  }
+
+  test("wordShingles produces distinct joined 3-grams") {
+    val out = Seq("a b c d c d").toDF("t")
+      .select(wordShingles($"t", 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(out.toSet == Set("a b c", "b c d", "c d c", "d c d"))
+    assert(out.length == 4)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.projection
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.domain.{PriorityCodec, TimeCodec}
+
+/** Reference-parity semantics over the FIXTURES.md payloads — every
+  * behavioral assertion from the reference's own suites
+  * (domain/signal_test.go, projection/signal_test.go, handler tests).
+  */
+class ProjectionSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private def rawDf(events: (Long, String)*): DataFrame = {
+    val rows = events.map { case (s, v) => org.apache.spark.sql.Row(s, v) }
+    spark.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("seq", "long").add("value", "string"))
+  }
+
+  private val created =
+    """{"action": "created", "id": "abc-123", "title": "Server Alert",
+      | "content": "CPU at 95%", "priority": "High", "author": "otavio",
+      | "created_at": "2026-02-23T15:00:00-03:00",
+      | "updated_at": "2026-02-23T15:00:00-03:00"}""".stripMargin.replace("\n", "")
+
+  private val updated =
+    """{"action": "updated", "id": "abc-123", "title": "Server Alert v2",
+      | "content": "CPU at 99%", "priority": "Medium", "author": "otavio",
+      | "created_at": "2026-02-23T15:00:00-03:00",
+      | "updated_at": "2026-02-23T16:00:00-03:00"}""".stripMargin.replace("\n", "")
+
+  private val deleted = """{"action": "deleted", "id": "abc-123"}"""
+
+  // --- P1 decode (domain/signal_test.go:9-82) ---
+
+  test("decode parses the canonical created event") {
+    val out = SignalProjection.decode(rawDf(0L -> created)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("action") == "created")
+    assert(r.getAs[String]("id") == "abc-123")
+    assert(r.getAs[String]("priority") == "High")
+    assert(r.getAs[String]("author") == "otavio")
+  }
+
+  test("decode keeps the minimal 2-field delete event, other fields null") {
+    val r = SignalProjection.decode(rawDf(0L -> deleted)).collect().head
+    assert(r.getAs[String]("action") == "deleted")
+    assert(r.getAs[String]("title") == null)
+    assert(r.getAs[String]("created_at") == null)
+  }
+
+  test("decode skips malformed and empty payloads without failing") {
+    val out = SignalProjection.decode(rawDf(
+      0L -> "{not valid json}", 1L -> "", 2L -> created)).collect()
+    assert(out.map(_.getAs[String]("action")).toSeq == Seq("created"))
+  }
+
+  test("decode ignores unknown extra fields") {
+    val withExtra = created.dropRight(1) + """, "totally_unknown": 42}"""
+    val r = SignalProjection.decode(rawDf(0L -> withExtra)).collect().head
+    assert(r.getAs[String]("title") == "Server Alert")
+  }
+
+  // --- P3/P5 LWW fold (projection/signal_test.go:38-151) ---
+
+  test("LWW is by log order, not by updated_at") {
+    // the 'updated' event carries a LATER timestamp but an EARLIER seq;
+    // log order must win (SURVEY §7.4 hard part #1)
+    val view = SignalProjection.fromRaw(rawDf(5L -> updated, 9L -> created))
+    val r = view.collect().head
+    assert(r.getAs[String]("title") == "Server Alert")
+    assert(r.getAs[Long]("seq") == 9L)
+  }
+
+  test("re-applying the same event is idempotent") {
+    val once = SignalProjection.fromRaw(rawDf(0L -> created)).collect()
+    val twice = SignalProjection.fromRaw(rawDf(0L -> created, 0L -> created)).collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  // --- P4 tombstones (projection/signal_test.go:116-130, 259-277) ---
+
+  test("deleted ids disappear from the view") {
+    val view = SignalProjection.fromRaw(rawDf(0L -> created, 1L -> deleted))
+    assert(view.count() == 0)
+  }
+
+  test("delete for an unseen id is a silent no-op") {
+    val view = SignalProjection.fromRaw(rawDf(
+      0L -> deleted,
+      1L -> created.replace("abc-123", "other-1")))
+    val rows = view.collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq == Seq("other-1"))
+  }
+
+  test("create after delete resurrects the key (last writer wins)") {
+    val view = SignalProjection.fromRaw(rawDf(
+      0L -> created, 1L -> deleted, 2L -> created))
+    assert(view.count() == 1)
+  }
+
+  // --- Q1/Q2/Q3 read API (projection/signal_test.go:153-257) ---
+
+  private def seeded: DataFrame = SignalProjection.fromRaw(rawDf(
+    0L -> created.replace("abc-123", "s1"),
+    1L -> created.replace("abc-123", "s2")
+      .replace("2026-02-23T15:00:00-03:00", "2026-02-22T10:00:00-03:00")
+      .replace("\"High\"", "\"Low\"")))
+    .withColumn("created_at", TimeCodec.parseRfc3339(col("created_at")))
+
+  test("listByCreatedAt returns newest first") {
+    val ids = new SignalStore(seeded).listByCreatedAt()
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(ids == Seq("s1", "s2"))
+  }
+
+  test("listByPriority returns only matching rows; no match is empty") {
+    val store = new SignalStore(seeded)
+    assert(store.listByPriority("Low").collect()
+      .map(_.getAs[String]("id")).toSeq == Seq("s2"))
+    assert(store.listByPriority("Critical").count() == 0)
+  }
+
+  test("findById: present and absent") {
+    val store = new SignalStore(seeded)
+    assert(store.findById("s1").isDefined)
+    assert(store.findById("nope").isEmpty)
+    assert(store.health)
+  }
+
+  // --- P6/P7 codecs ---
+
+  test("priority codec: labels map to 1/2/3, unknown to 0") {
+    import spark.implicits._
+    val out = Seq("Low", "Medium", "High", "bogus").toDF("p")
+      .select(PriorityCodec.score(col("p")).as("s")).as[Int].collect().toSeq
+    assert(out == Seq(1, 2, 3, 0))
+  }
+
+  test("timestamp codec: RFC3339 offsets parse; invalid falls back to 0") {
+    import spark.implicits._
+    val out = Seq("2026-02-23T15:00:00-03:00", "not-a-time").toDF("t")
+      .select(TimeCodec.unixSecondsOrZero(col("t")).as("e")).as[Long].collect().toSeq
+    // 2026-02-23T18:00:00Z
+    assert(out == Seq(1771869600L, 0L))
+  }
+}
