@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, md5Prefix16, wordShingles}
+import graft.functions.{cosine_similarity, md5Prefix16, md5Prefix60, wordShingles}
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.1-6):
   * exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine near-dup.
@@ -19,17 +19,28 @@ import graft.functions.{cosine_similarity, md5Prefix16, wordShingles}
 object DedupPack extends QueryPack {
 
   private val NumBands = 4
+  /** Affine-permutation MinHash (h_i(x) = (a_i·x + b_i) mod P): ONE md5
+    * per shingle, then NumBands cheap modular permutations folded into a
+    * single aggregation — no row explosion, 4 map-side mins per doc.
+    * P = 2^31-1 (prime); a_i·(h mod P) < 2^63 so arithmetic stays exact.
+    */
+  private val P = 2147483647L
+  private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L)
+  private val B = Seq(7L, 11L, 13L, 17L)
 
   /** (doc_id, band, minhash-sig) — the MinHash signature matrix. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables(s, dir, "documents")
       .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
-    sh.select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(substring(md5(concat(col("band").cast("string"), lit("|"), col("sh"))), 1, 16))
-        .as("minhash"))
+    val hm = md5Prefix60(col("sh")) % P
+    val mins = (0 until NumBands).map { i =>
+      min((hm * A(i) + B(i)) % P).as(s"s$i")
+    }
+    val stackArgs = (0 until NumBands).map(i => s"$i, s$i").mkString(", ")
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, minhash)")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,19 +122,30 @@ object DedupPack extends QueryPack {
     })
   )
 
-  private val shinglesCte =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
-      |  FROM w WHERE len(ws) >= 3),
-      |sig AS (
-      |  SELECT doc_id, CAST(band AS INTEGER) AS band,
-      |    min(substr(md5(CAST(band AS VARCHAR) || '|' || sh), 1, 16)) AS minhash
-      |  FROM sh, (SELECT unnest(range(0, 4)) AS band) b
-      |  GROUP BY doc_id, band)
-      |""".stripMargin
+  private val shinglesCte = {
+    val minsSql = (0 until NumBands).map { i =>
+      s"min((hm * ${A(i)} + ${B(i)}) % $P) AS s$i" }.mkString(",\n    ")
+    val unpivot = (0 until NumBands).map { i =>
+      s"SELECT doc_id, $i AS band, s$i AS minhash FROM mins" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM w WHERE len(ws) >= 3),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm
+       |  FROM sh),
+       |mins AS (
+       |  SELECT doc_id,
+       |    $minsSql
+       |  FROM hashed GROUP BY doc_id),
+       |sig AS (
+       |  $unpivot)
+       |""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->

@@ -29,8 +29,8 @@ object StreamingPack extends QueryPack {
       log.select(col("seq"),
           to_json(struct(eventCols.toIndexedSeq: _*),
             Map("timestampFormat" -> TsFmt).asJava).as("value"))
-        .repartition(4)
-        .write.json(s"$tmp/events")
+        .repartition(2) // 2 files -> 2 micro-batches: exercises the
+        .write.json(s"$tmp/events") // incremental merge without padding the bench
 
       val proj = new StreamingProjection(s, s"$tmp/state")
       val q = proj.runFileStream(s"$tmp/events", s"$tmp/chk", maxFilesPerTrigger = 1)

@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan shape assertions: the plans that make these queries scale
+  * are part of the contract, not an accident. If Catalyst stops choosing
+  * them (regression, config drift), these specs fail.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q1 top-K plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q1_topk_by_time").contains("TakeOrderedAndProject"))
+  }
+
+  test("a4 filters are pushed down to the parquet scan") {
+    val p = plan("a4_filter_sum")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("a4 scan prunes to only the referenced columns") {
+    val p = plan("a4_filter_sum")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("a3 star join broadcasts the dimension tables") {
+    val p = plan("a3_regional_join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("p3 LWW fold is a two-phase hash aggregate (map-side partial)") {
+    val p = plan("p3_lww_upsert")
+    assert("(?s)partial_max_by|HashAggregate.*max_by.*HashAggregate.*max_by".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("a10 semi/anti joins plan as semi/anti, not row-multiplying joins") {
+    val p = plan("a10_semi_anti")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("e2 fused cosine expression runs inside the scan stage (codegen)") {
+    val p = plan("e2_knn_expr")
+    assert(p.contains("cosine_similarity"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
