@@ -200,6 +200,31 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "session_start")
     }),
 
+    // a15: exact interpolated percentiles per group (two-pass sort-based
+    // aggregate; for 100 TB you'd switch to approx_percentile sketches —
+    // same call shape, documented trade-off).
+    "a15_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+          round(min(col("value")), 4).as("vmin"),
+          round(max(col("value")), 4).as("vmax"))
+        .orderBy("event_type")
+    }),
+
+    // a16: pivot (dynamic columns from event_type); explicit value list so
+    // no driver-side distinct scan.
+    "a16_pivot" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     // a14: AS-OF join — for each order, the latest event (by ts) of its
     // pseudo-user at or before the order date. Implemented the scalable
     // way: tag + union + single window over (key, time) — one shuffle,
@@ -341,6 +366,23 @@ object RelationalPack extends QueryPack {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    "a15_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(min(value), 4) AS vmin,
+        |  round(max(value), 4) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a16_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a14_asof_join" ->
       """WITH u AS (

@@ -32,7 +32,7 @@ package object functions {
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "scala_builtin")
+      "scala_udf")
   }
 
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */
