@@ -188,6 +188,18 @@ object RelationalPack extends QueryPack {
         .orderBy("window_start", "event_type")
     }),
 
+    // a17: sliding event-time windows (2h window, 1h slide) — each event
+    // lands in 2 windows; Spark's window() generates them without row
+    // explosion in the plan (the oracle mirrors via explicit union).
+    "a17_sliding_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // a13: session windows (30-min gap) — streaming-native session_window
     // in batch; oracle mirrors via gaps-and-islands. New session starts
     // when gap >= 30 min.
@@ -350,6 +362,16 @@ object RelationalPack extends QueryPack {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a17_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |x AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM e)
+        |SELECT ws AS window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |FROM x GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
 
     "a13_session_window" ->
       """WITH g AS (

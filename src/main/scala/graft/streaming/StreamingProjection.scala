@@ -42,21 +42,25 @@ class StreamingProjection(
     store.merge(latest, batchId)
   }
 
+  /** Run any [[graft.sources.EventSource]] until exhausted (AvailableNow);
+    * pass a ProcessingTime trigger for continuous operation.
+    */
+  def run(
+      source: graft.sources.EventSource,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.stream(spark).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+      .start()
+
   /** Run over a JSON-lines directory until exhausted (AvailableNow). */
   def runFileStream(
       sourceDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(sourceDir)
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
-      .start()
-  }
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    run(graft.sources.FileEventSource(sourceDir, maxFilesPerTrigger), checkpointDir)
 
   /** The queryable materialized view (tombstones filtered). */
   def view: DataFrame = store.read() match {
