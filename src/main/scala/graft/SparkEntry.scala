@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{DedupPack, DerivedSignalLog, MultimodalPack, SignalParityPack, SimilarityPack, TextPack}
-import graft.analytics.RelationalPack
+import graft.analytics.{ExtrasPack, RelationalPack}
 import graft.projection.SignalStore
 import graft.streaming.StreamingPack
 
@@ -20,6 +20,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     SignalParityPack,
     RelationalPack,
+    ExtrasPack,
     TextPack,
     DedupPack,
     SimilarityPack,

@@ -1,0 +1,133 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryPack, Tables}
+import graft.functions.{md5Prefix60, EvRow, LatestAggregator}
+import graft.operators.DerivedSignalLog
+
+/** Second wave of engine-completeness operators: bag-semantics set ops,
+  * skew-mitigation (salting) with provably identical results, stable
+  * dataset splits, edit-distance, typed custom aggregation (UDAF surface),
+  * sketch aggregates.
+  */
+object ExtrasPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // a18: multiset (bag) set ops — INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate cardinalities (vs a9's set semantics).
+    "a18_multiset_ops" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem").select(col("l_suppkey").as("key"))
+        .where(col("l_quantity") > 45)
+      val r = Tables(s, dir, "lineitem").select(col("l_suppkey").as("key"))
+        .where(col("l_discount") >= 0.08)
+      l.intersectAll(r).groupBy("key").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("key"), col("n"))
+        .unionAll(
+          l.exceptAll(r).groupBy("key").agg(count(lit(1)).as("n"))
+            .select(lit("except_all").as("op"), col("key"), col("n")))
+        .orderBy("op", "key")
+    }),
+
+    // a19: salted aggregation — the standard hot-key mitigation: spread
+    // each group over N salt shards (map-side), aggregate shards, then
+    // re-aggregate. Result is EXACTLY the plain groupBy (the oracle is the
+    // plain groupBy); the plan trades one big skewed shuffle for two even
+    // ones. At 100 TB this is the difference between a straggler task and
+    // an even stage; AQE skew-join handles joins, salting handles aggs.
+    "a19_salted_agg" -> ((s, dir) => {
+      val salted = Tables(s, dir, "events")
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(DecimalType(12, 2))).as("pv"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast(DecimalType(18, 2)).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // a20: sketch aggregates (HLL++ approx distinct) — approximate by
+    // design ⇒ rows-only check; the exact twin is a11.
+    "a20_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // t6: stable train/val split — hash-based deterministic sharding (the
+    // training-data staple: reproducible splits that survive reshuffling
+    // and scale-out, no RNG). 90/10 by md5 bucket.
+    "t6_stable_split" -> ((s, dir) => {
+      val bucket = pmod(md5Prefix60(col("text")), lit(100))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          bucket.as("bucket"),
+          when(bucket < 90, "train").otherwise("val").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // t7: edit distance to a reference token (fuzzy matching / OCR-noise
+    // style dedup primitive).
+    "t7_edit_distance" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 10), lit("key agg row")).as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    // p2: the typed-Dataset/UDAF surface — LWW fold via a custom
+    // Aggregator over Dataset[EvRow]; must equal the untyped fold
+    // (same oracle as p4_tombstone_delete).
+    "p2_typed_latest" -> ((s, dir) => {
+      import s.implicits._
+      val log = DerivedSignalLog.log(s, dir).as[EvRow]
+      log.groupByKey(_.id)
+        .agg(LatestAggregator.toColumn.name("r"))
+        .map(_._2)
+        .filter(_.action != "deleted")
+        .toDF()
+        .select(col("id"), col("seq"), col("action"), col("title"),
+          col("content"), col("priority"), col("author"),
+          col("created_at"), col("updated_at"))
+        .orderBy("id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "a18_multiset_ops" ->
+      """WITH l AS (SELECT l_suppkey AS key FROM lineitem WHERE l_quantity > 45),
+        |     r AS (SELECT l_suppkey AS key FROM lineitem WHERE l_discount >= 0.08)
+        |SELECT 'intersect_all' AS op, key, count(*) AS n
+        |  FROM (SELECT key FROM l INTERSECT ALL SELECT key FROM r) GROUP BY key
+        |UNION ALL
+        |SELECT 'except_all' AS op, key, count(*) AS n
+        |  FROM (SELECT key FROM l EXCEPT ALL SELECT key FROM r) GROUP BY key
+        |ORDER BY op, key""".stripMargin,
+
+    "a19_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t6_stable_split" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_edit_distance" ->
+      """SELECT doc_id, CAST(levenshtein(substr(text, 1, 10), 'key agg row') AS INTEGER) AS dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p2_typed_latest" -> (DerivedSignalLog.SQL_CTE +
+      """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
+        |FROM signals ORDER BY id""".stripMargin)
+    // a20_approx_distinct: rows-only (sketch is approximate by design)
+  )
+}

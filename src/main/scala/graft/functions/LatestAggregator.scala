@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed event row for the Dataset API (timestamps as java.sql.Timestamp
+  * so encoders map them to TimestampType).
+  */
+case class EvRow(
+    seq: Long, id: String, action: String,
+    title: Option[String], content: Option[String], priority: Option[String],
+    author: Option[String],
+    created_at: Option[java.sql.Timestamp],
+    updated_at: Option[java.sql.Timestamp])
+
+/** The LWW fold as a typed `Aggregator` (the engine's UDAF surface): keeps
+  * the row with the highest seq. Semantically identical to the untyped
+  * `max_by(struct, seq)` fold — `p2_typed_latest` proves it against the
+  * same DuckDB oracle. Associative+commutative, so Spark runs it
+  * partial+final like any aggregate.
+  *
+  * Trade-off vs the untyped fold: compile-time row typing, at the cost of
+  * encoder (de)serialization per row — prefer `max_by` in hot paths; this
+  * exists for typed pipelines and as the template for custom aggregations
+  * (sketches, top-k buffers) that can't be expressed declaratively.
+  */
+object LatestAggregator extends Aggregator[EvRow, EvRow, EvRow] {
+  private val sentinel =
+    EvRow(Long.MinValue, "", "", None, None, None, None, None, None)
+
+  override def zero: EvRow = sentinel
+  override def reduce(b: EvRow, a: EvRow): EvRow = if (a.seq >= b.seq) a else b
+  override def merge(x: EvRow, y: EvRow): EvRow = if (x.seq >= y.seq) x else y
+  override def finish(r: EvRow): EvRow = r
+  override def bufferEncoder: Encoder[EvRow] = Encoders.product[EvRow]
+  override def outputEncoder: Encoder[EvRow] = Encoders.product[EvRow]
+}

@@ -21,6 +21,7 @@ class EntrySpec extends SparkSuite {
     // Map construction would silently drop duplicates; catch them here.
     val packs = Seq(
       graft.operators.SignalParityPack, graft.analytics.RelationalPack,
+      graft.analytics.ExtrasPack,
       graft.operators.TextPack, graft.operators.DedupPack,
       graft.operators.SimilarityPack, graft.operators.MultimodalPack,
       graft.streaming.StreamingPack)
