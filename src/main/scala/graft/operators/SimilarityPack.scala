@@ -77,6 +77,28 @@ object SimilarityPack extends QueryPack {
         .agg(round(avg(col("v").cast("double")), 6).as("c"))
         .orderBy("label", "pos")),
 
+    // e5: IVF ANN — k-means coarse quantizer (16 clusters, 3 iterations),
+    // query probes its 2 nearest clusters, exact cosine re-score inside.
+    // Approximate ⇒ rows-only check; see IvfIndex for the scale analysis.
+    "e5_ivf_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val centroids = IvfIndex.kmeans(s, emb, k = 16, iters = 3)
+      val assigned = assign_cached(s, emb, centroids)
+      val qe = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      // 2 nearest centroid ids for the query — k-row computation
+      val probeCids = centroids.crossJoin(broadcast(qe))
+        .select(col("cid"), IvfIndex.sqDist(col("centroid"), col("qe")).as("d"))
+        .orderBy(col("d"), col("cid")).limit(2)
+        .collect().map(_.getInt(0)).toSeq
+      assigned
+        .where(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
+        .crossJoin(broadcast(qe))
+        .select(col("vec_id"), col("cid"),
+          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
     // e4: LSH-bucketed approximate KNN — signature, bucket join with the
     // query's bucket, exact cosine inside the bucket. Approximate ⇒
     // rows-only check (no SQL oracle); determinism guaranteed by seeded
@@ -93,6 +115,11 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     })
   )
+
+  /** assignment reused within one query run. */
+  private def assign_cached(s: SparkSession, emb: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame) =
+    IvfIndex.assign(emb, centroids)
 
   private val knnOracle =
     """SELECT vec_id, cos_sim FROM (

@@ -103,10 +103,17 @@ class BucketedStateStore(
     }
     val merged = SignalProjection.latestByKey(combined, key, seq)
       .withColumn("_bucket", bucketOf(col(key)))
+    writeBuckets(merged, affected, gen)
+  }
 
+  /** Write `data` (carrying a `_bucket` column) as generation `gen` of
+    * every bucket in `affected` — buckets with no rows get an empty
+    * generation, which supersedes (hides) their older data.
+    */
+  private def writeBuckets(data: DataFrame, affected: Seq[Long], gen: Long): Unit = {
     val staging = new Path(root, s"_staging_gen_$gen")
     fs.delete(staging, true)
-    merged.write.partitionBy("_bucket").parquet(staging.toString)
+    data.write.partitionBy("_bucket").parquet(staging.toString)
 
     affected.foreach { b =>
       val src = new Path(staging, s"_bucket=$b")
@@ -114,17 +121,23 @@ class BucketedStateStore(
       fs.delete(dst, true) // idempotent replay of the same batchId
       fs.mkdirs(dst.getParent)
       if (fs.exists(src)) fs.rename(src, dst)
-      else fs.mkdirs(dst) // bucket emptied (possible after compaction)
+      else fs.mkdirs(dst) // bucket emptied (e.g. by compaction)
       // retain only the 2 newest generations per bucket
       listGens(b).sorted.dropRight(2).foreach(g => fs.delete(genPath(b, g), true))
     }
     fs.delete(staging, true)
   }
 
-  /** Drop tombstones older than `horizonSeq` (log-compaction analog). */
+  /** Drop tombstones older than `horizonSeq` (log-compaction analog).
+    * A full-state REWRITE of every bucket — deliberately not `merge`,
+    * which can only upsert: a merge would resurrect the tombstones from
+    * the old generation it unions with.
+    */
   def compact(horizonSeq: Long, gen: Long): Unit =
     read().foreach { st =>
-      val kept = st.where(!(col("action") === "deleted" && col(seq) < horizonSeq))
-      merge(kept, gen)
+      val kept = st
+        .where(!(col("action") === "deleted" && col(seq) < horizonSeq))
+        .withColumn("_bucket", bucketOf(col(key)))
+      writeBuckets(kept, allBuckets, gen)
     }
 }

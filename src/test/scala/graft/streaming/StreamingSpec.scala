@@ -62,6 +62,46 @@ class StreamingSpec extends SparkSuite {
     assert(state("b") == (3L, "deleted")) // tombstone retained in state
   }
 
+  test("checkpoint resume: stopping and restarting does not lose or redo work") {
+    val dir = tmp()
+    val log = DerivedSignalLog.log(spark, sf("sf0.001"))
+    val eventCols = log.columns.filterNot(_ == "seq").map(col)
+    val jsonLog = log.select(col("seq"),
+      to_json(struct(eventCols.toIndexedSeq: _*)).as("value"))
+
+    // phase 1: only the first half of the log is visible
+    jsonLog.where(col("seq") < 500).coalesce(1).write.json(s"$dir/events")
+    val proj = new StreamingProjection(spark, s"$dir/state", numBuckets = 4)
+    proj.runFileStream(s"$dir/events", s"$dir/chk").awaitTermination()
+    val afterHalf = proj.view.count()
+    assert(afterHalf > 0)
+
+    // phase 2: the rest arrives; SAME checkpoint dir -> only new files run
+    jsonLog.where(col("seq") >= 500).coalesce(1).write.mode("append")
+      .json(s"$dir/events")
+    proj.runFileStream(s"$dir/events", s"$dir/chk").awaitTermination()
+
+    val streamed = proj.view.collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("seq"))).toSet
+    val batch = SignalProjection.project(log)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("seq"))).toSet
+    assert(streamed == batch)
+  }
+
+  test("compact() drops old tombstones but keeps state intact") {
+    val dir = tmp()
+    val store = new BucketedStateStore(spark, dir, numBuckets = 4)
+    val batch = SignalProjection.latestByKey(SignalProjection.decode(raw(
+      0L -> ev("created", "keep", "t"),
+      1L -> """{"action":"deleted","id":"gone"}""")))
+    store.merge(batch, gen = 0L)
+    assert(store.read().get.count() == 2) // tombstone retained
+
+    store.compact(horizonSeq = 100L, gen = 1L)
+    val rows = store.read().get.collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq == Seq("keep"))
+  }
+
   test("LiveProjection.foldKey keeps the highest-seq event across batches") {
     val e1 = LiveProjection.KeyedEvent(5L, "created", "k", Some("t"), None, None, None, None, None)
     val e2 = LiveProjection.KeyedEvent(3L, "updated", "k", Some("old"), None, None, None, None, None)
