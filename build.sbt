@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Pass forked-run stdout through unprefixed: the driver parses Bench's
+// single JSON line from stdout, and sbt's default logger would wrap it
+// in "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -1,0 +1,120 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DerivedSignalLog
+import graft.projection.SignalStore
+
+/** HTTP read API (SURVEY §2.1 S7) — the reference's three routes over the
+  * projected view (data-plane/internal/handler/signal.go:24-81):
+  *
+  *   GET /signals            → newest-first, hard cap 50
+  *   GET /signals?priority=P → equality filter
+  *   GET /signals/{id}       → point lookup, 404 if absent
+  *   GET /health             → 200 {"status":"ok"} / 503
+  *
+  * Response rows are the all-string read model (domain/signal.go:47-55):
+  * typed columns internally, strings rendered at the edge (RFC3339
+  * timestamps). A serving layer, not an engine operator: each request is a
+  * Catalyst-planned query over the materialized view.
+  */
+object HttpServe {
+
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Render the typed view as the all-string read model. */
+  def readModel(view: DataFrame): DataFrame = {
+    val rfc3339 = "yyyy-MM-dd'T'HH:mm:ssXXX"
+    view.select(
+      col("id"),
+      coalesce(col("title"), lit("")).as("title"),
+      coalesce(col("content"), lit("")).as("content"),
+      coalesce(col("priority"), lit("")).as("priority"),
+      coalesce(col("author"), lit("")).as("author"),
+      coalesce(date_format(col("created_at"), rfc3339), lit("")).as("created_at"),
+      coalesce(date_format(col("updated_at"), rfc3339), lit("")).as("updated_at"))
+  }
+
+  private def rowJson(r: org.apache.spark.sql.Row): String =
+    r.schema.fieldNames.map { f =>
+      s""""${jsonEscape(f)}": "${jsonEscape(r.getAs[String](f))}""""
+    }.mkString("{", ", ", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val port = if (args.length > 1) args(1).toInt else 8080
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val view = DerivedSignalLog.signals(spark, sfDir).cache()
+    view.count() // materialize once; serving queries hit the cache
+    val server = start(spark, view, port)
+    println(s"[http] serving on :${server.getAddress.getPort} (Ctrl-C to stop)")
+    Thread.currentThread().join()
+  }
+
+  /** Start the server (port 0 = ephemeral; returns the bound server). */
+  def start(spark: SparkSession, view: DataFrame, port: Int): HttpServer = {
+    val store = new SignalStore(view)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    server.createContext("/health", (ex: HttpExchange) =>
+      if (store.health) respond(ex, 200, """{"status":"ok"}""")
+      else respond(ex, 503, """{"status":"down"}"""))
+
+    server.createContext("/signals", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val id = path.stripPrefix("/signals").stripPrefix("/")
+      try {
+        if (id.nonEmpty) {
+          val rows = readModel(view.where(col("id") === id)).limit(1).collect()
+          rows.headOption match {
+            case Some(r) => respond(ex, 200, rowJson(r))
+            case None => respond(ex, 404, """{"error": "not found"}""")
+          }
+        } else {
+          val priority = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split("&").collectFirst {
+              case kv if kv.startsWith("priority=") => kv.stripPrefix("priority=")
+            })
+          val df = priority match {
+            case Some(p) => store.listByPriority(p)
+            case None => store.listByCreatedAt()
+          }
+          val body = readModel(df).collect().map(rowJson).mkString("[", ",", "]")
+          respond(ex, 200, body)
+        }
+      } catch {
+        case e: Throwable => respond(ex, 500, s"""{"error": "${jsonEscape(e.getMessage)}"}""")
+      }
+    })
+
+    server.start()
+    server
+  }
+}

@@ -85,13 +85,15 @@ object TextPack extends QueryPack {
     // t5: winnowing fingerprint (Schleimer et al., SIGMOD'03): hash all
     // 8-char grams, keep the min hash of each 4-gram window, distinct.
     // Scales as one narrow explode + one per-doc window — partitioned by
-    // doc_id, no global shuffle.
+    // doc_id, no global shuffle. Fingerprints stay as fixed-width hex
+    // (min over hex == min over the value; skips a per-gram base
+    // conversion in the hot loop).
     "t5_winnow_fingerprint" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").where(col("n_chars") >= 8)
       val grams = d.select(col("doc_id"), col("text"),
           explode(sequence(lit(1), (col("n_chars") - lit(7)).cast("int"))).as("i"))
         .select(col("doc_id"), col("i"),
-          md5Prefix60(substring_index_pos(col("text"), col("i"))).as("h"))
+          substring(md5(substring_index_pos(col("text"), col("i"))), 1, 15).as("h"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
         .rowsBetween(Window.currentRow, 3)
       grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
@@ -147,7 +149,7 @@ object TextPack extends QueryPack {
         |  FROM documents WHERE n_chars >= 8),
         |grams AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT) AS h
+        |    substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS h
         |  FROM pos),
         |mins AS (
         |  SELECT doc_id,

@@ -1,0 +1,60 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.operators.DerivedSignalLog
+
+/** End-to-end HTTP surface: the reference's three routes served over a
+  * real socket, hit with a real HTTP client (mirrors the reference's
+  * handler tests, handler/signal_test.go:16-200).
+  */
+class HttpServeSpec extends SparkSuite {
+
+  private lazy val view = DerivedSignalLog.signals(spark, sf("sf0.001")).cache()
+  private lazy val server = HttpServe.start(spark, view, port = 0)
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /signals returns newest-first JSON with Content-Type") {
+    val r = get("/signals")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get == "application/json")
+    assert(r.body().startsWith("["))
+    // newest-first: the first id in the body is the newest signal
+    val firstId = "\"id\": \"(\\d+)\"".r.findFirstMatchIn(r.body()).get.group(1)
+    val newest = new graft.projection.SignalStore(view).listByCreatedAt(0, 0)
+      .collect().head.getAs[String]("id")
+    assert(firstId == newest)
+  }
+
+  test("GET /signals?priority=High filters") {
+    val r = get("/signals?priority=High")
+    assert(r.statusCode() == 200)
+    assert(!r.body().contains("\"priority\": \"Low\""))
+    assert(r.body().contains("\"priority\": \"High\""))
+  }
+
+  test("GET /signals/{id}: 200 for present, 404 for absent") {
+    val id = view.select("id").collect().head.getString(0)
+    val ok = get(s"/signals/$id")
+    assert(ok.statusCode() == 200)
+    assert(ok.body().contains(s""""id": "$id""""))
+    // all-string read model with RFC3339 timestamps
+    assert("\"created_at\": \"\\d{4}-\\d{2}-\\d{2}T.*".r.findFirstIn(ok.body()).isDefined)
+
+    val missing = get("/signals/definitely-not-an-id")
+    assert(missing.statusCode() == 404)
+    assert(missing.body().contains("not found"))
+  }
+
+  test("GET /health is ok") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """{"status":"ok"}""")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Stream-stream windowed join: every purchase joined to the same user's
+  * clicks in the preceding hour — both sides unbounded streams, state
+  * bounded by watermarks. Inner-join results must equal the batch join
+  * exactly (watermarks bound state retention, not inner-join
+  * completeness, under AvailableNow).
+  */
+class StreamJoinSpec extends SparkSuite {
+
+  private def eventStream(dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      Tables(spark, dir, "events").schema.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("stream-stream interval join equals the batch join") {
+    val dir = sf("sf0.001")
+
+    val clicks = eventStream(dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = eventStream(dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+
+    val chk = Files.createTempDirectory("graft-ssj-").toString
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", s"$chk/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ssj_out")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = Tables(spark, dir, "events")
+    val bc = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val bp = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val batch = bp.join(bc,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+}
