@@ -80,6 +80,19 @@ object ExtrasPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // sql1: the SQL-text interface — the engine accepts full ANSI SQL over
+    // registered views (parse → analyze → optimize → execute through
+    // Catalyst), a capability the reference entirely lacks (its "query
+    // language" is three HTTP routes, SURVEY §2.6).
+    "sql1_full_sql" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
+          |FROM graft_lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // p2: the typed-Dataset/UDAF surface — LWW fold via a custom
     // Aggregator over Dataset[EvRow]; must equal the untyped fold
     // (same oracle as p4_tombstone_delete).
@@ -124,6 +137,11 @@ object ExtrasPack extends QueryPack {
     "t7_edit_distance" ->
       """SELECT doc_id, CAST(levenshtein(substr(text, 1, 10), 'key agg row') AS INTEGER) AS dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sql1_full_sql" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "p2_typed_latest" -> (DerivedSignalLog.SQL_CTE +
       """SELECT id, seq, action, title, content, priority, author, created_at, updated_at

@@ -54,6 +54,23 @@ object MultimodalPack extends QueryPack {
       media.mapPartitions(Multimodal.decodePartition)
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // m2: frame sampling — treat the payload as fixed-size frames (64
+    // units), sample every 4th; the per-frame "decode" is a fingerprint
+    // stand-in. The real content: a generator (explode of a strided
+    // sequence) keyed to per-row metadata — the video-frame-sampling
+    // dataflow shape, fully pruned/parallel.
+    "m2_frame_sample" -> ((s, dir) => {
+      val frames = (col("n_chars") / lit(64)).cast("int")
+      Tables(s, dir, "documents")
+        .where(col("n_chars") >= 64)
+        .select(col("doc_id"), col("text"), frames.as("n_frames"))
+        .select(col("doc_id"), col("text"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          md5(expr("substring(text, frame_idx * 64 + 1, 64)")).as("frame_fp"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -63,6 +80,15 @@ object MultimodalPack extends QueryPack {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
         |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(n_chars // 64 AS INTEGER) AS n_frames
+        |  FROM documents WHERE n_chars >= 64),
+        |f AS (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS fi FROM d)
+        |SELECT doc_id, n_frames, CAST(fi AS INTEGER) AS frame_idx,
+        |  md5(substr(text, CAST(fi AS INTEGER) * 64 + 1, 64)) AS frame_fp
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
