@@ -8,6 +8,12 @@ import graft.{QueryPack, Tables}
 import graft.functions.{md5Prefix60, EvRow, LatestAggregator}
 import graft.operators.DerivedSignalLog
 
+/** Typed order row for the top-K aggregate (top-level so spark.implicits
+  * can derive its encoder).
+  */
+final case class ORow(o_custkey: Long, o_orderkey: Long,
+    o_orderdate: java.sql.Timestamp)
+
 /** Second wave of engine-completeness operators: bag-semantics set ops,
   * skew-mitigation (salting) with provably identical results, stable
   * dataset splits, edit-distance, typed custom aggregation (UDAF surface),
@@ -80,6 +86,29 @@ object ExtrasPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // a21: per-group top-K via a bounded-heap aggregate — same semantics
+    // and ORACLE as a5's row_number window, radically different plan:
+    // map-side partial aggregation bounds every group to K rows before
+    // the shuffle (see TopKAggregator). The two queries sharing one
+    // oracle proves the rewrite.
+    "a21_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[ORow]] =
+        org.apache.spark.sql.Encoders.kryo[Seq[ORow]]
+      val topk = new graft.functions.TopKAggregator[ORow](
+        3, _.o_orderdate.getTime, _.o_orderkey)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .as[ORow]
+        .groupByKey(_.o_custkey)
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (_, rows) =>
+          rows.zipWithIndex.map { case (r, i) =>
+            (r.o_custkey, r.o_orderkey, r.o_orderdate, i + 1) } }
+        .toDF("o_custkey", "o_orderkey", "o_orderdate", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
     // sql1: the SQL-text interface — the engine accepts full ANSI SQL over
     // registered views (parse → analyze → optimize → execute through
     // Catalyst), a capability the reference entirely lacks (its "query
@@ -137,6 +166,14 @@ object ExtrasPack extends QueryPack {
     "t7_edit_distance" ->
       """SELECT doc_id, CAST(levenshtein(substr(text, 1, 10), 'key agg row') AS INTEGER) AS dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // a21 shares a5's oracle: two plans, one truth.
+    "a21_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "sql1_full_sql" ->
       """SELECT l_returnflag, count(*) AS n,

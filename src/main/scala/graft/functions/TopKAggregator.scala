@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-K per group as an aggregate, for "top N per key" at scale.
+  *
+  * The `row_number().over(Window.partitionBy(k).orderBy(o))` formulation
+  * SORTS every group in full (O(n log n) per group, full shuffle of all
+  * rows). This aggregator keeps a K-bounded buffer per group instead:
+  * map-side partial aggregation reduces each partition to ≤K rows per
+  * group BEFORE the shuffle — O(n log K) work, shuffle volume K·groups
+  * instead of n. At 100 TB with hot keys this is the difference between a
+  * spilled sort and a bounded buffer.
+  *
+  * Ordering: by `ord` DESC then `tie` ASC (deterministic).
+  */
+class TopKAggregator[T](k: Int, ord: T => Long, tie: T => Long)(
+    implicit bufEnc: Encoder[Seq[T]], outEnc: Encoder[Seq[T]])
+  extends Aggregator[T, Seq[T], Seq[T]] {
+
+  private def lt(a: T, b: T): Boolean =
+    ord(a) > ord(b) || (ord(a) == ord(b) && tie(a) < tie(b))
+
+  private def bound(s: Seq[T]): Seq[T] = s.sortWith(lt).take(k)
+
+  override def zero: Seq[T] = Seq.empty
+  override def reduce(buf: Seq[T], a: T): Seq[T] =
+    if (buf.size < k) bound(buf :+ a)
+    else if (lt(a, buf.last)) bound(buf :+ a)
+    else buf
+  override def merge(x: Seq[T], y: Seq[T]): Seq[T] = bound(x ++ y)
+  override def finish(r: Seq[T]): Seq[T] = r.sortWith(lt)
+  override def bufferEncoder: Encoder[Seq[T]] = bufEnc
+  override def outputEncoder: Encoder[Seq[T]] = outEnc
+}
