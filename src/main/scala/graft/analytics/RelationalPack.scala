@@ -100,6 +100,24 @@ object RelationalPack extends QueryPack {
           count(lit(1)).as("n"))
     }),
 
+    // a22: fact-to-dimension join with conditional aggregation (TPC-H Q14
+    // shape): part is the broadcast dim; promo share as an exact decimal
+    // ratio cast to double at the end.
+    "a22_promo_revenue" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      val l = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1996-09-01 00:00:00") &&
+               col("l_shipdate") < ts("1996-11-01 00:00:00"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 4))))
+            .cast(DecimalType(24, 4)).as("promo_revenue"),
+          sum(discPrice).cast(DecimalType(24, 4)).as("total_revenue"))
+        .withColumn("promo_share",
+          col("promo_revenue").cast("double") / col("total_revenue").cast("double"))
+    }),
+
     // a5: ranking window — top-3 most recent orders per customer.
     // Single shuffle on o_custkey; rank computed per partition.
     "a5_window_rank" -> ((s, dir) => {
@@ -309,6 +327,19 @@ object RelationalPack extends QueryPack {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "a22_promo_revenue" ->
+      s"""SELECT promo_revenue, total_revenue,
+         |  CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS promo_share
+         |FROM (
+         |  SELECT
+         |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+         |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(24,4)) AS promo_revenue,
+         |    CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS total_revenue
+         |  FROM lineitem, part
+         |  WHERE l_partkey = p_partkey
+         |    AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-11-01 00:00:00')""".stripMargin,
 
     "a5_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
