@@ -38,14 +38,18 @@ package object functions {
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word w-shingles as distinct strings, e.g. 3-grams joined by spaces.
-    * Codegen'd HOF pipeline: transform over an index sequence.
+  /** Word w-shingles, e.g. 3-grams joined by spaces. Codegen'd HOF
+    * pipeline: transform over an index sequence. `distinct = false` skips
+    * the per-row set build — correct whenever the consumer is
+    * duplicate-invariant (e.g. MinHash: min over a bag == min over the
+    * set); keep `distinct = true` where set semantics matter (Jaccard).
     */
-  def wordShingles(text: Column, w: Int): Column = {
+  def wordShingles(text: Column, w: Int, distinct: Boolean = true): Column = {
     val ws = tokens(text)
-    array_distinct(transform(
+    val grams = transform(
       sequence(lit(1), size(ws) - lit(w - 1)),
-      i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*)))
+      i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*))
+    if (distinct) array_distinct(grams) else grams
   }
 
   /** Cross-engine-stable 64-bit-ish hash: first 15 hex digits of md5 as a

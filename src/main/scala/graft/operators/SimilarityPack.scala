@@ -34,7 +34,17 @@ object SimilarityPack extends QueryPack {
     if ((h & 1) == 0) 1.0f else -1.0f
   }
 
-  private def lshSignature(s: SparkSession, emb: DataFrame): DataFrame = {
+  private val PlanesPerTable = 4
+  private val NumTables = NumPlanes / PlanesPerTable
+
+  /** Multi-table LSH: NumTables independent hash tables of PlanesPerTable
+    * hyperplanes each — candidates share a bucket in ANY table. One wide
+    * table (2^16 buckets over a sparse corpus) has near-zero recall; 4
+    * narrow tables (16 buckets each) give each query ~1/16 of the corpus
+    * per table as candidates — the standard recall/selectivity dial (more
+    * planes per table ⇒ fewer candidates; more tables ⇒ higher recall).
+    */
+  private def lshBuckets(s: SparkSession, emb: DataFrame): DataFrame = {
     val planes: Array[Array[Float]] =
       Array.tabulate(NumPlanes, Dim)((p, d) => planeSign(p, d))
     val planesCol = typedLit(planes.map(_.toSeq).toSeq)
@@ -43,10 +53,15 @@ object SimilarityPack extends QueryPack {
     val bits = transform(planesCol, p =>
       aggregate(zip_with(col("embedding"), p, (x, g) => x.cast("double") * g),
         lit(0.0), (acc, v) => acc + v))
-    val powers = typedLit((0 until NumPlanes).map(i => 1L << i))
-    emb.withColumn("bucket",
-      aggregate(zip_with(bits, powers, (b, p) => when(b > 0, p).otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc + v))
+    val buckets = (0 until NumTables).map { t =>
+      (0 until PlanesPerTable).map { j =>
+        when(element_at(bits, t * PlanesPerTable + j + 1) > 0, 1L << j)
+          .otherwise(0L)
+      }.reduce(_ + _)
+    }
+    emb.withColumn("_buckets", array(buckets: _*))
+      .select(col("*"), posexplode(col("_buckets")).as(Seq("table", "bucket")))
+      .drop("_buckets")
   }
 
   private def knn(s: SparkSession, dir: String, cos: (Column, Column) => Column): DataFrame = {
@@ -99,17 +114,21 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     }),
 
-    // e4: LSH-bucketed approximate KNN — signature, bucket join with the
-    // query's bucket, exact cosine inside the bucket. Approximate ⇒
-    // rows-only check (no SQL oracle); determinism guaranteed by seeded
-    // hyperplanes.
+    // e4: multi-table LSH approximate KNN — candidates share a bucket
+    // with the query in ANY of the 4 tables; exact cosine re-score on the
+    // deduped candidate set. Approximate ⇒ rows-only check (no SQL
+    // oracle); determinism guaranteed by seeded hyperplanes.
     "e4_knn_lsh" -> ((s, dir) => {
-      val sig = lshSignature(s, Tables(s, dir, "embeddings"))
+      val sig = lshBuckets(s, Tables(s, dir, "embeddings"))
       val q = sig.where(col("vec_id") === 0)
-        .select(col("bucket").as("qbucket"), col("embedding").as("qe"))
+        .select(col("table").as("qtable"), col("bucket").as("qbucket"),
+          col("embedding").as("qe"))
       sig.where(col("vec_id") =!= 0)
-        .join(broadcast(q), col("bucket") === col("qbucket"))
-        .select(col("vec_id"), col("bucket"),
+        .join(broadcast(q),
+          col("table") === col("qtable") && col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("embedding"), col("qe"))
+        .dropDuplicates("vec_id")
+        .select(col("vec_id"),
           round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(20)
