@@ -122,6 +122,23 @@ object ExtrasPack extends QueryPack {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // a23: correlated scalar subquery (TPC-H Q17 shape) through the SQL
+    // interface — Catalyst decorrelates it into an aggregate + join; the
+    // reference (and many engines) can't express this at all. Numeric
+    // note: l_quantity is integer-valued, so the per-key double sums are
+    // EXACT and the 0.5*avg threshold is bit-identical across engines.
+    "a23_correlated_subquery" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_l")
+      Tables(s, dir, "part").createOrReplaceTempView("graft_p")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total,
+          |  count(*) AS n
+          |FROM graft_l l1 JOIN graft_p ON p_partkey = l1.l_partkey
+          |WHERE p_brand = 'Brand#1'
+          |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+          |                    FROM graft_l l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    }),
+
     // p2: the typed-Dataset/UDAF surface — LWW fold via a custom
     // Aggregator over Dataset[EvRow]; must equal the untyped fold
     // (same oracle as p4_tombstone_delete).
@@ -174,6 +191,14 @@ object ExtrasPack extends QueryPack {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "a23_correlated_subquery" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total,
+        |  count(*) AS n
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
 
     "sql1_full_sql" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix16, md5Prefix60, tokens}
+import graft.functions.{md5Prefix60, tokens}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
