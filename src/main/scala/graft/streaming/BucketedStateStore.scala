@@ -113,7 +113,12 @@ class BucketedStateStore(
   private def writeBuckets(data: DataFrame, affected: Seq[Long], gen: Long): Unit = {
     val staging = new Path(root, s"_staging_gen_$gen")
     fs.delete(staging, true)
-    data.write.partitionBy("_bucket").parquet(staging.toString)
+    // co-locate each bucket into one task before the partitioned write:
+    // one file per bucket per generation instead of (shuffle-partitions ×
+    // buckets) small files — fewer renames, and readers open exactly one
+    // file per bucket. At larger state, raise numBuckets, not files/bucket.
+    data.repartition(numBuckets, col("_bucket"))
+      .write.partitionBy("_bucket").parquet(staging.toString)
 
     affected.foreach { b =>
       val src = new Path(staging, s"_bucket=$b")

@@ -132,6 +132,13 @@ class ProjectionSpec extends SparkSuite {
     assert(store.health)
   }
 
+  test("health is false when the view is unservable") {
+    // the failing expression must sit in a filter — a poisoned projected
+    // column would just be pruned away by Catalyst under count()
+    val broken = seeded.where(expr("raise_error('backing store down') IS NULL"))
+    assert(!new SignalStore(broken).health)
+  }
+
   // --- P6/P7 codecs ---
 
   test("priority codec: labels map to 1/2/3, unknown to 0") {
