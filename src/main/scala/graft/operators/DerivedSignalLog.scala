@@ -55,13 +55,9 @@ object DerivedSignalLog {
   def signals(spark: SparkSession, dir: String): DataFrame =
     SignalProjection.project(log(spark, dir))
 
-  /** DuckDB mirror of [[log]]/[[view]]/[[signals]]. The fold is expressed
-    * as a max-seq join-back (equivalent to Spark's `max_by(struct, seq)`
-    * because `seq` is unique).
-    */
-  val SQL_CTE: String =
-    """WITH signal_log AS (
-      |  SELECT event_id AS seq,
+  /** The log derivation as a standalone SELECT (DuckDB). */
+  private val LOG_SELECT: String =
+    """SELECT event_id AS seq,
       |    CAST(user_id AS VARCHAR) AS id,
       |    CASE WHEN event_type = 'error' THEN 'deleted'
       |         WHEN event_type = 'signup' THEN 'created'
@@ -77,11 +73,28 @@ object DerivedSignalLog {
       |         ELSE 'user-' || CAST(user_id AS VARCHAR) END AS author,
       |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(ts AS TIMESTAMP) END AS created_at,
       |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(ts AS TIMESTAMP) END AS updated_at
-      |  FROM events),
-      |signal_view AS (
-      |  SELECT l.* FROM signal_log l
-      |  JOIN (SELECT id, max(seq) AS mseq FROM signal_log GROUP BY id) m
-      |    ON l.id = m.id AND l.seq = m.mseq),
-      |signals AS (SELECT * FROM signal_view WHERE action <> 'deleted')
-      |""".stripMargin
+      |  FROM events""".stripMargin
+
+  private def cte(logSources: String): String =
+    s"""WITH $logSources,
+       |signal_view AS (
+       |  SELECT l.* FROM signal_log l
+       |  JOIN (SELECT id, max(seq) AS mseq FROM signal_log GROUP BY id) m
+       |    ON l.id = m.id AND l.seq = m.mseq),
+       |signals AS (SELECT * FROM signal_view WHERE action <> 'deleted')
+       |""".stripMargin
+
+  /** DuckDB mirror of [[log]]/[[view]]/[[signals]]. The fold is expressed
+    * as a max-seq join-back (equivalent to Spark's `max_by(struct, seq)`
+    * because `seq` is unique).
+    */
+  val SQL_CTE: String = cte(s"signal_log AS (\n  $LOG_SELECT)")
+
+  /** Same pipeline over the log unioned with itself (idempotency oracle,
+    * reference projection/signal_test.go:132-151).
+    */
+  val SQL_CTE_DOUBLED: String = cte(
+    s"""signal_log0 AS (
+       |  $LOG_SELECT),
+       |signal_log AS (SELECT * FROM signal_log0 UNION ALL SELECT * FROM signal_log0)""".stripMargin)
 }

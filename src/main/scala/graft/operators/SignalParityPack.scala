@@ -122,9 +122,8 @@ object SignalParityPack extends QueryPack {
         |FROM signals ORDER BY id""".stripMargin),
 
     "p5_idempotent_replay" ->
-      (cte.replace("WITH signal_log AS (", "WITH signal_log0 AS (")
-        .replace("FROM events),", "FROM events),\nsignal_log AS (SELECT * FROM signal_log0 UNION ALL SELECT * FROM signal_log0),")
-        + """SELECT DISTINCT id, seq, action, title, content, priority, author, created_at, updated_at
+      (DerivedSignalLog.SQL_CTE_DOUBLED +
+        """SELECT DISTINCT id, seq, action, title, content, priority, author, created_at, updated_at
         |FROM signals ORDER BY id""".stripMargin),
 
     "p6_priority_codec" ->

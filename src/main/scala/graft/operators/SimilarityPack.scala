@@ -98,7 +98,7 @@ object SimilarityPack extends QueryPack {
     "e5_ivf_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val centroids = IvfIndex.kmeans(s, emb, k = 16, iters = 3)
-      val assigned = assign_cached(s, emb, centroids)
+      val assigned = IvfIndex.assign(emb, centroids)
       val qe = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
       // 2 nearest centroid ids for the query — k-row computation
       val probeCids = centroids.crossJoin(broadcast(qe))
@@ -134,11 +134,6 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     })
   )
-
-  /** assignment reused within one query run. */
-  private def assign_cached(s: SparkSession, emb: org.apache.spark.sql.DataFrame,
-      centroids: org.apache.spark.sql.DataFrame) =
-    IvfIndex.assign(emb, centroids)
 
   private val knnOracle =
     """SELECT vec_id, cos_sim FROM (
