@@ -39,11 +39,11 @@ object RelationalPack extends QueryPack {
         .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(dec("l_quantity")).cast(DecimalType(24, 2)).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DecimalType(24, 2)).as("sum_base_price"),
           sum(discPrice).cast(DecimalType(24, 4)).as("sum_disc_price"),
           sum(discPrice * (lit(1) + dec("l_tax"))).cast(DecimalType(24, 6)).as("sum_charge"),
-          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -115,7 +115,7 @@ object RelationalPack extends QueryPack {
             .cast(DecimalType(24, 4)).as("promo_revenue"),
           sum(discPrice).cast(DecimalType(24, 4)).as("total_revenue"))
         .withColumn("promo_share",
-          col("promo_revenue").cast("double") / col("total_revenue").cast("double"))
+          round(col("promo_revenue").cast("double") / col("total_revenue").cast("double"), 6))
     }),
 
     // a5: ranking window — top-3 most recent orders per customer.
@@ -138,7 +138,7 @@ object RelationalPack extends QueryPack {
         .select(col("user_id"), col("event_id"),
           sum(col("value").cast(DecimalType(12, 2)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(18, 2)).as("running_value"),
+            .cast(DecimalType(24, 2)).as("running_value"),
           lag(col("event_type"), 1).over(w).as("prev_type"))
         .orderBy("user_id", "event_id")
     }),
@@ -151,7 +151,7 @@ object RelationalPack extends QueryPack {
           col("value"))
         .rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(24, 2)).as("total"))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
     }),
 
@@ -201,7 +201,7 @@ object RelationalPack extends QueryPack {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(24, 2)).as("total"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type")
     }),
@@ -213,7 +213,7 @@ object RelationalPack extends QueryPack {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(24, 2)).as("total"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type")
     }),
@@ -287,11 +287,11 @@ object RelationalPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "a1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D)) AS DECIMAL(18,2)) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS $D)) AS DECIMAL(18,2)) AS sum_base_price,
+         |  CAST(sum(CAST(l_quantity AS $D)) AS DECIMAL(24,2)) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS $D)) AS DECIMAL(24,2)) AS sum_base_price,
          |  CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS sum_disc_price,
          |  CAST(sum($discPriceSql * (1 + CAST(l_tax AS $D))) AS DECIMAL(24,6)) AS sum_charge,
-         |  CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) / count(*) AS avg_qty,
+         |  round(CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) / count(*), 6) AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
@@ -330,7 +330,7 @@ object RelationalPack extends QueryPack {
 
     "a22_promo_revenue" ->
       s"""SELECT promo_revenue, total_revenue,
-         |  CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) AS promo_share
+         |  round(CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE), 6) AS promo_share
          |FROM (
          |  SELECT
          |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
@@ -352,14 +352,14 @@ object RelationalPack extends QueryPack {
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
         |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS running_value,
+        |    AS DECIMAL(24,2)) AS running_value,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
         |FROM events WHERE user_id < 25 ORDER BY user_id, event_id""".stripMargin,
 
     "a7_rollup" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
         |FROM events GROUP BY ROLLUP(event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
@@ -391,7 +391,7 @@ object RelationalPack extends QueryPack {
     "a12_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a17_sliding_window" ->
@@ -401,7 +401,7 @@ object RelationalPack extends QueryPack {
         |  UNION ALL
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM e)
         |SELECT ws AS window_start, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
         |FROM x GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
 
     "a13_session_window" ->
