@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -18,5 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(exprs.head)))
   }
 }

@@ -28,10 +28,20 @@ package object functions {
     when(na =!= 0.0 && nb =!= 0.0, dot / (sqrt(na) * sqrt(nb)))
   }
 
+  /** Winnowing fingerprints of a document (native codegen expression):
+    * sorted distinct sliding-window minima of a Karp–Rabin rolling hash
+    * over 8-char grams. See [[WinnowFingerprints]].
+    */
+  def winnow_fingerprints(text: Column): Column =
+    columnOf(WinnowFingerprints(exprOf(text)))
+
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints", exprs => WinnowFingerprints(exprs.head),
       "scala_udf")
   }
 

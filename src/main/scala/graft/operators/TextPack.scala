@@ -1,11 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, tokens}
+import graft.functions.{md5Prefix60, tokens, winnow_fingerprints, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -83,28 +82,21 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")),
 
     // t5: winnowing fingerprint (Schleimer et al., SIGMOD'03): hash all
-    // 8-char grams, keep the min hash of each 4-gram window, distinct.
-    // Scales as one narrow explode + one per-doc window — partitioned by
-    // doc_id, no global shuffle. Fingerprints stay as fixed-width hex
-    // (min over hex == min over the value; skips a per-gram base
-    // conversion in the hot loop).
-    "t5_winnow_fingerprint" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents").where(col("n_chars") >= 8)
-      val grams = d.select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), (col("n_chars") - lit(7)).cast("int"))).as("i"))
-        .select(col("doc_id"), col("i"),
-          substring(md5(substring_index_pos(col("text"), col("i"))), 1, 15).as("h"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(Window.currentRow, 3)
-      grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
-        .distinct()
-        .orderBy("doc_id", "fp")
-    })
+    // 8-char grams with a Karp–Rabin rolling hash, keep the min of each
+    // 4-gram window, distinct per doc. The whole winnow runs inside the
+    // codegen'd [[graft.functions.WinnowFingerprints]] expression — one
+    // O(chars) compiled pass per document, zero per-gram allocation — so
+    // the plan is scan → project → explode with NO shuffle before the
+    // final deterministic sort. (The r1 shape explode'd one row per gram
+    // through md5 + a per-doc window + distinct: 3 shuffles, 20.5 s at
+    // sf0.1; an interpreted-HOF rewrite still cost 21 µs/gram because
+    // `transform` lambdas run outside whole-stage codegen.)
+    "t5_winnow_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").where(col("n_chars") >= 8)
+        .select(col("doc_id"),
+          explode(winnow_fingerprints(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp"))
   )
-
-  /** substring(text, i, 8) with a column start position. */
-  private def substring_index_pos(text: Column, i: Column): Column =
-    text.substr(i, lit(8))
 
   private val wsSql = "string_split(text, ' ')"
   private def countInSql(words: Seq[String]): String =
@@ -143,18 +135,27 @@ object TextPack extends QueryPack {
         |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t5_winnow_fingerprint" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(range(1, CAST(n_chars AS INTEGER) - 6)) AS i
-        |  FROM documents WHERE n_chars >= 8),
-        |grams AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-        |    substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS h
-        |  FROM pos),
-        |mins AS (
-        |  SELECT doc_id,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM grams)
-        |SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp""".stripMargin
+    "t5_winnow_fingerprint" -> {
+      // The rolling hash in WinnowFingerprints equals this polynomial
+      // evaluated term by term with the same precomputed powers; BIGINT
+      // casts keep DuckDB's integer arithmetic from overflowing INT32.
+      val hashSql = WinnowFingerprints.Pows.zipWithIndex.map { case (p, j) =>
+        s"CAST(ascii(substr(text, CAST(i AS INTEGER) + $j, 1)) AS BIGINT) * $p"
+      }.mkString("\n      + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, CAST(n_chars AS INTEGER) - ${WinnowFingerprints.GramLen - 2})) AS i
+         |  FROM documents WHERE n_chars >= ${WinnowFingerprints.GramLen}),
+         |h AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |    ($hashSql) % ${WinnowFingerprints.Mod} AS h
+         |  FROM pos),
+         |mins AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND ${WinnowFingerprints.WindowLen - 1} FOLLOWING) AS fp
+         |  FROM h)
+         |SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp""".stripMargin
+    }
   )
 }
