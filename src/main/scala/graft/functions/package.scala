@@ -35,6 +35,13 @@ package object functions {
   def winnow_fingerprints(text: Column): Column =
     columnOf(WinnowFingerprints(exprOf(text)))
 
+  /** k-means/IVF assignment: 0-based index of the nearest centroid
+    * (squared euclidean, ties to lowest index) as a compiled projection —
+    * no shuffle, no row multiplication. See [[NearestCentroid]].
+    */
+  def nearest_centroid(vec: Column, centroids: Column): Column =
+    columnOf(NearestCentroid(exprOf(vec), exprOf(centroids)))
+
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -42,6 +49,9 @@ package object functions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprints", exprs => WinnowFingerprints(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_centroid", exprs => NearestCentroid(exprs.head, exprs(1)),
       "scala_udf")
   }
 

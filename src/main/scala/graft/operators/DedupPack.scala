@@ -19,6 +19,11 @@ import graft.functions.{cosine_similarity, md5Prefix16, md5Prefix60, wordShingle
 object DedupPack extends QueryPack {
 
   private val NumBands = 4
+  /** LSH tables for d6 near-dup pair search (fewer than e4's query-time
+    * 16: strong-pair recall is 0.93 already and candidate volume doubles
+    * per table — see SimilarityPack.lshBuckets).
+    */
+  private val NeardupTables = 8
   /** Affine-permutation MinHash (h_i(x) = (a_i·x + b_i) mod P): ONE md5
     * per shingle, then NumBands cheap modular permutations folded into a
     * single aggregation — no row explosion, 4 map-side mins per doc.
@@ -61,9 +66,14 @@ object DedupPack extends QueryPack {
       signatures(s, dir).orderBy("doc_id", "band")),
 
     // d3: LSH candidate pairs — docs sharing any band signature. The
-    // self-join keys on (band, minhash): only same-bucket docs pair.
+    // self-join keys on (band, minhash): only same-bucket docs pair. The
+    // signature matrix is persisted first: without it Spark recomputes
+    // the whole shingle+md5 pipeline for BOTH join sides (measured ~2× at
+    // sf0.1). At any scale the matrix is tiny next to the corpus — 4
+    // longs per doc — so MEMORY_AND_DISK is the right trade everywhere.
     "d3_lsh_pairs" -> ((s, dir) => {
       val sig = signatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
       val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
       a.join(b, Seq("band", "minhash"))
@@ -110,11 +120,46 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // d6: embedding-cosine near-dup pairs over the rounded similarity.
-    // Brute all-pairs here (bench scale); the 100 TB path buckets by LSH
-    // first (see SimilarityPack e4) so only candidate pairs are scored.
+    // d6: embedding-cosine near-dup pairs — the 100 TB path: multi-table
+    // random-hyperplane LSH buckets (SimilarityPack), equi-self-join on
+    // (table, bucket) so ONLY same-bucket vectors are scored, exact
+    // cosine + threshold on the candidates. The plan is hash-join + agg —
+    // no nested-loop, no all-pairs. Deterministic hyperplanes make the
+    // bucketing reproducible, so the DuckDB oracle replays it exactly
+    // (plane constants embedded in the SQL) and the result is
+    // hash-checked like any exact operator. Misses (pairs separated by
+    // every table) are the documented approximation; d6b brute-verifies
+    // a bounded sample and RecallSpec gates the miss rate.
     "d6_embed_neardup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val sig = SimilarityPack
+        .lshBuckets(s, Tables(s, dir, "embeddings"), NeardupTables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sig.select(col("table"), col("bucket"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = sig.select(col("table"), col("bucket"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      // Score→filter→dedup, in that order: a pair colliding in m tables
+      // is scored m (≤ NeardupTables) times — redundant compiled flops —
+      // but the dedup shuffle then carries only the pairs ABOVE the
+      // threshold (3 narrow columns), not millions of candidates dragging
+      // two 64-float embeddings each. Dedup-first measured 24 s at sf0.1;
+      // this shape runs in ~2 s. At 100 TB the trade is even more lopsided:
+      // recomputing a dot product is always cheaper than shuffling wide rows.
+      a.join(b, Seq("table", "bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.35)
+        .dropDuplicates("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // d6b: brute-force near-dup on a bounded sample (vec_id < 500, an
+    // absolute bound independent of corpus size) — the exact verifier for
+    // d6's LSH path, same role d4 plays for d3. All-pairs is ONLY legal
+    // under a hard bound like this.
+    "d6b_neardup_brute" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").where(col("vec_id") < 500)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
@@ -204,12 +249,41 @@ object DedupPack extends QueryPack {
          |FROM sums ORDER BY doc_id""".stripMargin
     },
 
-    "d6_embed_neardup" ->
+    "d6_embed_neardup" -> {
+      // Replays the multi-table LSH bucketing with the SAME hyperplane
+      // constants the Spark side uses (sign(list_dot_product) ==
+      // sign(cosine) — positive norms can't flip it), then scores only
+      // same-bucket pairs. Candidate sets therefore match exactly.
+      val bucketCols = (0 until NeardupTables).map { t =>
+        val bucket = (0 until SimilarityPack.PlanesPerTable).map { j =>
+          val plane = (0 until SimilarityPack.Dim)
+            .map(d => SimilarityPack.planeSign(t * SimilarityPack.PlanesPerTable + j, d))
+            .map(v => if (v > 0) "1" else "-1").mkString(", ")
+          s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$plane]) > 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString("\n      + ")
+        s"($bucket) AS b$t"
+      }.mkString(",\n    ")
+      val sameBucket = (0 until NeardupTables)
+        .map(t => s"a.b$t = b.b$t").mkString(" OR ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    $bucketCols
+         |  FROM embeddings)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($sameBucket))
+         |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    "d6b_neardup_brute" ->
       """SELECT vec_a, vec_b, cos_sim FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 500 AND b.vec_id < 500)
         |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -3,63 +3,84 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.nearest_centroid
+
 /** IVF (inverted-file) index for ANN search: a k-means coarse quantizer
   * partitions the corpus into clusters; queries probe only the nearest
   * `nprobe` clusters and re-score exactly inside them. This is the
   * standard billion-vector ANN architecture (FAISS-style) expressed in
   * DataFrame ops:
   *
-  *   - assignment = crossJoin(broadcast(centroids)) + min_by — the
-  *     centroid table is k rows (config-bounded), so broadcast is free and
-  *     the corpus streams through map-side with NO shuffle;
-  *   - centroid update = posexplode + two-level groupBy — partial
-  *     aggregation makes it one small shuffle of k×dim rows;
-  *   - the driver-side collect per iteration is k centroids (k×dim
-  *     floats, config-bounded, scale-independent) — the same reduce
-  *     MLlib's KMeans does; it also truncates plan lineage across
-  *     iterations.
+  *   - assignment = the codegen'd [[graft.functions.NearestCentroid]]
+  *     projection over a centroid-array literal — ZERO shuffle, zero row
+  *     multiplication, a compiled k×dim loop fused into the scan. (The
+  *     naive crossJoin(broadcast)+min_by formulation multiplies rows ×k
+  *     and shuffles the whole corpus per iteration — r1 shipped that and
+  *     its comment wrongly claimed otherwise; fixed in r2.)
+  *   - centroid update = posexplode + groupBy(cid, pos) — partial
+  *     aggregation means the shuffle carries ≤ k×dim rows per map task;
+  *   - centroids live on the driver between iterations (k×dim floats,
+  *     config-bounded, scale-independent — the same reduce MLlib's KMeans
+  *     does), which also truncates plan lineage across iterations.
   *
-  * Determinism: init = first k vectors by id; min_by ties broken by
-  * (distance, cid) struct ordering.
+  * Determinism: init = first k vectors by vec_id; argmin ties resolve to
+  * the lowest centroid index; empty clusters keep their previous centroid.
   */
 object IvfIndex {
 
   private def dbl(c: Column): Column = c.cast("double")
 
-  /** Squared euclidean distance between two float-array columns. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (dbl(x) - dbl(y)) * (dbl(x) - dbl(y))),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Lloyd's k-means over an `(vec_id, embedding)` frame → `(cid,
-    * centroid)` table.
+  /** The centroid table as an `ARRAY<ARRAY<FLOAT>>` literal column —
+    * cluster id = array index.
     */
-  def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb.where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+  def centroidsLit(centroids: Array[Array[Float]]): Column =
+    typedLit(centroids.map(_.toSeq).toSeq)
+
+  /** Driver-side squared euclidean distance (for probe selection — the
+    * centroid table is driver-resident and tiny).
+    */
+  def sqDistLocal(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+    d
+  }
+
+  /** The `nprobe` cluster ids nearest to a query vector (deterministic:
+    * distance then index).
+    */
+  def probeCids(centroids: Array[Array[Float]], q: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (sqDistLocal(c, q), i) }
+      .sorted.take(nprobe).map(_._2).toSeq
+
+  /** Lloyd's k-means over a `(vec_id, embedding)` frame. Returns the
+    * centroid table as a driver-side array (cid = index).
+    */
+  def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = emb.where(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = assign(emb, centroids)
-      val next = assigned
+      // One job per iteration: compiled assignment projection (no
+      // shuffle), then a (cid, pos) average whose shuffle is ≤ k×dim rows
+      // per map task after partial agg. k×dim rows back to the driver.
+      val sums = assign(emb, centroids)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos")).agg(avg(dbl(col("v"))).as("c"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cid"),
-          transform(col("pc"), x => x.getField("c").cast("float")).as("centroid"))
-      // k rows to the driver: bounded by k, not by data — lineage reset.
-      val rows = next.collect()
-      centroids = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), next.schema)
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
     }
     centroids
   }
 
-  /** Assign every vector to its nearest centroid (deterministic ties). */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("_d", sqDist(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(
-        min_by(col("cid"), struct(col("_d"), col("cid"))).as("cid"),
-        any_value(col("embedding")).as("embedding"))
+  /** Assign every vector to its nearest centroid — a pure projection. */
+  def assign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    emb.withColumn("cid",
+      nearest_centroid(col("embedding"), centroidsLit(centroids)))
 }

@@ -21,41 +21,48 @@ import graft.functions.{cosine_similarity, cosine_similarity_hof}
   */
 object SimilarityPack extends QueryPack {
 
-  private val Dim = 64
-  private val NumPlanes = 16
+  private[operators] val Dim = 64
+  private[operators] val NumPlanes = 64
 
   /** Deterministic pseudo-Gaussian-free hyperplanes: sign pattern from a
     * per-(plane,dim) hash. Rademacher ±1 components are a standard LSH
     * choice (Charikar'02 uses Gaussians; ±1 preserves the cosine-LSH
-    * property in expectation and is cheap + reproducible).
+    * property in expectation and is cheap + reproducible). Exposed to
+    * DedupPack so the d6 oracle embeds the identical plane constants.
     */
-  private def planeSign(plane: Int, d: Int): Float = {
+  private[operators] def planeSign(plane: Int, d: Int): Float = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, d))
     if ((h & 1) == 0) 1.0f else -1.0f
   }
 
-  private val PlanesPerTable = 4
-  private val NumTables = NumPlanes / PlanesPerTable
+  private[operators] val PlanesPerTable = 4
+  private[operators] val NumTables = NumPlanes / PlanesPerTable
 
   /** Multi-table LSH: NumTables independent hash tables of PlanesPerTable
     * hyperplanes each — candidates share a bucket in ANY table. One wide
-    * table (2^16 buckets over a sparse corpus) has near-zero recall; 4
-    * narrow tables (16 buckets each) give each query ~1/16 of the corpus
-    * per table as candidates — the standard recall/selectivity dial (more
+    * table (2^16 buckets over a sparse corpus) has near-zero recall;
+    * narrow 16-bucket tables give each query ~1/16 of the corpus per
+    * table as candidates — the standard recall/selectivity dial (more
     * planes per table ⇒ fewer candidates; more tables ⇒ higher recall).
+    * `numTables` is per-operator: e4's top-20 gate needs 16 tables on
+    * this near-random corpus (measured per-table hit p ≈ 0.14 for the
+    * true neighbors: 4 tables → 0.5 recall, 8 → 0.7, 16 → ≈0.91), while
+    * d6's pair search keeps 8 — its strong-pair recall is already 0.93
+    * there and fewer tables keep the candidate set lean.
+    *
+    * Each sign bit is sign(cosine(embedding, plane)) through the compiled
+    * CosineSimilarity expression — the positive norms can't flip the
+    * sign, so this equals sign(dot) (which the DuckDB oracle computes via
+    * `list_dot_product`) while staying inside whole-stage codegen instead
+    * of an interpreted HOF fold.
     */
-  private def lshBuckets(s: SparkSession, emb: DataFrame): DataFrame = {
-    val planes: Array[Array[Float]] =
-      Array.tabulate(NumPlanes, Dim)((p, d) => planeSign(p, d))
-    val planesCol = typedLit(planes.map(_.toSeq).toSeq)
-    // sig bit p = sign(dot(embedding, plane_p)); all in one codegen'd
-    // HOF expression, no UDF.
-    val bits = transform(planesCol, p =>
-      aggregate(zip_with(col("embedding"), p, (x, g) => x.cast("double") * g),
-        lit(0.0), (acc, v) => acc + v))
-    val buckets = (0 until NumTables).map { t =>
+  private[operators] def lshBuckets(s: SparkSession, emb: DataFrame,
+      numTables: Int = NumTables): DataFrame = {
+    require(numTables * PlanesPerTable <= NumPlanes)
+    val buckets = (0 until numTables).map { t =>
       (0 until PlanesPerTable).map { j =>
-        when(element_at(bits, t * PlanesPerTable + j + 1) > 0, 1L << j)
+        val plane = (0 until Dim).map(d => planeSign(t * PlanesPerTable + j, d))
+        when(cosine_similarity(col("embedding"), typedLit(plane)) > 0, 1L << j)
           .otherwise(0L)
       }.reduce(_ + _)
     }
@@ -93,23 +100,26 @@ object SimilarityPack extends QueryPack {
         .orderBy("label", "pos")),
 
     // e5: IVF ANN — k-means coarse quantizer (16 clusters, 3 iterations),
-    // query probes its 2 nearest clusters, exact cosine re-score inside.
-    // Approximate ⇒ rows-only check; see IvfIndex for the scale analysis.
+    // query probes its 6 nearest clusters, exact cosine re-score inside.
+    // On this near-random corpus the true top-20 spread across 7 of 16
+    // clusters (measured), so nprobe=2 recalls 0.75 and 6 recalls 0.85 —
+    // clustered real-world embeddings concentrate far more, and nprobe is
+    // the documented dial.
+    // Assignment is the codegen'd nearest_centroid projection (no shuffle,
+    // no row multiplication — see IvfIndex) and the query vector is an
+    // array literal, so the probe query is scan → project → filter →
+    // TakeOrderedAndProject: one pass over the corpus, no joins at all.
+    // Approximate ⇒ rows-only driver check; RecallSpec gates recall@20.
     "e5_ivf_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val centroids = IvfIndex.kmeans(s, emb, k = 16, iters = 3)
-      val assigned = IvfIndex.assign(emb, centroids)
-      val qe = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      // 2 nearest centroid ids for the query — k-row computation
-      val probeCids = centroids.crossJoin(broadcast(qe))
-        .select(col("cid"), IvfIndex.sqDist(col("centroid"), col("qe")).as("d"))
-        .orderBy(col("d"), col("cid")).limit(2)
-        .collect().map(_.getInt(0)).toSeq
-      assigned
-        .where(col("cid").isin(probeCids: _*) && col("vec_id") =!= 0)
-        .crossJoin(broadcast(qe))
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val probes = IvfIndex.probeCids(centroids, q, nprobe = 6)
+      IvfIndex.assign(emb, centroids)
+        .where(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cid"),
-          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+          round(cosine_similarity(col("embedding"), typedLit(q.toSeq)), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(20)
     }),

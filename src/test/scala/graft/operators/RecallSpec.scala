@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Recall gates for the approximate similarity operators. e4 spent most
+  * of round 1 returning zero true candidates before anyone noticed —
+  * rows-only driver checks can't see that, so these specs measure recall
+  * against the exact operators and fail on regression.
+  */
+class RecallSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = sf("sf0.01")
+
+  private def topIds(q: String): Set[Long] =
+    SimilarityPack.queries(q)(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+
+  test("e4 LSH KNN: recall@20 vs exact e1 >= 0.8") {
+    val exact = topIds("e1_knn_brute")
+    val lsh = topIds("e4_knn_lsh")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"e4 recall@20 = $recall")
+    assert(recall >= 0.8, s"e4 recall@20 degraded to $recall")
+  }
+
+  test("e5 IVF KNN: recall@20 vs exact e1 >= 0.8") {
+    val exact = topIds("e1_knn_brute")
+    val ivf = topIds("e5_ivf_knn")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"e5 recall@20 = $recall")
+    assert(recall >= 0.8, s"e5 recall@20 degraded to $recall")
+  }
+
+  test("d6 LSH near-dup: pair recall vs bounded brute (d6b)") {
+    def pairs(q: String) = DedupPack.queries(q)(spark, dir)
+      .select("vec_a", "vec_b", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val brute = pairs("d6b_neardup_brute")
+    val lsh = pairs("d6_embed_neardup")
+      .collect { case (a, b, c) if a < 500 && b < 500 => (a, b) }.toSet
+    // Collision probability grows with similarity, so gate per band: the
+    // pairs a dedup pipeline must catch (higher cosine) recall best.
+    val strong = brute.collect { case (a, b, c) if c >= 0.45 => (a, b) }
+    val strongRecall = strong.count(lsh).toDouble / strong.length
+    val all = brute.map(t => (t._1, t._2))
+    val allRecall = all.count(lsh).toDouble / all.length
+    info(s"d6 pair recall: cos>=0.45 -> $strongRecall, all (>=0.35) -> $allRecall")
+    assert(strong.nonEmpty)
+    assert(strongRecall >= 0.8, s"d6 strong-pair recall degraded to $strongRecall")
+    assert(allRecall >= 0.6, s"d6 overall pair recall degraded to $allRecall")
+  }
+}
