@@ -148,9 +148,12 @@ object SignalParityPack extends QueryPack {
       (cte + """SELECT id, title, priority, author, created_at FROM signals
         |ORDER BY created_at DESC, id DESC LIMIT 50""".stripMargin),
 
+    // LIMIT mirrors SignalStore.MaxPageSize (the serving-edge response
+    // cap, a documented deviation from the reference's unbounded route).
     "q2_filter_by_priority" ->
-      (cte + """SELECT id, title, priority, created_at FROM signals
-        |WHERE priority = 'High' ORDER BY id""".stripMargin),
+      (cte + s"""SELECT id, title, priority, created_at FROM signals
+        |WHERE priority = 'High' ORDER BY id
+        |LIMIT ${graft.projection.SignalStore.MaxPageSize}""".stripMargin),
 
     "q3_point_lookup" ->
       (cte + """SELECT id, seq, action, title, content, priority, author, created_at, updated_at

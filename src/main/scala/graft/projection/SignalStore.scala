@@ -33,10 +33,21 @@ class SignalStore(view: DataFrame) {
     * incidental (ZSet score-then-member, i.e. lexicographic by uuid; tests
     * assert membership only — projection/signal_test.go:210-238). We order
     * by id, matching the reference's member order, as the documented
-    * deterministic choice. No limit, exactly like the reference.
+    * deterministic choice.
+    *
+    * Documented deviation: the reference returns the ENTIRE priority set
+    * in one response (handler/signal.go:37-43) — at 100× scale a hot
+    * priority would collect millions of rows into the serving driver. The
+    * rebuild pages: at most [[SignalStore.MaxPageSize]] rows per call,
+    * `start` for subsequent pages. The capped `orderBy(id).limit` still
+    * plans as TakeOrderedAndProject — no global sort, bounded driver heap.
     */
-  def listByPriority(p: String): DataFrame =
-    view.where(col("priority") === p).orderBy("id")
+  def listByPriority(p: String, start: Int = 0,
+      pageSize: Int = SignalStore.MaxPageSize): DataFrame = {
+    val ordered = view.where(col("priority") === p).orderBy("id")
+    val limited = if (start > 0) ordered.offset(start) else ordered
+    limited.limit(math.min(pageSize, SignalStore.MaxPageSize))
+  }
 
   /** Q3: point lookup; absent id → None (reference: ErrNotFound/404,
     * handler/signal.go:48-60).
@@ -48,4 +59,12 @@ class SignalStore(view: DataFrame) {
     * (reference: Redis PING, projection/signal.go:111-113).
     */
   def health: Boolean = Try(view.limit(1).count()).isSuccess
+}
+
+object SignalStore {
+  /** Hard cap on rows any single serving-layer response may collect into
+    * the driver (the reference's unbounded priority listing is the one
+    * route that would otherwise scale with data volume).
+    */
+  val MaxPageSize = 1000
 }

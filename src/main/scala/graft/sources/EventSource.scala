@@ -35,10 +35,22 @@ final case class FileEventSource(
 
 /** Kafka source — the production path, mirroring the reference consumer
   * (group `nexus-data-plane`, earliest offsets, single topic
-  * `nexus.signals`; cmd/server/main.go:55-73). The partition-local Kafka
-  * offset is the `seq`: with the reference's single-partition topic this
-  * is the same total order; with multiple partitions it preserves the
-  * per-key order Kafka guarantees for key=id producers (signals.py:29-33).
+  * `nexus.signals`; cmd/server/main.go:55-73).
+  *
+  * ==Ordering contract (multi-partition)==
+  * `seq` is the compound `(partition << OffsetBits) | offset`. Offsets
+  * from different partitions interleave arbitrarily in wall-clock terms,
+  * so `seq` is NOT a global total order — and none exists in Kafka. The
+  * contract the LWW fold actually needs is weaker and IS guaranteed:
+  * the reference producer keys every message by signal id
+  * (signals.py:29-33), so all events of one key land in one partition in
+  * publish order, where `offset` (and hence the compound `seq`) is
+  * strictly increasing. Per-key max-by-seq therefore selects the true
+  * latest event at any partition count; with the reference's
+  * single-partition topic (docker-compose.yml:43) the compound reduces
+  * to the plain offset. Events of DIFFERENT keys carry no relative
+  * ordering — same as the reference. `OrderingContractSpec` replays a
+  * two-partition interleaved log against the fold.
   *
   * NOTE: requires the spark-sql-kafka connector on the classpath (not
   * present in this offline container — constructing the reader without it
@@ -57,6 +69,21 @@ final case class KafkaEventSource(
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
-      .select(col("offset").as("seq"),
+      .select(KafkaEventSource.compoundSeq(col("partition"), col("offset")).as("seq"),
         col("value").cast("string").as("value"))
+}
+
+object KafkaEventSource {
+  /** Offsets keep the low bits: 2^42 offsets per partition (a century at
+    * ~1k events/s/partition) and 2^21 partitions before overflow.
+    */
+  val OffsetBits = 42
+
+  /** `(partition << OffsetBits) | offset` — strictly increasing in
+    * `offset` within a partition, which is the only comparison the
+    * per-key LWW fold performs (see class doc).
+    */
+  def compoundSeq(partition: org.apache.spark.sql.Column,
+      offset: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(partition.cast("long"), OffsetBits) + offset
 }

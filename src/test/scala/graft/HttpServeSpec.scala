@@ -57,4 +57,31 @@ class HttpServeSpec extends SparkSuite {
     assert(r.statusCode() == 200)
     assert(r.body() == """{"status":"ok"}""")
   }
+
+  test("priority route caps the response at MaxPageSize rows") {
+    import spark.implicits._
+    // A hot priority bigger than the cap: 1200 rows, all "High". The
+    // reference would return them all; the rebuild's serving edge pages.
+    val hot = (0 until 1200).map { i =>
+      (f"hot-$i%04d", s"t$i", "c", "High", "a",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }.toDF("id", "title", "content", "priority", "author",
+      "created_at", "updated_at")
+    val hotServer = HttpServe.start(spark, hot, port = 0)
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${hotServer.getAddress.getPort}/signals?priority=High"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val n = "\"id\": ".r.findAllIn(r.body()).size
+      assert(n == graft.projection.SignalStore.MaxPageSize,
+        s"expected capped response, got $n rows")
+      // Deterministic page: the id-ordered prefix.
+      assert(r.body().contains("\"id\": \"hot-0000\""))
+      assert(!r.body().contains("\"id\": \"hot-1100\""))
+    } finally hotServer.stop(0)
+  }
 }
