@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct polynomial hashes of the word w-shingles of a document, as
+  * one codegen'd expression: split on single spaces, hash each w-gram
+  * "w1 w2 … ww" (single-space joined) char by char with the same
+  * Horner-mod-prime recurrence as [[WinnowFingerprints]], return the
+  * sorted distinct hashes as `ARRAY<BIGINT>`.
+  *
+  * This replaces the `transform(sequence…, concat_ws(element_at…))` +
+  * `array_distinct` + `md5` pipeline of round 1, which ran INTERPRETED
+  * (HOF lambdas execute outside whole-stage codegen) and dominated the
+  * MinHash stage: shingle construction + hashing is now a compiled
+  * O(chars·w) pass with no intermediate shingle strings at all.
+  *
+  * Consumers that need shingle SETS (MinHash, Jaccard on hashes) are
+  * exactly served; consumers needing the string shingles (d4's
+  * inverted-index join) keep the HOF formulation in
+  * [[graft.functions.wordShingles]].
+  *
+  * The DuckDB oracle reproduces the hash with
+  * `list_reduce(list_prepend(0, codepoints), (acc, c) -> (acc*B + c) % P)`
+  * over each shingle string — equality is by construction, and the min
+  * taken downstream by MinHash is insensitive to the (negligible)
+  * within-doc collision case because collapsing duplicates never moves a
+  * minimum.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (_: StringType, IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects (STRING, literal INT), got ${l.catalogString} / ${r.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any, w: Any): Any =
+    ShingleHashes.hashes(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, w) => s"graft.functions.ShingleHashes.hashes($s, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  import WinnowFingerprints.{Base, Mod}
+
+  /** Sorted distinct polynomial hashes of the w-shingles. A shingle's
+    * hash is the Horner fold over the code points of
+    * "word_i␣word_{i+1}␣…␣word_{i+w-1}" — computed by folding word spans
+    * and separator spaces directly, never materializing the joined
+    * string.
+    */
+  def hashes(text: UTF8String, w: Int): ArrayData = {
+    val words = splitWords(text.toString)
+    val n = words.length - w + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var k = 0
+      while (k < w) {
+        if (k > 0) acc = (acc * Base + ' ') % Mod
+        val word = words(i + k)
+        var j = 0
+        while (j < word.length) {
+          val cp = word.codePointAt(j)
+          acc = (acc * Base + cp) % Mod
+          j += Character.charCount(cp)
+        }
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var cnt = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || out(j) != out(j - 1)) { out(cnt) = out(j); cnt += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** Split on single spaces, preserving empty tokens — the exact
+    * semantics of Spark's `split(text, " ")` and DuckDB's
+    * `string_split(text, ' ')`, which the r1 pipeline and the oracle use.
+    */
+  private def splitWords(s: String): Array[String] = s.split(" ", -1)
+}

@@ -53,6 +53,9 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_centroid", exprs => NearestCentroid(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head, exprs(1)),
+      "scala_udf")
   }
 
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */
@@ -71,6 +74,13 @@ package object functions {
       i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*))
     if (distinct) array_distinct(grams) else grams
   }
+
+  /** Distinct polynomial hashes of the word w-shingles of a document —
+    * compiled shingle construction + hashing in one expression. See
+    * [[ShingleHashes]].
+    */
+  def shingle_hashes(text: Column, w: Int): Column =
+    columnOf(ShingleHashes(exprOf(text), exprOf(lit(w))))
 
   /** Cross-engine-stable 64-bit-ish hash: first 15 hex digits of md5 as a
     * positive long. Used where the DuckDB oracle must reproduce the hash

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, md5Prefix16, md5Prefix60, wordShingles}
+import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, wordShingles}
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.1-6):
   * exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine near-dup.
@@ -33,15 +33,18 @@ object DedupPack extends QueryPack {
   private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L)
   private val B = Seq(7L, 11L, 13L, 17L)
 
-  /** (doc_id, band, minhash-sig) — the MinHash signature matrix. */
+  /** (doc_id, band, minhash-sig) — the MinHash signature matrix. Shingle
+    * construction + hashing run inside the compiled
+    * [[graft.functions.ShingleHashes]] expression (the r1 HOF+md5
+    * pipeline executed interpreted and dominated d2/d3); the only shuffle
+    * is the per-doc partial-min aggregation, which carries NumBands longs
+    * per doc regardless of document size.
+    */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables(s, dir, "documents")
       .where(size(split(col("text"), " ")) >= 3)
-      // distinct shingles: min() is duplicate-invariant, but this corpus
-      // repeats shingles heavily, so the per-row set build prunes the md5
-      // workload (measured: distinct=false is ~20% slower here)
-      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
-    val hm = md5Prefix60(col("sh")) % P
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("hs"))
+    val hm = col("hs") % P
     val mins = (0 until NumBands).map { i =>
       min((hm * A(i) + B(i)) % P).as(s"s$i")
     }
@@ -176,6 +179,13 @@ object DedupPack extends QueryPack {
     val unpivot = (0 until NumBands).map { i =>
       s"SELECT doc_id, $i AS band, s$i AS minhash FROM mins" }
       .mkString("\n  UNION ALL ")
+    // Same Horner-mod-prime hash as graft.functions.ShingleHashes,
+    // replayed per shingle string via list_reduce over its code points.
+    val polyHash =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, len(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), " +
+        s"(acc, c) -> (acc * ${graft.functions.WinnowFingerprints.Base} + c) % " +
+        s"${graft.functions.WinnowFingerprints.Mod})"
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -184,7 +194,7 @@ object DedupPack extends QueryPack {
        |  FROM w WHERE len(ws) >= 3),
        |hashed AS (
        |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % $P AS hm
+       |    $polyHash % $P AS hm
        |  FROM sh),
        |mins AS (
        |  SELECT doc_id,
