@@ -50,4 +50,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("cosine_similarity"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("IVF assign is a pure projection: no Exchange, no join, no row multiplication") {
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    val centroids = Array.fill(4)(Array.fill(64)(0.1f))
+    val p = graft.operators.IvfIndex.assign(emb, centroids)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("nearest_centroid"), p)
+    assert(!p.contains("Exchange"), s"assign must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"assign must not join:\n$p")
+  }
+
+  test("d6 LSH near-dup plans as an equi hash join, never a nested loop") {
+    val p = plan("d6_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("d2 minhash shuffles only band minima (partial agg before exchange)") {
+    val p = plan("d2_minhash_signatures")
+    assert(p.contains("shingle_hashes"), p)
+    assert("(?s)partial_min|HashAggregate.*min.*Exchange".r.findFirstIn(p).isDefined, p)
+  }
 }
