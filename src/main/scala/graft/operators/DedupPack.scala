@@ -54,6 +54,23 @@ object DedupPack extends QueryPack {
       .selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, minhash)")
   }
 
+  /** Distinct LSH candidate pairs (doc_a < doc_b), unordered — shared by
+    * d3 and d7. The signature matrix is persisted first: without it Spark
+    * recomputes the whole shingle+hash pipeline for BOTH self-join sides
+    * (measured ~2× at sf0.1). At any scale the matrix is tiny next to the
+    * corpus — NumBands longs per doc — so MEMORY_AND_DISK is the right
+    * trade everywhere.
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
+    val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "minhash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — hash-groupBy on content fingerprint, keep the
     // smallest doc_id per group. One shuffle on the 128-bit hash.
@@ -69,20 +86,68 @@ object DedupPack extends QueryPack {
       signatures(s, dir).orderBy("doc_id", "band")),
 
     // d3: LSH candidate pairs — docs sharing any band signature. The
-    // self-join keys on (band, minhash): only same-bucket docs pair. The
-    // signature matrix is persisted first: without it Spark recomputes
-    // the whole shingle+md5 pipeline for BOTH join sides (measured ~2× at
-    // sf0.1). At any scale the matrix is tiny next to the corpus — 4
-    // longs per doc — so MEMORY_AND_DISK is the right trade everywhere.
-    "d3_lsh_pairs" -> ((s, dir) => {
-      val sig = signatures(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
-      val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band", "minhash"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy("doc_a", "doc_b")
+    // self-join keys on (band, minhash): only same-bucket docs pair.
+    "d3_lsh_pairs" -> ((s, dir) =>
+      lshPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // d7: dedup cluster assignment — the final stage of the pipeline:
+    // connected components over the LSH candidate pairs, keep the lowest
+    // doc_id per cluster. Iterative min-label propagation entirely in
+    // DataFrame ops: each round propagates labels across edges AND
+    // shortcuts pointer chains (label[label[v]]), so convergence is
+    // O(log n) rounds, not O(component diameter).
+    //
+    // Iteration mechanics, each one load-bearing (measured at sf0.01):
+    //   - `localCheckpoint` per round truncates the logical plan — the
+    //     naive nested plan makes Catalyst re-analysis grow
+    //     super-linearly (minutes by round ~30). Lazy checkpoint: the
+    //     changed-count is the materializing action, one job per round.
+    //   - the label frame is the candidate-graph NODE SET — orders
+    //     smaller than the corpus (only docs with an LSH collision), so
+    //     it is broadcast into the joins and coalesced to 1 partition;
+    //     rounds cost ~0.35 s of fixed planning overhead, nothing else.
+    //     At a scale where the node set outgrows broadcast, drop the
+    //     hint/coalesce and the identical loop runs with shuffle joins.
+    //   - never nest propagation rounds without a checkpoint between:
+    //     the self-referencing pointer join doubles plan references per
+    //     nesting level (measured 10× slower at depth 3).
+    // Oracle: the same components via a DuckDB recursive closure.
+    "d7_dedup_clusters" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = lshPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val viaNbr = edges
+          .join(broadcast(labels.select(col("doc_id").as("dst"), col("label"))), "dst")
+          .select(col("src").as("doc_id"), col("label"))
+        val viaPtr = labels.select(col("doc_id"), col("label").as("ptr"))
+          .join(broadcast(labels.select(col("doc_id").as("ptr"), col("label"))), "ptr")
+          .select(col("doc_id"), col("label"))
+        val next = labels.unionAll(viaNbr).unionAll(viaPtr)
+          .groupBy("doc_id").agg(min(col("label")).as("label"))
+          .coalesce(1)
+          .localCheckpoint(false)
+        changed = next
+          .join(broadcast(labels.select(col("doc_id"), col("label").as("old"))), "doc_id")
+          .where(col("label") < col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist()
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("keep_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+            .cast("int").as("is_kept"))
+        .orderBy("doc_id")
     }),
 
     // d4: exact n-gram Jaccard on a bounded sample (doc_id < 150) — the
@@ -219,6 +284,30 @@ object DedupPack extends QueryPack {
           |FROM sig a JOIN sig b
           |  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Same LSH pairs, then components as a recursive transitive closure;
+    // cluster representative = least reachable doc_id (== Spark's
+    // min-label fixpoint).
+    "d7_dedup_clusters" ->
+      (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sig a JOIN sig b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM cand
+          |  UNION SELECT doc_b, doc_a FROM cand),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+          |SELECT d.doc_id,
+          |  coalesce(c.cluster, d.doc_id) AS keep_id,
+          |  CAST(coalesce(c.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_kept
+          |FROM documents d LEFT JOIN comp c USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
 
     "d4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 150),
