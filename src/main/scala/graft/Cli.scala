@@ -27,6 +27,36 @@ object Cli {
   private def truncate(s: String, n: Int = 40): String =
     if (s == null) "" else if (s.length <= n) s else s.take(n - 1) + "…"
 
+  /** One CLI command against a store; lines go through `out`, the return
+    * value is the process exit code. Extracted from `main` so `CliSpec`
+    * drives the full command surface in-process (the reference's CLI has
+    * equivalent handler-level tests, cmd/cli/main.go).
+    */
+  def run(store: SignalStore, args: Seq[String], out: String => Unit): Int =
+    args match {
+      case Seq("list", rest @ _*) if rest.size <= 1 =>
+        val rows = (rest.headOption match {
+          case Some(p) => store.listByPriority(p)
+          case None => store.listByCreatedAt()
+        })
+          .select(col("id"), col("title"), col("priority"), col("author"),
+            date_format(col("created_at"), "yyyy-MM-dd HH:mm").as("created"))
+          .collect()
+        printTable(rows, out)
+        0
+      case Seq("get", id) =>
+        store.findById(id) match {
+          case Some(r) => printDetail(r, out); 0
+          case None => out(s"signal $id: not found"); 1
+        }
+      case Seq("health") =>
+        if (store.health) { out("status: up"); 0 }
+        else { out("status: down"); 1 }
+      case other =>
+        out(s"unknown command: ${other.mkString(" ")}")
+        2
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Cli <sfDir> list [priority] | get <id> | health")
     val sfDir = args(0)
@@ -39,39 +69,23 @@ object Cli {
     spark.sparkContext.setLogLevel("ERROR")
 
     val store = new SignalStore(DerivedSignalLog.signals(spark, sfDir))
-    args(1) match {
-      case "list" =>
-        val rows = (if (args.length > 2) store.listByPriority(args(2))
-                    else store.listByCreatedAt())
-          .select(col("id"), col("title"), col("priority"), col("author"),
-            date_format(col("created_at"), "yyyy-MM-dd HH:mm").as("created"))
-          .collect()
-        printTable(rows)
-      case "get" =>
-        store.findById(args(2)) match {
-          case Some(r) => printDetail(r)
-          case None => println(s"signal ${args(2)}: not found"); sys.exit(1)
-        }
-      case "health" =>
-        if (store.health) println("status: up") else { println("status: down"); sys.exit(1) }
-      case other =>
-        println(s"unknown command: $other"); sys.exit(2)
-    }
+    val code = run(store, args.drop(1).toSeq, println)
     spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
-  private def printTable(rows: Array[Row]): Unit = {
-    println(f"${"ID"}%-12s ${"TITLE"}%-40s ${"PRIORITY"}%-10s ${"AUTHOR"}%-12s CREATED")
+  private def printTable(rows: Array[Row], out: String => Unit): Unit = {
+    out(f"${"ID"}%-12s ${"TITLE"}%-40s ${"PRIORITY"}%-10s ${"AUTHOR"}%-12s CREATED")
     rows.foreach { r =>
       val p = r.getAs[String]("priority")
-      println(f"${r.getAs[String]("id")}%-12s ${truncate(r.getAs[String]("title"))}%-40s " +
+      out(f"${r.getAs[String]("id")}%-12s ${truncate(r.getAs[String]("title"))}%-40s " +
         f"${color(p) + p + Reset}%-19s ${r.getAs[String]("author")}%-12s ${r.getAs[String]("created")}")
     }
-    println(s"${rows.length} signal(s)")
+    out(s"${rows.length} signal(s)")
   }
 
-  private def printDetail(r: Row): Unit =
+  private def printDetail(r: Row, out: String => Unit): Unit =
     r.schema.fieldNames.foreach { f =>
-      println(f"$f%-12s ${Option(r.getAs[Any](f)).map(_.toString).getOrElse("")}")
+      out(f"$f%-12s ${Option(r.getAs[Any](f)).map(_.toString).getOrElse("")}")
     }
 }
