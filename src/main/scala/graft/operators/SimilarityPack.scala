@@ -124,6 +124,39 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     }),
 
+    // e6: PQ codes — every vector compressed to SubSpaces one-byte
+    // codes (FAISS-style product quantization). Encoding is a pure
+    // compiled projection (NearestCentroid per subspace over codebook
+    // literals); training reads a bounded driver-side sample. The codes
+    // are deterministic, so this is oracle-checked exactly: the DuckDB
+    // side replays the assignment from the same codebook constants.
+    "e6_pq_codes" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      PqIndex.encode(emb, PqIndex.Pretrained)
+        .select(col("vec_id") +:
+          (0 until PqIndex.SubSpaces).map(j => col(s"c$j")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // e7: PQ KNN — ADC (asymmetric distance) shortlist over the codes,
+    // exact cosine re-rank of the shortlist. Scoring a candidate costs
+    // SubSpaces lookup-table reads instead of a 64-dim float loop; the
+    // plan is projection → TakeOrderedAndProject (shortlist) → projection
+    // → TakeOrderedAndProject (re-rank). Approximate ⇒ rows-only check;
+    // RecallSpec gates recall@20. Shortlist size is the recall dial.
+    "e7_pq_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      PqIndex.encode(emb.where(col("vec_id") =!= 0), PqIndex.Pretrained)
+        .withColumn("adc", PqIndex.adcDistance(PqIndex.Pretrained, q))
+        .orderBy(col("adc"), col("vec_id")).limit(200)
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), typedLit(q.toSeq)), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
     // e4: multi-table LSH approximate KNN — candidates share a bucket
     // with the query in ANY of the 4 tables; exact cosine re-score on the
     // deduped candidate set. Approximate ⇒ rows-only check (no SQL
@@ -157,6 +190,9 @@ object SimilarityPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+    // Replays PQ encoding from the pretrained codebook constants the
+    // queries embed — static SQL, exact across scale factors.
+    "e6_pq_codes" -> PqIndex.encodeSql(PqIndex.Pretrained),
     "e3_label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) - 1 AS pos,
         |  round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS c

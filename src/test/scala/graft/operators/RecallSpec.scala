@@ -32,6 +32,14 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.8, s"e5 recall@20 degraded to $recall")
   }
 
+  test("e7 PQ KNN: recall@20 vs exact e1 >= 0.8") {
+    val exact = topIds("e1_knn_brute")
+    val pq = topIds("e7_pq_knn")
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"e7 recall@20 = $recall")
+    assert(recall >= 0.8, s"e7 recall@20 degraded to $recall")
+  }
+
   test("d6 LSH near-dup: pair recall vs bounded brute (d6b)") {
     def pairs(q: String) = DedupPack.queries(q)(spark, dir)
       .select("vec_a", "vec_b", "cos_sim")
