@@ -37,4 +37,17 @@ class EntrySpec extends SparkSuite {
       df.write.format("noop").mode("overwrite").save()
     }
   }
+
+  test("every query output column is named in its oracle SQL") {
+    // The driver compares by sorting columns on NAME: a Spark alias the
+    // oracle doesn't declare hash-fails even when values are identical.
+    // Textual containment is a heuristic, but it catches the real
+    // failure class (renamed/missing aliases) at spec time.
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val cols = SparkEntry.queries(name)(spark, sf("sf0.001")).columns
+      val missing = cols.filterNot(c => sql.toLowerCase.contains(c.toLowerCase))
+      assert(missing.isEmpty,
+        s"$name: oracle SQL never mentions column(s) ${missing.mkString(", ")}")
+    }
+  }
 }
