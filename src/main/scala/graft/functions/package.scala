@@ -75,6 +75,12 @@ package object functions {
     if (distinct) array_distinct(grams) else grams
   }
 
+  /** Multi-table LSH bucket codes in one fused pass. See
+    * [[LshBucketCodes]].
+    */
+  def lsh_bucket_codes(vec: Column, planes: Column, planesPerTable: Int): Column =
+    columnOf(LshBucketCodes(exprOf(vec), exprOf(planes), exprOf(lit(planesPerTable))))
+
   /** Distinct polynomial hashes of the word w-shingles of a document —
     * compiled shingle construction + hashing in one expression. See
     * [[ShingleHashes]].

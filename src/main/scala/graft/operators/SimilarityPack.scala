@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, cosine_similarity_hof}
+import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_codes}
 
 /** Similarity search over the `embeddings` table (`ARRAY<FLOAT>` vectors).
   *
@@ -50,23 +50,19 @@ object SimilarityPack extends QueryPack {
     * d6's pair search keeps 8 — its strong-pair recall is already 0.93
     * there and fewer tables keep the candidate set lean.
     *
-    * Each sign bit is sign(cosine(embedding, plane)) through the compiled
-    * CosineSimilarity expression — the positive norms can't flip the
-    * sign, so this equals sign(dot) (which the DuckDB oracle computes via
-    * `list_dot_product`) while staying inside whole-stage codegen instead
-    * of an interpreted HOF fold.
+    * All sign bits come from the fused [[graft.functions.LshBucketCodes]]
+    * expression — one compiled pass dotting the vector against every
+    * plane (sign(dot) == sign(cosine): the positive norms can't flip it,
+    * and the DuckDB oracle replays the same dots via `list_dot_product`).
     */
   private[operators] def lshBuckets(s: SparkSession, emb: DataFrame,
       numTables: Int = NumTables): DataFrame = {
     require(numTables * PlanesPerTable <= NumPlanes)
-    val buckets = (0 until numTables).map { t =>
-      (0 until PlanesPerTable).map { j =>
-        val plane = (0 until Dim).map(d => planeSign(t * PlanesPerTable + j, d))
-        when(cosine_similarity(col("embedding"), typedLit(plane)) > 0, 1L << j)
-          .otherwise(0L)
-      }.reduce(_ + _)
+    val planes = (0 until numTables * PlanesPerTable).map { p =>
+      (0 until Dim).map(d => planeSign(p, d))
     }
-    emb.withColumn("_buckets", array(buckets: _*))
+    emb.withColumn("_buckets",
+        lsh_bucket_codes(col("embedding"), typedLit(planes), PlanesPerTable))
       .select(col("*"), posexplode(col("_buckets")).as(Seq("table", "bucket")))
       .drop("_buckets")
   }

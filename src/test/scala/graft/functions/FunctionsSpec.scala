@@ -54,6 +54,26 @@ class FunctionsSpec extends SparkSuite {
     assert(out.getInt(1) == Integer.parseInt("5d41", 16))
   }
 
+  test("lsh_bucket_codes equals the per-plane sign formulation") {
+    val planes = Seq(
+      Seq(1f, -1f, 1f), Seq(-1f, -1f, 1f), Seq(1f, 1f, 1f), Seq(-1f, 1f, -1f))
+    val df = Seq(
+      Array(0.5f, -0.25f, 0.75f),
+      Array(-1.0f, 2.0f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f)) // zero vector -> all dots 0 -> code 0
+      .toDF("v")
+    val fused = df.select(lsh_bucket_codes($"v", typedLit(planes), 2).as("c"))
+      .as[Seq[Long]].collect()
+    val expected = df.select($"v").as[Seq[Float]].collect().map { v =>
+      val dots = planes.map(p => v.zip(p).map { case (x, g) =>
+        x.toDouble * g.toDouble }.sum)
+      Seq(0, 1).map { t =>
+        (0 until 2).map(j => if (dots(t * 2 + j) > 0) 1L << j else 0L).sum
+      }
+    }
+    assert(fused.toSeq == expected.toSeq)
+  }
+
   test("wordShingles produces distinct joined 3-grams") {
     val out = Seq("a b c d c d").toDF("t")
       .select(wordShingles($"t", 3).as("sh"))
