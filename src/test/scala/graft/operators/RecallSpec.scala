@@ -40,6 +40,20 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.8, s"e7 recall@20 degraded to $recall")
   }
 
+  test("a20 HLL approx distinct: relative error vs exact a11 within 5%") {
+    import spark.implicits._
+    val exactCounts = graft.SparkEntry.queries("a11_distinct_agg")(spark, dir)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val approx = graft.analytics.ExtrasPack.queries("a20_approx_distinct")(spark, dir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    exactCounts.foreach { case (k, n) =>
+      val a = approx(k)
+      val err = math.abs(a - n).toDouble / n
+      info(f"a20 $k: exact=$n approx=$a err=$err%.4f")
+      assert(err <= 0.05, s"$k: HLL error $err exceeds 5%% (exact=$n approx=$a)")
+    }
+  }
+
   test("d6 LSH near-dup: pair recall vs bounded brute (d6b)") {
     def pairs(q: String) = DedupPack.queries(q)(spark, dir)
       .select("vec_a", "vec_b", "cos_sim")
