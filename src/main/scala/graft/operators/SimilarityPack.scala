@@ -30,6 +30,10 @@ object SimilarityPack extends QueryPack {
     * property in expectation and is cheap + reproducible). Exposed to
     * DedupPack so the d6 oracle embeds the identical plane constants.
     */
+  // productHash is pinned deliberately (deprecated in 2.13.17): switching
+  // to caseClassHash would change every hyperplane sign, silently moving
+  // all LSH buckets and invalidating the embedded oracle constants.
+  @scala.annotation.nowarn("cat=deprecation")
   private[operators] def planeSign(plane: Int, d: Int): Float = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, d))
     if ((h & 1) == 0) 1.0f else -1.0f
@@ -110,7 +114,7 @@ object SimilarityPack extends QueryPack {
       val emb = Tables(s, dir, "embeddings")
       val centroids = IvfIndex.kmeans(s, emb, k = 16, iters = 3)
       val q = emb.where(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray
+        .select("embedding").head().getSeq[Float](0).toArray
       val probes = IvfIndex.probeCids(centroids, q, nprobe = 6)
       IvfIndex.assign(emb, centroids)
         .where(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
@@ -143,7 +147,7 @@ object SimilarityPack extends QueryPack {
     "e7_pq_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray
+        .select("embedding").head().getSeq[Float](0).toArray
       PqIndex.encode(emb.where(col("vec_id") =!= 0), PqIndex.Pretrained)
         .withColumn("adc", PqIndex.adcDistance(PqIndex.Pretrained, q))
         .orderBy(col("adc"), col("vec_id")).limit(200)
