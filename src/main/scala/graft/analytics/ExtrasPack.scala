@@ -51,7 +51,7 @@ object ExtrasPack extends QueryPack {
           sum(col("value").cast(DecimalType(12, 2))).as("pv"))
       salted.groupBy(col("event_type"))
         .agg(sum(col("pn")).as("n"),
-          sum(col("pv")).cast(DecimalType(24, 2)).as("total"))
+          sum(col("pv")).cast("double").as("total"))
         .orderBy("event_type")
     }),
 
@@ -117,7 +117,7 @@ object ExtrasPack extends QueryPack {
       Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
       s.sql(
         """SELECT l_returnflag, count(*) AS n,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS qty
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
           |FROM graft_lineitem
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
@@ -170,7 +170,7 @@ object ExtrasPack extends QueryPack {
 
     "a19_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t6_stable_split" ->
@@ -202,7 +202,7 @@ object ExtrasPack extends QueryPack {
 
     "sql1_full_sql" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "p2_typed_latest" -> (DerivedSignalLog.SQL_CTE +

@@ -13,9 +13,13 @@ import graft.{QueryPack, Tables}
   * event-time windows, sessionization, as-of join.
   *
   * Numeric discipline: money columns are cast to DECIMAL before summing, so
-  * results are EXACT and independent of partial-aggregation order — the
-  * Spark result hash-matches the DuckDB oracle at any partitioning/scale.
-  * Ratios are computed as a single IEEE double division of exact operands.
+  * the aggregation itself is EXACT and independent of partial-aggregation
+  * order at any partitioning/scale. The exact decimal aggregate is then
+  * cast to DOUBLE once at the output boundary (one correctly-rounded
+  * conversion, bit-identical across engines), and ratios are a single IEEE
+  * double division of those exact operands — so the result hash-matches
+  * the DuckDB oracle without depending on either engine's decimal
+  * formatting or rounding internals.
   *
   * Scale notes per query are inline; the common principles: dimension
   * tables are broadcast (no shuffle of the fact side beyond the agg),
@@ -39,11 +43,11 @@ object RelationalPack extends QueryPack {
         .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).cast(DecimalType(24, 2)).as("sum_qty"),
-          sum(dec("l_extendedprice")).cast(DecimalType(24, 2)).as("sum_base_price"),
-          sum(discPrice).cast(DecimalType(24, 4)).as("sum_disc_price"),
-          sum(discPrice * (lit(1) + dec("l_tax"))).cast(DecimalType(24, 6)).as("sum_charge"),
-          round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(discPrice * (lit(1) + dec("l_tax"))).cast("double").as("sum_charge"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -112,10 +116,9 @@ object RelationalPack extends QueryPack {
         .agg(
           sum(when(col("p_type") === "PROMO", discPrice)
             .otherwise(lit(0).cast(DecimalType(18, 4))))
-            .cast(DecimalType(24, 4)).as("promo_revenue"),
-          sum(discPrice).cast(DecimalType(24, 4)).as("total_revenue"))
-        .withColumn("promo_share",
-          round(col("promo_revenue").cast("double") / col("total_revenue").cast("double"), 6))
+            .cast("double").as("promo_revenue"),
+          sum(discPrice).cast("double").as("total_revenue"))
+        .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
     }),
 
     // a5: ranking window — top-3 most recent orders per customer.
@@ -138,7 +141,7 @@ object RelationalPack extends QueryPack {
         .select(col("user_id"), col("event_id"),
           sum(col("value").cast(DecimalType(12, 2)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(24, 2)).as("running_value"),
+            .cast("double").as("running_value"),
           lag(col("event_type"), 1).over(w).as("prev_type"))
         .orderBy("user_id", "event_id")
     }),
@@ -151,7 +154,7 @@ object RelationalPack extends QueryPack {
           col("value"))
         .rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(24, 2)).as("total"))
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
     }),
 
@@ -201,7 +204,7 @@ object RelationalPack extends QueryPack {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(24, 2)).as("total"))
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type")
     }),
@@ -213,7 +216,7 @@ object RelationalPack extends QueryPack {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(24, 2)).as("total"))
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
         .orderBy("window_start", "event_type")
     }),
@@ -287,11 +290,11 @@ object RelationalPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "a1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D)) AS DECIMAL(24,2)) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS $D)) AS DECIMAL(24,2)) AS sum_base_price,
-         |  CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS sum_disc_price,
-         |  CAST(sum($discPriceSql * (1 + CAST(l_tax AS $D))) AS DECIMAL(24,6)) AS sum_charge,
-         |  round(CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) / count(*), 6) AS avg_qty,
+         |  CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($discPriceSql * (1 + CAST(l_tax AS $D))) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS $D)) AS DOUBLE) / count(*) AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
@@ -330,12 +333,12 @@ object RelationalPack extends QueryPack {
 
     "a22_promo_revenue" ->
       s"""SELECT promo_revenue, total_revenue,
-         |  round(CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE), 6) AS promo_share
+         |  promo_revenue / total_revenue AS promo_share
          |FROM (
          |  SELECT
          |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
-         |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(24,4)) AS promo_revenue,
-         |    CAST(sum($discPriceSql) AS DECIMAL(24,4)) AS total_revenue
+         |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+         |    CAST(sum($discPriceSql) AS DOUBLE) AS total_revenue
          |  FROM lineitem, part
          |  WHERE l_partkey = p_partkey
          |    AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -352,14 +355,14 @@ object RelationalPack extends QueryPack {
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
         |    (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(24,2)) AS running_value,
+        |    AS DOUBLE) AS running_value,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
         |FROM events WHERE user_id < 25 ORDER BY user_id, event_id""".stripMargin,
 
     "a7_rollup" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY ROLLUP(event_type, day)
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
@@ -391,7 +394,7 @@ object RelationalPack extends QueryPack {
     "a12_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a17_sliding_window" ->
@@ -401,7 +404,7 @@ object RelationalPack extends QueryPack {
         |  UNION ALL
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM e)
         |SELECT ws AS window_start, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM x GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
 
     "a13_session_window" ->
