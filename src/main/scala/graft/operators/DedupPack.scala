@@ -61,7 +61,7 @@ object DedupPack extends QueryPack {
     * corpus — NumBands longs per doc — so MEMORY_AND_DISK is the right
     * trade everywhere.
     */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
@@ -69,6 +69,93 @@ object DedupPack extends QueryPack {
     a.join(b, Seq("band", "minhash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Edge-count bound for the single-task union-find path: 4M edges is
+    * ~64 MB of packed longs in one task — far below executor memory, far
+    * above any plausible candidate graph for corpora that fit this bench.
+    */
+  private val UnionFindMaxEdges = 4L << 20
+
+  /** Bounded-graph components: ship the (narrow) edge list to ONE
+    * executor task and run union-find with path compression, always
+    * attaching the larger root under the smaller — so each tree's root
+    * IS the least doc_id of its component, no second pass needed.
+    */
+  private[graft] def unionFindComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) { parent(a) = a; nodes += a }
+          if (!parent.contains(b)) { parent(b) = b; nodes += b }
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        nodes.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "label")
+      .localCheckpoint(true)
+  }
+
+  /** Unbounded-graph components: iterative min-label propagation entirely
+    * in DataFrame ops — each round propagates labels across edges AND
+    * shortcuts pointer chains (label[label[v]]), so convergence is
+    * O(log n) rounds, not O(component diameter).
+    *
+    * Iteration mechanics, each one load-bearing (measured at sf0.01):
+    *   - `localCheckpoint` per round truncates the logical plan — the
+    *     naive nested plan makes Catalyst re-analysis grow
+    *     super-linearly (minutes by round ~30). Lazy checkpoint: the
+    *     changed-count is the materializing action, one job per round.
+    *   - the label frame is the candidate-graph NODE SET, so it is
+    *     broadcast into the joins and coalesced to 1 partition; rounds
+    *     cost ~0.35 s of fixed planning overhead, nothing else. At a
+    *     scale where the node set outgrows broadcast, drop the
+    *     hint/coalesce and the identical loop runs with shuffle joins.
+    *   - never nest propagation rounds without a checkpoint between:
+    *     the self-referencing pointer join doubles plan references per
+    *     nesting level (measured 10× slower at depth 3).
+    */
+  private[graft] def propagateComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val viaNbr = edges
+        .join(broadcast(labels.select(col("doc_id").as("dst"), col("label"))), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val viaPtr = labels.select(col("doc_id"), col("label").as("ptr"))
+        .join(broadcast(labels.select(col("doc_id").as("ptr"), col("label"))), "ptr")
+        .select(col("doc_id"), col("label"))
+      val next = labels.unionAll(viaNbr).unionAll(viaPtr)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .coalesce(1)
+        .localCheckpoint(false)
+      changed = next
+        .join(broadcast(labels.select(col("doc_id"), col("label").as("old"))), "doc_id")
+        .where(col("label") < col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,55 +179,23 @@ object DedupPack extends QueryPack {
 
     // d7: dedup cluster assignment — the final stage of the pipeline:
     // connected components over the LSH candidate pairs, keep the lowest
-    // doc_id per cluster. Iterative min-label propagation entirely in
-    // DataFrame ops: each round propagates labels across edges AND
-    // shortcuts pointer chains (label[label[v]]), so convergence is
-    // O(log n) rounds, not O(component diameter).
-    //
-    // Iteration mechanics, each one load-bearing (measured at sf0.01):
-    //   - `localCheckpoint` per round truncates the logical plan — the
-    //     naive nested plan makes Catalyst re-analysis grow
-    //     super-linearly (minutes by round ~30). Lazy checkpoint: the
-    //     changed-count is the materializing action, one job per round.
-    //   - the label frame is the candidate-graph NODE SET — orders
-    //     smaller than the corpus (only docs with an LSH collision), so
-    //     it is broadcast into the joins and coalesced to 1 partition;
-    //     rounds cost ~0.35 s of fixed planning overhead, nothing else.
-    //     At a scale where the node set outgrows broadcast, drop the
-    //     hint/coalesce and the identical loop runs with shuffle joins.
-    //   - never nest propagation rounds without a checkpoint between:
-    //     the self-referencing pointer join doubles plan references per
-    //     nesting level (measured 10× slower at depth 3).
+    // doc_id per cluster. The graph is the CANDIDATE set — only docs with
+    // an LSH collision, orders smaller than the corpus — so labeling is
+    // size-adaptive on the known (persisted) edge count:
+    //   - bounded (≤ UnionFindMaxEdges): one executor task runs
+    //     union-find with path compression and union-by-min — O(E·α(E)),
+    //     a single narrow shuffle of 2-long rows, zero iteration. NOT a
+    //     driver collect; the graph never leaves the executors.
+    //   - unbounded: iterative min-label propagation with pointer
+    //     jumping, O(log n) rounds (see propagateComponents).
     // Oracle: the same components via a DuckDB recursive closure.
     "d7_dedup_clusters" -> ((s, dir) => {
       import org.apache.spark.storage.StorageLevel
-      val pairs = lshPairs(s, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 64) {
-        val viaNbr = edges
-          .join(broadcast(labels.select(col("doc_id").as("dst"), col("label"))), "dst")
-          .select(col("src").as("doc_id"), col("label"))
-        val viaPtr = labels.select(col("doc_id"), col("label").as("ptr"))
-          .join(broadcast(labels.select(col("doc_id").as("ptr"), col("label"))), "ptr")
-          .select(col("doc_id"), col("label"))
-        val next = labels.unionAll(viaNbr).unionAll(viaPtr)
-          .groupBy("doc_id").agg(min(col("label")).as("label"))
-          .coalesce(1)
-          .localCheckpoint(false)
-        changed = next
-          .join(broadcast(labels.select(col("doc_id"), col("label").as("old"))), "doc_id")
-          .where(col("label") < col("old")).count()
-        labels = next
-        rounds += 1
-      }
-      edges.unpersist()
+      val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val labels =
+        if (pairs.count() <= UnionFindMaxEdges) unionFindComponents(s, pairs)
+        else propagateComponents(s, pairs)
+      pairs.unpersist()
       Tables(s, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The two d7 component-labeling paths must be interchangeable: the
+  * bounded single-task union-find and the unbounded iterative min-label
+  * propagation are different algorithms for the same fixpoint, so they
+  * must emit identical (doc_id, label) sets on the same candidate graph.
+  */
+class ComponentsSpec extends SparkSuite {
+
+  test("union-find and min-label propagation agree on the sf0.001 LSH graph") {
+    val pairs = DedupPack.lshPairs(spark, sf("sf0.001"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(pairs.count() > 0, "fixture graph must be non-trivial")
+    val uf = DedupPack.unionFindComponents(spark, pairs)
+    val lp = DedupPack.propagateComponents(spark, pairs)
+    assert(uf.count() === lp.count())
+    assert(uf.exceptAll(lp).isEmpty && lp.exceptAll(uf).isEmpty)
+    pairs.unpersist()
+  }
+
+  test("union-find labels every component by its least doc_id") {
+    import spark.implicits._
+    // two chains and a singleton edge: {1-2-3-4}, {10-11}, {20-21}
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupPack.unionFindComponents(spark, pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+}
