@@ -405,23 +405,14 @@ object DedupPack extends QueryPack {
 
     "d6_embed_neardup" -> {
       // Replays the multi-table LSH bucketing with the SAME hyperplane
-      // constants the Spark side uses (sign(list_dot_product) ==
-      // sign(cosine) — positive norms can't flip it), then scores only
-      // same-bucket pairs. Candidate sets therefore match exactly.
-      val bucketCols = (0 until NeardupTables).map { t =>
-        val bucket = (0 until SimilarityPack.PlanesPerTable).map { j =>
-          val plane = (0 until SimilarityPack.Dim)
-            .map(d => SimilarityPack.planeSign(t * SimilarityPack.PlanesPerTable + j, d))
-            .map(v => if (v > 0) "1" else "-1").mkString(", ")
-          s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$plane]) > 0 THEN ${1L << j} ELSE 0 END"
-        }.mkString("\n      + ")
-        s"($bucket) AS b$t"
-      }.mkString(",\n    ")
+      // constants the Spark side uses (shared bucketColsSql generator, so
+      // the d6/e4 oracles and the Spark expression can't drift apart),
+      // then scores only same-bucket pairs — candidate sets match exactly.
       val sameBucket = (0 until NeardupTables)
         .map(t => s"a.b$t = b.b$t").mkString(" OR ")
       s"""WITH sig AS (
          |  SELECT vec_id, embedding,
-         |    $bucketCols
+         |    ${SimilarityPack.bucketColsSql(NeardupTables)}
          |  FROM embeddings)
          |SELECT vec_a, vec_b, cos_sim FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

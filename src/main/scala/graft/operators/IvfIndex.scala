@@ -83,4 +83,34 @@ object IvfIndex {
   def assign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
     emb.withColumn("cid",
       nearest_centroid(col("embedding"), centroidsLit(centroids)))
+
+  /** Pretrained coarse quantizer ([[kmeans]] k=16, iters=3 on the sf0.01
+    * embeddings sample) — train once on a bounded sample, serve at any
+    * scale, exactly like [[PqIndex.Pretrained]]. Serving from constants
+    * keeps query time free of training jobs AND makes the probe query a
+    * deterministic function of the corpus, so it is hash-checked against
+    * a DuckDB oracle that replays the same constants.
+    */
+  val Pretrained: Array[Array[Float]] = IvfPretrainedData.centroids
+
+  /** Render a centroid table as the Scala source for IvfPretrainedData. */
+  def scalaSource(centroids: Array[Array[Float]]): String =
+    centroids.map(c =>
+      "    Array(" + c.map(v => v.toString + "f").mkString(", ") + ")")
+      .mkString(",\n")
+
+  /** DuckDB SQL fragment: the list of distances from a DOUBLE[] expression
+    * `e` to every centroid, replayed from the same centroid floats
+    * (rendered via toDouble so the SQL literal parses to exactly the value
+    * the compiled expression computes with). Name it once in a CTE, then
+    * `list_position(d, list_min(d)) - 1` is the 0-based assignment —
+    * first minimum, the same lowest-index tie rule as
+    * [[graft.functions.NearestCentroid]]; `list_distance` is the sqrt of
+    * our squared distance, which cannot reorder an argmin.
+    */
+  def distListSql(centroids: Array[Array[Float]], e: String): String =
+    centroids.map { c =>
+      val lit = c.map(_.toDouble.toString).mkString(", ")
+      s"list_distance($e, [$lit])"
+    }.mkString("[\n      ", ",\n      ", "\n    ]")
 }

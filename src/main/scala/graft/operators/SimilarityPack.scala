@@ -99,20 +99,25 @@ object SimilarityPack extends QueryPack {
         .agg(round(avg(col("v").cast("double")), 6).as("c"))
         .orderBy("label", "pos")),
 
-    // e5: IVF ANN — k-means coarse quantizer (16 clusters, 3 iterations),
-    // query probes its 6 nearest clusters, exact cosine re-score inside.
-    // On this near-random corpus the true top-20 spread across 7 of 16
-    // clusters (measured), so nprobe=2 recalls 0.75 and 6 recalls 0.85 —
-    // clustered real-world embeddings concentrate far more, and nprobe is
-    // the documented dial.
+    // e5: IVF ANN — pretrained k-means coarse quantizer (16 clusters,
+    // trained once on the bounded sf0.01 sample — the FAISS train/serve
+    // split; IvfIndex.kmeans remains the training API), query probes its
+    // 6 nearest clusters, exact cosine re-score inside. On this
+    // near-random corpus the true top-20 spread across 7 of 16 clusters
+    // (measured), so nprobe=2 recalls 0.75 and 6 recalls 0.85 — clustered
+    // real-world embeddings concentrate far more, and nprobe is the
+    // documented dial.
     // Assignment is the codegen'd nearest_centroid projection (no shuffle,
     // no row multiplication — see IvfIndex) and the query vector is an
     // array literal, so the probe query is scan → project → filter →
-    // TakeOrderedAndProject: one pass over the corpus, no joins at all.
-    // Approximate ⇒ rows-only driver check; RecallSpec gates recall@20.
+    // TakeOrderedAndProject: one pass over the corpus, no joins and no
+    // training jobs at all. Serving from constants also makes the result
+    // a deterministic function of the corpus: the oracle replays the
+    // same centroids, so e5 is hash-checked; RecallSpec still gates
+    // recall@20.
     "e5_ivf_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val centroids = IvfIndex.kmeans(s, emb, k = 16, iters = 3)
+      val centroids = IvfIndex.Pretrained
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val probes = IvfIndex.probeCids(centroids, q, nprobe = 6)
@@ -142,8 +147,10 @@ object SimilarityPack extends QueryPack {
     // exact cosine re-rank of the shortlist. Scoring a candidate costs
     // SubSpaces lookup-table reads instead of a 64-dim float loop; the
     // plan is projection → TakeOrderedAndProject (shortlist) → projection
-    // → TakeOrderedAndProject (re-rank). Approximate ⇒ rows-only check;
-    // RecallSpec gates recall@20. Shortlist size is the recall dial.
+    // → TakeOrderedAndProject (re-rank). Approximate vs e1 but
+    // deterministic from the codebook constants ⇒ hash-checked via
+    // adcKnnSql; RecallSpec gates recall@20. Shortlist size is the
+    // recall dial.
     "e7_pq_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
@@ -158,9 +165,11 @@ object SimilarityPack extends QueryPack {
     }),
 
     // e4: multi-table LSH approximate KNN — candidates share a bucket
-    // with the query in ANY of the 4 tables; exact cosine re-score on the
-    // deduped candidate set. Approximate ⇒ rows-only check (no SQL
-    // oracle); determinism guaranteed by seeded hyperplanes.
+    // with the query in ANY of the 16 tables; exact cosine re-score on
+    // the deduped candidate set. Approximate vs e1's exact answer, but
+    // DETERMINISTIC by seeded hyperplanes — so the oracle replays the
+    // bucketing from the same constants and e4 is hash-checked;
+    // RecallSpec separately gates recall@20 against e1.
     "e4_knn_lsh" -> ((s, dir) => {
       val sig = lshBuckets(s, Tables(s, dir, "embeddings"))
       val q = sig.where(col("vec_id") === 0)
@@ -177,6 +186,22 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     })
   )
+
+  /** DuckDB replay of [[lshBuckets]]: per-table bucket codes b0..b{n-1}
+    * over the SAME hyperplane constants (sign(list_dot_product) ==
+    * sign(cosine) — the positive norms can't flip it). Shared by the d6
+    * and e4 oracles so candidate sets match the Spark side exactly.
+    */
+  private[operators] def bucketColsSql(numTables: Int): String =
+    (0 until numTables).map { t =>
+      val bucket = (0 until PlanesPerTable).map { j =>
+        val plane = (0 until Dim)
+          .map(d => planeSign(t * PlanesPerTable + j, d))
+          .map(v => if (v > 0) "1" else "-1").mkString(", ")
+        s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$plane]) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("\n      + ")
+      s"($bucket) AS b$t"
+    }.mkString(",\n    ")
 
   private val knnOracle =
     """SELECT vec_id, cos_sim FROM (
@@ -197,7 +222,60 @@ object SimilarityPack extends QueryPack {
       """SELECT label, CAST(i AS INTEGER) - 1 AS pos,
         |  round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS c
         |FROM embeddings, range(1, 65) t(i)
-        |GROUP BY label, i ORDER BY label, pos""".stripMargin
-    // e4_knn_lsh: intentionally no oracle — approximate operator.
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    // e4: approximate BY CONSTRUCTION, deterministic BY CONSTANTS — the
+    // oracle replays the 16-table bucketing from the same hyperplanes, so
+    // the candidate set (and thus the top-20) matches exactly.
+    "e4_knn_lsh" -> {
+      val sameBucket = (0 until NumTables)
+        .map(t => s"s.b$t = q.b$t").mkString(" OR ")
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketColsSql(NumTables)}
+         |  FROM embeddings),
+         |q AS (SELECT * FROM sig WHERE vec_id = 0)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT s.vec_id,
+         |    round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+         |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM sig s, q
+         |  WHERE s.vec_id <> 0 AND ($sameBucket))
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+    },
+
+    // e5: the oracle replays assignment AND probe selection from the
+    // same pretrained centroid constants; list_distance's sqrt cannot
+    // reorder either argmin, and ties break lowest-index on both sides.
+    "e5_ivf_knn" -> {
+      val distQ = IvfIndex.distListSql(IvfIndex.Pretrained, "q.qe")
+      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+      s"""WITH q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT $distQ AS d FROM q),
+         |probes AS (
+         |  SELECT CAST(i AS INTEGER) - 1 AS cid
+         |  FROM qd, range(1, ${IvfIndex.Pretrained.length + 1}) t(i)
+         |  ORDER BY d[CAST(i AS INTEGER)], cid LIMIT 6),
+         |asg AS (
+         |  SELECT vec_id, e, $distE AS d
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+         |cand AS (
+         |  SELECT vec_id, e,
+         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |  FROM asg)
+         |SELECT vec_id, cid, cos_sim FROM (
+         |  SELECT c.vec_id, c.cid,
+         |    round(list_cosine_similarity(c.e, q.qe), 6) AS cos_sim
+         |  FROM cand c, q
+         |  WHERE c.vec_id <> 0 AND c.cid IN (SELECT cid FROM probes))
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+    },
+
+    // e7: codes replayed from the PQ codebook constants (same CTE as
+    // e6's oracle), ADC lookup tables computed from the query row with
+    // the same per-subspace accumulation order as PqIndex.adcDistance,
+    // shortlist and re-rank with the same deterministic tie rules.
+    "e7_pq_knn" -> PqIndex.adcKnnSql(PqIndex.Pretrained, shortlist = 200, k = 20)
   )
 }
