@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, tokens, winnow_fingerprints, WinnowFingerprints}
+import graft.functions.{md5Prefix60, tokens, winnow_fingerprints, wordShingles, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -95,7 +95,22 @@ object TextPack extends QueryPack {
       Tables(s, dir, "documents").where(col("n_chars") >= 8)
         .select(col("doc_id"),
           explode(winnow_fingerprints(col("text"))).as("fp"))
-        .orderBy("doc_id", "fp"))
+        .orderBy("doc_id", "fp")),
+
+    // t8: repetition ratio — the Gopher/C4-style quality filter: the
+    // fraction of word trigrams that are duplicates within the document.
+    // Pure per-row HOF pipeline (no explode, no shuffle beyond the final
+    // sort); the ratio is one integer subtraction and one IEEE division.
+    "t8_repetition" -> ((s, dir) => {
+      val g = wordShingles(col("text"), 3, distinct = false)
+      Tables(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          size(g).as("n_grams"),
+          round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6)
+            .as("dup_gram_ratio"))
+        .orderBy("doc_id")
+    })
   )
 
   private val wsSql = "string_split(text, ' ')"
@@ -156,6 +171,18 @@ object TextPack extends QueryPack {
          |                 ROWS BETWEEN CURRENT ROW AND ${WinnowFingerprints.WindowLen - 1} FOLLOWING) AS fp
          |  FROM h)
          |SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp""".stripMargin
-    }
+    },
+
+    // Same trigram construction as the d4 oracle's shingle CTE.
+    "t8_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ws) - 1),
+        |                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS gs
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
+        |  round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) AS dup_gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }
