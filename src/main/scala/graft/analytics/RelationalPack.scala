@@ -258,6 +258,40 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // a24: RANGE (interval) join — for each event, how many events of the
+    // same user fall in the preceding 30 minutes. The naive formulation
+    // is a non-equi join ⇒ BroadcastNestedLoopJoin, O(n²) — dead at any
+    // scale. The scalable rewrite is BINNING: bucket time into
+    // window-sized bins, probe each row's 2 candidate bins, and the range
+    // join becomes an equi-join on (user_id, bin) + a residual filter —
+    // one hash-partitioned shuffle, no row explosion beyond the fixed ×2
+    // probe factor (PlanSpec pins the no-nested-loop plan). This is the
+    // standard trick engines with native range-join optimizers apply
+    // internally; here it is explicit.
+    "a24_range_join" -> ((s, dir) => {
+      val winSec = 1800L
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val left = e.withColumn("pbin",
+        explode(array(floor(col("ts").cast("long") / winSec) - 1,
+          floor(col("ts").cast("long") / winSec))))
+        .select(col("user_id").as("lk"), col("event_id"), col("ts"), col("pbin"))
+      val right = e.select(col("user_id").as("rk"),
+        col("ts").as("rts"),
+        floor(col("ts").cast("long") / winSec).as("rbin"))
+      // The range predicate lives INSIDE the left join: an event whose
+      // probe bins hold only out-of-window rows must still surface with
+      // n_prior = 0, not vanish. The equi pair (key, bin) keeps the hash
+      // join; the residual range is a post-join filter on the same plan.
+      left.join(right,
+          col("lk") === col("rk") && col("pbin") === col("rbin") &&
+          col("rts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("rts") < col("ts"), "left_outer")
+        .groupBy(col("event_id"))
+        .agg(count(col("rts")).as("n_prior"))
+        .orderBy("event_id")
+    }),
+
     // a14: AS-OF join — for each order, the latest event (by ts) of its
     // pseudo-user at or before the order date. Implemented the scalable
     // way: tag + union + single window over (key, time) — one shuffle,
@@ -439,6 +473,16 @@ object RelationalPack extends QueryPack {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The oracle states the range join directly — DuckDB plans its own
+    // range join; the binned rewrite must agree row for row.
+    "a24_range_join" ->
+      """SELECT e.event_id, count(p.ts) AS n_prior
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) p
+        |  ON p.user_id = e.user_id
+        |  AND p.ts > e.ts - INTERVAL 30 MINUTE AND p.ts < e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
 
     "a14_asof_join" ->
       """WITH u AS (

@@ -68,6 +68,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("a24 binned range join plans as an equi join, never a nested loop") {
+    val p = plan("a24_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("d2 minhash shuffles only band minima (partial agg before exchange)") {
     val p = plan("d2_minhash_signatures")
     assert(p.contains("shingle_hashes"), p)
