@@ -56,6 +56,10 @@ package object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket_codes",
+      exprs => LshBucketCodes(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
   }
 
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */

@@ -24,6 +24,29 @@ class ExtensionsSpec extends SparkSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("every custom expression is SQL-callable after registerAll") {
+    graft.functions.registerAll(spark)
+    val fp = spark.sql("SELECT winnow_fingerprints('abcdefghijkl') AS f")
+      .collect().head.getSeq[Long](0)
+    assert(fp.nonEmpty)
+    val cid = spark.sql(
+      """SELECT nearest_centroid(
+        |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |  CAST(array(array(0.0, 1.0), array(1.0, 0.0)) AS ARRAY<ARRAY<FLOAT>>)) AS c""".stripMargin)
+      .collect().head.getInt(0)
+    assert(cid === 1)
+    val sh = spark.sql("SELECT shingle_hashes('a b c d', 3) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(sh.length === 2)
+    val bc = spark.sql(
+      """SELECT lsh_bucket_codes(
+        |  CAST(array(1.0, -1.0) AS ARRAY<FLOAT>),
+        |  CAST(array(array(1.0, 1.0), array(1.0, -1.0)) AS ARRAY<ARRAY<FLOAT>>),
+        |  1) AS b""".stripMargin)
+      .collect().head.getSeq[Int](0)
+    assert(bc.length === 2)
+  }
+
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }

@@ -22,6 +22,38 @@ class ComponentsSpec extends SparkSuite {
     pairs.unpersist()
   }
 
+  test("union-find matches a brute-force closure on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genEdges = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+    val graphs = Gen.listOfN(8, genEdges)(
+      Gen.Parameters.default, Seed(7L)).get
+    graphs.foreach { raw =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        // brute-force reference: propagate min labels until fixpoint
+        val label = scala.collection.mutable.Map.empty[Long, Long]
+        edges.foreach { case (a, b) => label(a) = a; label(b) = b }
+        var changed = true
+        while (changed) {
+          changed = false
+          edges.foreach { case (a, b) =>
+            val m = math.min(label(a), label(b))
+            if (label(a) != m) { label(a) = m; changed = true }
+            if (label(b) != m) { label(b) = m; changed = true }
+          }
+        }
+        val got = DedupPack.unionFindComponents(
+            spark, edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === label.toMap)
+      }
+    }
+  }
+
   test("union-find labels every component by its least doc_id") {
     import spark.implicits._
     // two chains and a singleton edge: {1-2-3-4}, {10-11}, {20-21}
