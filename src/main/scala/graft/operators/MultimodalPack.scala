@@ -71,6 +71,25 @@ object MultimodalPack extends QueryPack {
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           md5(expr("substring(text, frame_idx * 64 + 1, 64)")).as("frame_fp"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // m3: feature extraction — media bytes → embedding vector, the stub
+    // for a vision/audio encoder (a real deployment hosts model inference
+    // in the same per-partition batch shape as m1). The stub projects a
+    // 60-bit content hash into 8 components; each value is an exact
+    // rational of the hash, so the oracle replays it bit-exactly.
+    // Downstream this column is exactly what the e-stack consumes
+    // (brute/LSH/IVF/PQ KNN over Array[Float]).
+    "m3_media_embed" -> ((s, dir) => {
+      val dim = 8
+      val comps = (0 until dim).map { i =>
+        (graft.functions.md5Prefix60(concat(col("text"), lit("#" + i))) % 2001 - 1000)
+          .cast("double") / lit(1000)
+      }
+      Tables(s, dir, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(array(comps: _*)).as(Seq("pos", "v")))
+        .orderBy("doc_id", "pos")
     })
   )
 
@@ -89,6 +108,15 @@ object MultimodalPack extends QueryPack {
         |f AS (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS fi FROM d)
         |SELECT doc_id, n_frames, CAST(fi AS INTEGER) AS frame_idx,
         |  md5(substr(text, CAST(fi AS INTEGER) * 64 + 1, 64)) AS frame_fp
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Same 60-bit md5 prefix construction as the t6 oracle, per component.
+    "m3_media_embed" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |  CAST(CAST(concat('0x', substr(md5(text || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       % 2001 - 1000 AS DOUBLE) / 1000 AS v
+        |FROM documents, range(0, 8) t(i)
+        |WHERE doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }
