@@ -32,7 +32,15 @@ object StreamingPack extends QueryPack {
         .repartition(2) // 2 files -> 2 micro-batches: exercises the
         .write.json(s"$tmp/events") // incremental merge without padding the bench
 
-      val proj = new StreamingProjection(s, s"$tmp/state")
+      // Per-workload tuning, the multi-tenant idiom: a child session
+      // (shared SparkContext, independent SQLConf) runs the streaming
+      // fold at micro-batch-sized shuffle width. A micro-batch carries
+      // ~half the log; 32-wide stages are pure scheduling overhead for
+      // it (AQE cannot coalesce in streaming). The batch analytics keep
+      // the parent session's width.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val proj = new StreamingProjection(ss, s"$tmp/state")
       val q = proj.runFileStream(s"$tmp/events", s"$tmp/chk", maxFilesPerTrigger = 1)
       q.awaitTermination()
 
