@@ -18,17 +18,17 @@ import graft.functions.{md5Prefix60, tokens, winnow_fingerprints, wordShingles, 
   */
 object TextPack extends QueryPack {
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "is", "in")
+  private[operators] val stopwords = Seq("the", "a", "and", "of", "to", "is", "in")
   /** Language marker words (tiny profile lists; real deployments would use
     * char-n-gram profiles — same dataflow shape).
     */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "de" -> Seq("der", "die", "das", "und"),
     "fr" -> Seq("le", "la", "et", "les"),
     "es" -> Seq("el", "los", "y", "las"))
 
-  private def countIn(ws: Column, words: Seq[String]): Column =
+  private[operators] def countIn(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => w.isin(words: _*)))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,7 +114,7 @@ object TextPack extends QueryPack {
   )
 
   private val wsSql = "string_split(text, ' ')"
-  private def countInSql(words: Seq[String]): String =
+  private[operators] def countInSql(words: Seq[String]): String =
     s"len(list_filter($wsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   override def oracles: Map[String, String] = Map(

@@ -24,7 +24,7 @@ class EntrySpec extends SparkSuite {
       graft.analytics.ExtrasPack,
       graft.operators.TextPack, graft.operators.DedupPack,
       graft.operators.SimilarityPack, graft.operators.MultimodalPack,
-      graft.streaming.StreamingPack)
+      graft.operators.CurationPipeline, graft.streaming.StreamingPack)
     val names = packs.flatMap(_.queries.keys)
     assert(names.distinct.size == names.size)
     assert(SparkEntry.queries.size == names.size)
