@@ -268,29 +268,9 @@ object RelationalPack extends QueryPack {
     // probe factor (PlanSpec pins the no-nested-loop plan). This is the
     // standard trick engines with native range-join optimizers apply
     // internally; here it is explicit.
-    "a24_range_join" -> ((s, dir) => {
-      val winSec = 1800L
-      val e = Tables(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val left = e.withColumn("pbin",
-        explode(array(floor(col("ts").cast("long") / winSec) - 1,
-          floor(col("ts").cast("long") / winSec))))
-        .select(col("user_id").as("lk"), col("event_id"), col("ts"), col("pbin"))
-      val right = e.select(col("user_id").as("rk"),
-        col("ts").as("rts"),
-        floor(col("ts").cast("long") / winSec).as("rbin"))
-      // The range predicate lives INSIDE the left join: an event whose
-      // probe bins hold only out-of-window rows must still surface with
-      // n_prior = 0, not vanish. The equi pair (key, bin) keeps the hash
-      // join; the residual range is a post-join filter on the same plan.
-      left.join(right,
-          col("lk") === col("rk") && col("pbin") === col("rbin") &&
-          col("rts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
-          col("rts") < col("ts"), "left_outer")
-        .groupBy(col("event_id"))
-        .agg(count(col("rts")).as("n_prior"))
-        .orderBy("event_id")
-    }),
+    "a24_range_join" -> ((s, dir) =>
+      RelationalPack.binnedPriorCount(
+        Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("ts")))),
 
     // a14: AS-OF join — for each order, the latest event (by ts) of its
     // pseudo-user at or before the order date. Implemented the scalable
@@ -316,6 +296,33 @@ object RelationalPack extends QueryPack {
         .orderBy("o_orderkey")
     })
   )
+
+  /** The a24 binning core over any `(user_id, event_id, ts)` frame —
+    * extracted so RangeJoinProps can drive it with random event sets.
+    * Window is fixed at 30 minutes (= the bin width; probing bins
+    * {b-1, b} covers exactly the half-open window (ts-30min, ts)).
+    * The range predicate lives INSIDE the left join: an event whose
+    * probe bins hold only out-of-window rows must still surface with
+    * n_prior = 0, not vanish. The equi pair (key, bin) keeps the hash
+    * join; the residual range is a post-join filter on the same plan.
+    */
+  private[graft] def binnedPriorCount(e: DataFrame): DataFrame = {
+    val winSec = 1800L
+    val left = e.withColumn("pbin",
+      explode(array(floor(col("ts").cast("long") / winSec) - 1,
+        floor(col("ts").cast("long") / winSec))))
+      .select(col("user_id").as("lk"), col("event_id"), col("ts"), col("pbin"))
+    val right = e.select(col("user_id").as("rk"),
+      col("ts").as("rts"),
+      floor(col("ts").cast("long") / winSec).as("rbin"))
+    left.join(right,
+        col("lk") === col("rk") && col("pbin") === col("rbin") &&
+        col("rts") > col("ts") - expr("INTERVAL 30 MINUTES") &&
+        col("rts") < col("ts"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(count(col("rts")).as("n_prior"))
+      .orderBy("event_id")
+  }
 
   private val D = "DECIMAL(12,2)"
   private val discPriceSql =
