@@ -50,6 +50,46 @@ object StreamingPack extends QueryPack {
           TimeCodec.parseRfc3339(col("created_at")).as("created_at"),
           TimeCodec.parseRfc3339(col("updated_at")).as("updated_at"))
         .orderBy("id")
+    }),
+
+    // s2: the event-time window aggregation a12 declares, executed through
+    // TRUE Structured Streaming — readStream over the events parquet,
+    // streaming groupBy(window(...)), complete-mode memory sink. Complete
+    // mode emits the full aggregation state, so the result is
+    // deterministic and shares a12's exact batch oracle — the strongest
+    // form of the batch/streaming unification claim. (Production uses
+    // watermark + append for bounded state — WindowedStreamSpec covers
+    // that contract, including what the watermark holds back.)
+    "s2_stream_window" -> ((s, dir) => {
+      val rawSchema = org.apache.spark.sql.types.StructType(
+        graft.Tables(s, dir, "events").schema.map {
+          case f if f.name == "ts" =>
+            f.copy(dataType = org.apache.spark.sql.types.LongType)
+          case f => f
+        })
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val chk = Files.createTempDirectory("graft-s2-").toFile.getAbsolutePath
+      val q = ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("total"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory").queryName("graft_s2_win")
+        .option("checkpointLocation", s"$chk/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s2_win")
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("window_start", "event_type")
     })
   )
 
@@ -58,7 +98,15 @@ object StreamingPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "s1_stream_replay" -> (DerivedSignalLog.SQL_CTE +
       """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
-        |FROM signals ORDER BY id""".stripMargin)
+        |FROM signals ORDER BY id""".stripMargin),
+
+    // Identical to a12's oracle: streaming and batch declare the same
+    // aggregation, so they share one truth.
+    "s2_stream_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   private implicit class MapOps(m: Map[String, String]) {
