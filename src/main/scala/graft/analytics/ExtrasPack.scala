@@ -65,6 +65,26 @@ object ExtrasPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // a20b: KMV distinct sketch — the deterministic counterpart to a20's
+    // HLL: bounded mergeable state (K smallest distinct hashes, map-side
+    // combine, K·groups shuffle volume), and because the state is a pure
+    // function of the hash set the DuckDB oracle replays the estimate
+    // exactly — a HASH-CHECKED sketch. RecallSpec gates its error vs a11.
+    "a20b_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val kmv = new graft.functions.KmvAggregator(64)
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(kmv.toColumn.name("est"))
+        .toDF("event_type", "est")
+        .select(col("event_type"), round(col("est"), 6).as("est_users"))
+        .orderBy("event_type")
+    }),
+
     // t6: stable train/val split — hash-based deterministic sharding (the
     // training-data staple: reproducible splits that survive reshuffling
     // and scale-out, no RNG). 90/10 by md5 bucket.
@@ -172,6 +192,27 @@ object ExtrasPack extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Replays the KMV estimator: K-th smallest distinct 60-bit hash,
+    // (K-1)/u_K, exact below K — same doubles, same division.
+    "a20b_kmv_distinct" -> {
+      val K = 64
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h)
+         |SELECT event_type,
+         |  round(CASE WHEN nd < $K THEN CAST(nd AS DOUBLE)
+         |        ELSE ($K - 1) / (CAST(h AS DOUBLE) / 1152921504606846976) END, 6) AS est_users
+         |FROM r
+         |WHERE rn = CASE WHEN nd < $K THEN nd ELSE $K END
+         |ORDER BY event_type""".stripMargin
+    },
 
     "t6_stable_split" ->
       """SELECT doc_id,

@@ -54,6 +54,20 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("a20b KMV sketch: relative error vs exact a11 within 30% (K=64)") {
+    import spark.implicits._
+    val exactCounts = graft.SparkEntry.queries("a11_distinct_agg")(spark, dir)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val est = graft.analytics.ExtrasPack.queries("a20b_kmv_distinct")(spark, dir)
+      .select("event_type", "est_users").as[(String, Double)].collect().toMap
+    exactCounts.foreach { case (k, n) =>
+      val e = est(k)
+      val err = math.abs(e - n) / n
+      info(f"a20b $k: exact=$n kmv=$e%.1f err=$err%.4f")
+      assert(err <= 0.30, s"$k: KMV error $err exceeds 30%% (exact=$n est=$e)")
+    }
+  }
+
   test("d6 LSH near-dup: pair recall vs bounded brute (d6b)") {
     def pairs(q: String) = DedupPack.queries(q)(spark, dir)
       .select("vec_a", "vec_b", "cos_sim")
