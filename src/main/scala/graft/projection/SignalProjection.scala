@@ -45,6 +45,27 @@ object SignalProjection {
       .select(col("seq") +: SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
   }
 
+  /** Dead-letter split: the operational extension of P1's silent skip
+    * (SURVEY §1.3 "optionally route to a dead-letter sink"). One pass,
+    * one predicate evaluated twice against the same parsed column — the
+    * rejected frame carries the raw payload + seq so operators can
+    * replay it after a decoder fix. Both frames share the single scan;
+    * no second parse of the input.
+    */
+  def decodeWithDeadLetter(
+      raw: DataFrame, valueCol: String = "value", seqCol: String = "seq")
+      : (DataFrame, DataFrame) = {
+    val parsed = raw.select(
+      col(seqCol).cast("long").as("seq"),
+      col(valueCol).cast("string").as("_raw"),
+      from_json(col(valueCol).cast("string"), SignalSchema.eventSchema).as("e"))
+    val ok = col("e").isNotNull && col("e.action").isNotNull && col("e.id").isNotNull
+    val good = parsed.where(ok)
+      .select(col("seq") +: SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
+    val dead = parsed.where(!ok).select(col("seq"), col("_raw").as("raw"))
+    (good, dead)
+  }
+
   /** P3/P5: keyed LWW fold — latest event (by `seq`) per key, all columns.
     * One shuffle, map-side combine, no join.
     */

@@ -59,6 +59,19 @@ class ProjectionSpec extends SparkSuite {
     assert(out.map(_.getAs[String]("action")).toSeq == Seq("created"))
   }
 
+  test("dead-letter split partitions every input row into good xor dead") {
+    val raw = rawDf(0L -> "{not valid json}", 1L -> "", 2L -> created,
+      3L -> """{"no_action_or_id": 1}""")
+    val (good, dead) = SignalProjection.decodeWithDeadLetter(raw)
+    assert(good.select("seq").collect().map(_.getLong(0)).toSet === Set(2L))
+    val deadRows = dead.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(deadRows.keySet === Set(0L, 1L, 3L))
+    // raw payload is preserved verbatim for replay-after-fix
+    assert(deadRows(0L) === "{not valid json}")
+    // the split loses nothing and duplicates nothing
+    assert(good.count() + dead.count() === raw.count())
+  }
+
   test("decode ignores unknown extra fields") {
     val withExtra = created.dropRight(1) + """, "totally_unknown": 42}"""
     val r = SignalProjection.decode(rawDf(0L -> withExtra)).collect().head
