@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CurationPipeline, DedupPack, DerivedSignalLog, MultimodalPack, SignalParityPack, SimilarityPack, TextPack}
+import graft.operators.{CurationPipeline, DedupPack, DerivedSignalLog, MultimodalPack, SamplingPack, SignalParityPack, SimilarityPack, TextPack}
 import graft.analytics.{ExtrasPack, RelationalPack}
 import graft.projection.SignalStore
 import graft.streaming.StreamingPack
@@ -25,6 +25,7 @@ object SparkEntry {
     DedupPack,
     SimilarityPack,
     MultimodalPack,
+    SamplingPack,
     CurationPipeline,
     StreamingPack)
 

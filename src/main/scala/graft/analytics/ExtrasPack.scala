@@ -142,6 +142,25 @@ object ExtrasPack extends QueryPack {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // a25: explicit GROUPING SETS — the general form behind a7's rollup
+    // and a8's cube — with grouping() flags composed into a grouping id,
+    // through the SQL interface. Physically one ExpandExec feeding the
+    // same two-phase hash aggregate as any groupBy: rows are replicated
+    // once per grouping set map-side, so the shuffle carries |sets|×rows
+    // of PARTIALLY AGGREGATED data, not |sets| full passes of the table.
+    "a25_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+          |FROM graft_li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+    }),
+
     // a23: correlated scalar subquery (TPC-H Q17 shape) through the SQL
     // interface — Catalyst decorrelates it into an aggregate + join; the
     // reference (and many engines) can't express this at all. Numeric
@@ -232,6 +251,16 @@ object ExtrasPack extends QueryPack {
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "a25_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin,
 
     "a23_correlated_subquery" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total,

@@ -226,6 +226,29 @@ object DedupPack extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // d8: benchmark decontamination — flag corpus documents sharing any
+    // word n-gram with a held-out benchmark/eval set (here: doc_id % 97,
+    // a deterministic stand-in for an external eval suite). The benchmark
+    // gram set is tiny at ANY corpus scale (eval suites are megabytes),
+    // so the join is a broadcast hash join: the corpus side streams
+    // through map tasks, no shuffle of corpus grams ever happens — the
+    // same architecture GPT-3/Llama-style n-gram decontamination runs at
+    // 100 TB. (This synthetic corpus needs w=3 for non-trivial overlap;
+    // real pipelines use w=8..13 — same dataflow.)
+    "d8_decontaminate" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("g"))
+      val bench = grams.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
+
     // d5: SimHash — 16-bit signature from per-bit majorities of token
     // hashes. Bit-twiddling kept cross-engine (md5-prefix hash, shift/and).
     "d5_simhash" -> ((s, dir) => {
@@ -383,6 +406,19 @@ object DedupPack extends QueryPack {
         |  JOIN sizes na ON inter.doc_a = na.doc_id
         |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
         |WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d8_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM g c JOIN bench b USING (g) WHERE c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "d5_simhash" -> {
       val bitSums = (0 until 16).map { j =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
@@ -110,6 +111,52 @@ object TextPack extends QueryPack {
           round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6)
             .as("dup_gram_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // t9: TF-IDF-style top term per document — the classic two-pass
+    // term-weighting dataflow: per-(doc, term) frequency, corpus document
+    // frequency, rarity weight tf·(N/df), deterministic argmax via
+    // row_number (ties to the lexicographically-first term). The rarity
+    // weight is a single IEEE division+multiplication of exact counts, so
+    // it is bit-identical cross-engine with no rounding (a log-idf would
+    // hinge on libm ulp agreement). Scale: the tf→df join shuffles on the
+    // term — stop-word-grade hot terms are exactly what AQE skew-join
+    // splits — and the final window partitions by doc_id, never globally.
+    "t9_tfidf_top_term" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val wn = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      tf.join(df, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(wn))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("w").as("top_term"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // t10: PII redaction — regex scrubbing of emails/phones with per-doc
+    // redaction counts. The corpus is synthetic, so the PII is injected
+    // deterministically first (same construction in the oracle); the
+    // operator under test is the redact/count projection — per-row,
+    // codegen'd, no shuffle. Patterns stay in the regex subset Java and
+    // RE2 agree on.
+    "t10_pii_redact" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(regexp_replace(raw, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+          .as("redacted"),
+        regexp_count(raw, lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(raw, lit(phoneRe)).cast("int").as("n_phones"))
+        .orderBy("doc_id")
     })
   )
 
@@ -172,6 +219,33 @@ object TextPack extends QueryPack {
          |  FROM h)
          |SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp""".stripMargin
     },
+
+    "t9_tfidf_top_term" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, w,
+        |    CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC, w) AS rn
+        |  FROM tf JOIN df USING (w), n)
+        |SELECT doc_id, w AS top_term, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t10_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // Same trigram construction as the d4 oracle's shingle CTE.
     "t8_repetition" ->

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+import graft.functions.tokens
+
+/** Behavioral invariants of the corpus-assembly operators (SamplingPack)
+  * and the round-3 curation additions (d8 decontamination, t9 TF-IDF,
+  * a25 grouping sets). Cross-engine value equality is the driver's
+  * DuckDB check; these specs pin the properties the oracle can't state —
+  * determinism, conservation laws, and algebraic equivalences between
+  * the scalable implementation and its naive definition.
+  */
+class SamplingSpec extends SparkSuite {
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("x1 mixture sample is deterministic and respects per-group rates") {
+    val a = q("x1_mixture_sample").collect()
+    val b = q("x1_mixture_sample").collect()
+    assert(a.toSeq === b.toSeq, "hash sampling must be replay-stable")
+
+    // every kept row's bucket is under its group's threshold, and the
+    // weight is exactly the inverse rate
+    val byWeight = a.groupBy(_.getAs[Double]("weight")).view.mapValues(_.size).toMap
+    assert(byWeight.keySet.subsetOf(Set(1.0, 2.0, 4.0, 1000.0 / 750.0)))
+
+    // rate sanity: the full-keep group (weight 1.0) retains all its docs
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .where(expr("CAST(substring(source, 4) AS INT) div 5") === 0).count()
+    assert(byWeight(1.0).toLong === docs)
+  }
+
+  test("x2 two-level prefix sum equals the naive global cumsum") {
+    val dir = sf("sf0.001")
+    val got = q("x2_pack_sequences")
+
+    // naive definition: one global window (single partition — the shape
+    // the scalable version exists to avoid)
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = t
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cum_before div 2048").as("shard_id"),
+        (col("cum_before") % 2048).as("offset_in_shard"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("x2 packing invariants: offsets bounded, shards contiguous from 0") {
+    val rows = q("x2_pack_sequences").collect()
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("offset_in_shard")
+      off >= 0 && off < 2048
+    })
+    val shards = rows.map(_.getAs[Long]("shard_id")).distinct.sorted
+    assert(shards.head === 0L)
+    assert(shards === (0L to shards.last))
+    // doc order implies shard order (packing never goes backwards)
+    val inOrder = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("shard_id"))
+    assert(inOrder.sameElements(inOrder.sorted))
+  }
+
+  test("d8 never flags benchmark members and only flags true overlaps") {
+    val rows = q("d8_decontaminate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    assert(rows.forall { r =>
+      r.getAs[Long]("n_shared") >= 1 && r.getAs[Long]("n_bench_docs") >= 1
+    })
+  }
+
+  test("t9 top term actually occurs in its document") {
+    import spark.implicits._
+    val top = q("t9_tfidf_top_term")
+      .select("doc_id", "top_term").as[(Long, String)].collect().toMap
+    val texts = Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(top.nonEmpty)
+    top.foreach { case (id, term) =>
+      assert(texts(id).split(" ").contains(term), s"doc $id lost term $term")
+    }
+  }
+
+  test("t10 redaction removes every injected email and phone") {
+    val rows = q("t10_pii_redact").collect()
+    assert(rows.forall(_.getAs[Int]("n_emails") >= 1))
+    assert(rows.forall(_.getAs[Int]("n_phones") >= 1))
+    assert(rows.forall { r =>
+      val red = r.getAs[String]("redacted")
+      !red.contains("@example.com") && !red.matches(".*\\+1-555-[0-9]{4}.*")
+    })
+  }
+
+  test("a25 grouping-set levels are mutually consistent") {
+    val rows = q("a25_grouping_sets").collect()
+    val fine = rows.filter(_.getAs[Int]("gid") == 0)
+    val mid = rows.filter(_.getAs[Int]("gid") == 1)
+    val total = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(total.length === 1)
+    assert(total.head.getAs[Long]("n") === fine.map(_.getAs[Long]("n")).sum)
+    mid.foreach { m =>
+      val rf = m.getAs[String]("rf")
+      val kids = fine.filter(_.getAs[String]("rf") == rf)
+      assert(m.getAs[Long]("n") === kids.map(_.getAs[Long]("n")).sum)
+      assert(math.abs(m.getAs[Double]("qty") -
+        kids.map(_.getAs[Double]("qty")).sum) < 1e-6)
+    }
+  }
+}
