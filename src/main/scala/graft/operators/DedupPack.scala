@@ -228,17 +228,21 @@ object DedupPack extends QueryPack {
 
     // d8: benchmark decontamination — flag corpus documents sharing any
     // word n-gram with a held-out benchmark/eval set (here: doc_id % 97,
-    // a deterministic stand-in for an external eval suite). The benchmark
-    // gram set is tiny at ANY corpus scale (eval suites are megabytes),
-    // so the join is a broadcast hash join: the corpus side streams
-    // through map tasks, no shuffle of corpus grams ever happens — the
-    // same architecture GPT-3/Llama-style n-gram decontamination runs at
-    // 100 TB. (This synthetic corpus needs w=3 for non-trivial overlap;
-    // real pipelines use w=8..13 — same dataflow.)
+    // a deterministic stand-in for an external eval suite). Grams travel
+    // as 64-bit polynomial hashes from the compiled
+    // [[graft.functions.ShingleHashes]] expression (the gram-string HOF
+    // pipeline ran interpreted: 3.6 s at sf0.1 vs ~1 s hashed), and the
+    // benchmark gram set is tiny at ANY corpus scale (eval suites are
+    // megabytes), so the join is a broadcast hash join: the corpus side
+    // streams through map tasks, no shuffle of corpus grams ever
+    // happens — the same architecture GPT-3/Llama-style n-gram
+    // decontamination runs at 100 TB. (This synthetic corpus needs w=3
+    // for non-trivial overlap; real pipelines use w=8..13 — same
+    // dataflow.)
     "d8_decontaminate" -> ((s, dir) => {
       val grams = Tables(s, dir, "documents")
         .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("g"))
+        .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("g"))
       val bench = grams.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       grams.where(col("doc_id") % 97 =!= 0)
@@ -316,19 +320,23 @@ object DedupPack extends QueryPack {
     })
   )
 
+  /** Same Horner-mod-prime hash as graft.functions.ShingleHashes,
+    * replayed per shingle string (column `sh`) via list_reduce over its
+    * code points. Shared by the d2/d3/d7 signature CTE and d8.
+    */
+  private val polyHashSql =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, len(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), " +
+      s"(acc, c) -> (acc * ${graft.functions.WinnowFingerprints.Base} + c) % " +
+      s"${graft.functions.WinnowFingerprints.Mod})"
+
   private val shinglesCte = {
     val minsSql = (0 until NumBands).map { i =>
       s"min((hm * ${A(i)} + ${B(i)}) % $P) AS s$i" }.mkString(",\n    ")
     val unpivot = (0 until NumBands).map { i =>
       s"SELECT doc_id, $i AS band, s$i AS minhash FROM mins" }
       .mkString("\n  UNION ALL ")
-    // Same Horner-mod-prime hash as graft.functions.ShingleHashes,
-    // replayed per shingle string via list_reduce over its code points.
-    val polyHash =
-      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(range(1, len(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), " +
-        s"(acc, c) -> (acc * ${graft.functions.WinnowFingerprints.Base} + c) % " +
-        s"${graft.functions.WinnowFingerprints.Mod})"
+    val polyHash = polyHashSql
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -407,13 +415,15 @@ object DedupPack extends QueryPack {
         |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
         |WHERE jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Same trigram poly hash as the d2/d3 oracles (ShingleHashes replay).
     "d8_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
         |  SELECT doc_id,
         |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
         |  FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id, $polyHashSql AS g FROM sh),
         |bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0)
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared,
         |  count(DISTINCT b.bench_id) AS n_bench_docs
