@@ -80,4 +80,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("shingle_hashes"), p)
     assert("(?s)partial_min|HashAggregate.*min.*Exchange".r.findFirstIn(p).isDefined, p)
   }
+
+  test("d8 decontamination broadcasts the benchmark grams (corpus never shuffles raw grams)") {
+    val p = plan("d8_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("shingle_hashes"), p)
+  }
+
+  test("x1 mixture sampling is scan -> project -> filter: no join, no aggregate") {
+    val p = plan("x1_mixture_sample")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("x2 packing windows partition by bucket; only the tiny totals frame is single-partition") {
+    val p = plan("x2_pack_sequences")
+    // the corpus-wide running sum must be keyed by the prefix bucket...
+    assert("windowspecdefinition\\(bucket#\\d+L?, doc_id".r.findFirstIn(p).isDefined, p)
+    // ...and the only single-partition stage is the bucket-totals window,
+    // fed by a two-phase aggregate that collapsed the corpus first
+    assert("SinglePartition".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
