@@ -146,6 +146,41 @@ object RelationalPack extends QueryPack {
         .orderBy("user_id", "event_id")
     }),
 
+    // a27: full outer join — the join-matrix cell a2/a3 (inner), a10
+    // (semi/anti), a14 (as-of) and a24 (range) don't cover: preserved
+    // rows on BOTH sides with null padding. Same shuffle/broadcast
+    // physics as an inner join; the semantic content is the null
+    // handling, which the coalesced key and the two exclusive sides
+    // exercise (18 customer-only + 1163 order-only rows at sf0.01).
+    "a27_outer_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          col("c_name"), col("n_big"))
+        .orderBy("key")
+    }),
+
+    // a26: RANGE-framed window — per-user trailing-10-minute count/sum,
+    // the value-based frame a6's ROWS frame can't express (peers by
+    // event-time distance, not row position). Both engines evaluate the
+    // frame over integer epoch-micros so the bounds are exact; ties
+    // (equal timestamps) are peers by SQL semantics in both.
+    "a26_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-600000000L, 0L)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m",
+          sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
+        .select("event_id", "user_id", "n_10m", "sum_10m")
+        .orderBy("event_id")
+    }),
+
     // a7: hierarchical rollup over (event_type, day).
     "a7_rollup" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -399,6 +434,24 @@ object RelationalPack extends QueryPack {
         |    AS DOUBLE) AS running_value,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
         |FROM events WHERE user_id < 25 ORDER BY user_id, event_id""".stripMargin,
+
+    "a27_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000),
+        |o AS (SELECT o_custkey, count(*) AS n_big FROM orders
+        |      WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS key, c_name, n_big
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY key""".stripMargin,
+
+    "a26_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM (SELECT event_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "a7_rollup" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

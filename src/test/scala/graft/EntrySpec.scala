@@ -24,6 +24,7 @@ class EntrySpec extends SparkSuite {
       graft.analytics.ExtrasPack,
       graft.operators.TextPack, graft.operators.DedupPack,
       graft.operators.SimilarityPack, graft.operators.MultimodalPack,
+      graft.operators.SamplingPack,
       graft.operators.CurationPipeline, graft.streaming.StreamingPack)
     val names = packs.flatMap(_.queries.keys)
     assert(names.distinct.size == names.size)

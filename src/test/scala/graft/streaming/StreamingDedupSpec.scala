@@ -40,4 +40,42 @@ class StreamingDedupSpec extends SparkSuite {
     assert(out.count() == 100)
     assert(out.select("seq").distinct().count() == 100)
   }
+
+  test("dedup state runs on the RocksDB state store (off-heap, spillable)") {
+    // The default HDFS-backed store keeps state on the JVM heap — fine
+    // for bounded keys, fatal when dedup state outgrows memory. RocksDB
+    // keeps state off-heap with incremental checkpointing; at 100 TB
+    // scale it is the only viable provider for unbounded-key dedup, so
+    // the engine must run correctly (and checkpoint/restore) on it.
+    val dir = Files.createTempDirectory("graft-rocks-").toString
+    import spark.implicits._
+    val events = (0L until 500L).map(i => (i, s"""{"n":$i}"""))
+    (events ++ events).toDF("seq", "value")
+      .repartition(4).write.json(s"$dir/in")
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+
+    val deduped = ss.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("seq", "long").add("value", "string"))
+      .option("maxFilesPerTrigger", "2")
+      .json(s"$dir/in")
+      .dropDuplicates("seq")
+
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("rocks_out")
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 2, "must exercise cross-batch state")
+
+    val out = ss.table("rocks_out")
+    assert(out.count() == 500)
+    assert(out.select("seq").distinct().count() == 500)
+  }
 }
