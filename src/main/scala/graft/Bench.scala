@@ -26,11 +26,17 @@ object Bench {
     // min of 2 runs per query: steady-state timing, resistant to the
     // ~2x inflation concurrent JVMs on this box cause (observed in
     // BENCH_r02 vs local reruns of the same commit).
+    //
+    // The action is a noop-format WRITE, not count(): count() lets
+    // Catalyst prune every computed column a query projects but never
+    // filters/sorts on, so per-row operators (token stats, fingerprints,
+    // redaction) would be timed as bare scans. The noop sink consumes
+    // every output column — the number measures what the query computes.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

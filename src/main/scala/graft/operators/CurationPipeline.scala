@@ -4,19 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, tokens, wordShingles}
+import graft.functions.{md5Prefix60, shingle_hashes, tokens}
 
-/** The composed training-data curation pipeline — the end-to-end use case
-  * every individual operator exists for: language-ID → quality filters →
-  * repetition filter → exact dedup → stable split, emitting one decision
-  * record per document.
+/** The composed training-data pipelines — the end-to-end use cases every
+  * individual operator exists for.
   *
+  * pipeline1 (curation): language-ID → quality filters → repetition
+  * filter → exact dedup → stable split, one decision record per document.
   * Shape at scale: every feature is a per-row column pipeline fused into
   * the scan (no UDFs, no explode); the ONLY shuffle is the exact-dedup
   * groupBy on the content fingerprint — so the whole pipeline over 100 TB
   * is one pass + one hash shuffle of (fp, doc_id) pairs, then a narrow
   * fp-join back. Thresholds are fixed policy constants; the point graded
   * here is the composition, not the numbers.
+  *
+  * pipeline2 (assembly): the kept training docs → deterministic mixture
+  * sampling per source → fixed-token sequence packing. Adds one broadcast
+  * join (bucket prefix offsets) and one bucket-keyed window on top of
+  * pipeline1's shuffle — the complete raw-corpus→training-shards path is
+  * two shuffles end-to-end.
   */
 object CurationPipeline extends QueryPack {
 
@@ -25,80 +31,141 @@ object CurationPipeline extends QueryPack {
   private val MaxDupGramRatio = 0.5
   private val TrainPct = 90
 
+  /** One decision record per document, unsorted (see pipeline1 scaladoc).
+    * The repetition feature counts distinct trigrams via the compiled
+    * ShingleHashes poly-hash, like t8 — the interpreted gram-string HOF
+    * was 10× slower and is the same quantity modulo ~n²/2P collisions.
+    */
+  private def decisions(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val scores = TextPack.markers.map { case (l, ms) => l -> TextPack.countIn(ws, ms) }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val guess = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    val stopRatio = TextPack.countIn(ws, TextPack.stopwords).cast("double") / size(ws)
+    val nGrams = greatest(size(ws) - 2, lit(0))
+    val dupRatio = when(nGrams > 0,
+      (nGrams - size(shingle_hashes(col("text"), 3))).cast("double") / nGrams)
+      .otherwise(lit(0.0))
+    val feat = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      guess.as("guessed_lang"),
+      stopRatio.as("stop_ratio"),
+      dupRatio.as("dup_ratio"),
+      md5(col("text")).as("fp"),
+      pmod(md5Prefix60(col("text")), lit(100)).as("bucket"))
+    val canon = feat.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    feat.join(canon, "fp")
+      .select(col("doc_id"),
+        (col("guessed_lang") === col("lang")).cast("int").as("lang_ok"),
+        (col("stop_ratio") >= StopRatioMin && col("stop_ratio") <= StopRatioMax)
+          .cast("int").as("quality_ok"),
+        (col("dup_ratio") <= MaxDupGramRatio).cast("int").as("repetition_ok"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_canonical"),
+        when(col("bucket") < TrainPct, "train").otherwise("val").as("split"))
+      .withColumn("keep",
+        (col("lang_ok") === 1 && col("quality_ok") === 1 &&
+          col("repetition_ok") === 1 && col("is_canonical") === 1).cast("int"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline1_curation" -> ((s, dir) => {
-      val ws = tokens(col("text"))
-      val grams = wordShingles(col("text"), 3, distinct = false)
-      val scores = TextPack.markers.map { case (l, ms) => l -> TextPack.countIn(ws, ms) }
-      val Seq(en, de, fr, es) = scores.map(_._2)
-      val guess = when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
-      val stopRatio = TextPack.countIn(ws, TextPack.stopwords).cast("double") / size(ws)
-      val dupRatio = when(size(grams) > 0,
-        (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
-        .otherwise(lit(0.0))
-      val feat = Tables(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        guess.as("guessed_lang"),
-        stopRatio.as("stop_ratio"),
-        dupRatio.as("dup_ratio"),
-        md5(col("text")).as("fp"),
-        pmod(md5Prefix60(col("text")), lit(100)).as("bucket"))
-      val canon = feat.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-      feat.join(canon, "fp")
-        .select(col("doc_id"),
-          (col("guessed_lang") === col("lang")).cast("int").as("lang_ok"),
-          (col("stop_ratio") >= StopRatioMin && col("stop_ratio") <= StopRatioMax)
-            .cast("int").as("quality_ok"),
-          (col("dup_ratio") <= MaxDupGramRatio).cast("int").as("repetition_ok"),
-          (col("doc_id") === col("keep_id")).cast("int").as("is_canonical"),
-          when(col("bucket") < TrainPct, "train").otherwise("val").as("split"))
-        .withColumn("keep",
-          (col("lang_ok") === 1 && col("quality_ok") === 1 &&
-            col("repetition_ok") === 1 && col("is_canonical") === 1).cast("int"))
+    "pipeline1_curation" -> ((s, dir) => decisions(s, dir).orderBy("doc_id")),
+
+    "pipeline2_assembly" -> ((s, dir) => {
+      val kept = decisions(s, dir)
+        .where(col("keep") === 1 && col("split") === "train")
+        .select("doc_id")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+      // Stage boundary: materialize the curated sample (narrow rows, a
+      // fraction of the corpus) before packing. packSequences consumes
+      // its input in TWO branches (bucket-totals broadcast + main), so
+      // without the cut the whole curation lineage — including its
+      // fingerprint shuffle — is re-planned and re-executed per branch
+      // (measured 8.3 s vs 1.0 s at sf0.1). At 100 TB this boundary is a
+      // persisted table between pipeline stages; same reason here.
+      val sampled = SamplingPack.mixtureSample(docs.join(kept, "doc_id"))
+        .select("doc_id", "source", "n_tokens", "weight")
+        .localCheckpoint(true)
+      SamplingPack.packSequences(sampled)
+        .select(col("doc_id"), col("source"), col("weight"),
+          col("n_tokens"), col("shard_id"), col("offset_in_shard"))
         .orderBy("doc_id")
     })
   )
 
+  /** The curation CTE chain up to `lab` (one decision row per doc) —
+    * shared by both pipeline oracles.
+    */
+  private val curationCtes: String = {
+    val scoreCols = TextPack.markers.map { case (l, ms) =>
+      s"CAST(${TextPack.countInSql(ms)} AS INTEGER) AS s_$l" }.mkString(",\n    ")
+    s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT *, CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1),
+       |                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+       |    ELSE [] END AS gs
+       |  FROM w),
+       |feat AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols,
+       |    CAST(${TextPack.countInSql(TextPack.stopwords)} AS DOUBLE) / len(ws) AS stop_ratio,
+       |    CASE WHEN len(gs) > 0
+       |      THEN CAST(len(gs) - len(list_distinct(list_transform(gs, sh -> ${DedupPack.polyHashSql}))) AS DOUBLE) / len(gs)
+       |      ELSE CAST(0 AS DOUBLE) END AS dup_ratio,
+       |    md5(text) AS fp,
+       |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM g),
+       |canon AS (SELECT fp, min(doc_id) AS keep_id FROM feat GROUP BY fp),
+       |lab AS (
+       |  SELECT f.doc_id,
+       |    CAST((CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |               WHEN s_fr >= s_es THEN 'fr'
+       |               ELSE 'es' END) = f.lang AS INTEGER) AS lang_ok,
+       |    CAST(stop_ratio >= $StopRatioMin AND stop_ratio <= $StopRatioMax AS INTEGER) AS quality_ok,
+       |    CAST(dup_ratio <= $MaxDupGramRatio AS INTEGER) AS repetition_ok,
+       |    CAST(f.doc_id = c.keep_id AS INTEGER) AS is_canonical,
+       |    CASE WHEN bucket < $TrainPct THEN 'train' ELSE 'val' END AS split
+       |  FROM feat f JOIN canon c USING (fp))""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
-    "pipeline1_curation" -> {
-      val scoreCols = TextPack.markers.map { case (l, ms) =>
-        s"CAST(${TextPack.countInSql(ms)} AS INTEGER) AS s_$l" }.mkString(",\n    ")
-      s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
-         |g AS (
-         |  SELECT *, CASE WHEN len(ws) >= 3
-         |    THEN list_transform(range(1, len(ws) - 1),
-         |                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
-         |    ELSE [] END AS gs
-         |  FROM w),
-         |feat AS (
-         |  SELECT doc_id, lang,
-         |    $scoreCols,
-         |    CAST(${TextPack.countInSql(TextPack.stopwords)} AS DOUBLE) / len(ws) AS stop_ratio,
-         |    CASE WHEN len(gs) > 0
-         |      THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
-         |      ELSE CAST(0 AS DOUBLE) END AS dup_ratio,
-         |    md5(text) AS fp,
-         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
-         |  FROM g),
-         |canon AS (SELECT fp, min(doc_id) AS keep_id FROM feat GROUP BY fp),
-         |lab AS (
-         |  SELECT f.doc_id,
-         |    CAST((CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |               WHEN s_fr >= s_es THEN 'fr'
-         |               ELSE 'es' END) = f.lang AS INTEGER) AS lang_ok,
-         |    CAST(stop_ratio >= $StopRatioMin AND stop_ratio <= $StopRatioMax AS INTEGER) AS quality_ok,
-         |    CAST(dup_ratio <= $MaxDupGramRatio AS INTEGER) AS repetition_ok,
-         |    CAST(f.doc_id = c.keep_id AS INTEGER) AS is_canonical,
-         |    CASE WHEN bucket < $TrainPct THEN 'train' ELSE 'val' END AS split
-         |  FROM feat f JOIN canon c USING (fp))
-         |SELECT doc_id, lang_ok, quality_ok, repetition_ok, is_canonical, split,
-         |  CAST(lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1
-         |       AND is_canonical = 1 AS INTEGER) AS keep
-         |FROM lab ORDER BY doc_id""".stripMargin
-    }
+    "pipeline1_curation" ->
+      (curationCtes +
+        """
+          |SELECT doc_id, lang_ok, quality_ok, repetition_ok, is_canonical, split,
+          |  CAST(lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1
+          |       AND is_canonical = 1 AS INTEGER) AS keep
+          |FROM lab ORDER BY doc_id""".stripMargin),
+
+    "pipeline2_assembly" ->
+      (curationCtes +
+        s""",
+           |kept AS (
+           |  SELECT l.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens
+           |  FROM lab l JOIN documents d USING (doc_id)
+           |  WHERE lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1
+           |    AND is_canonical = 1 AND split = 'train'),
+           |samp AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    ${SamplingPack.sampleBucketSql} AS bucket,
+           |    ${SamplingPack.sampleCaseSql} AS permille
+           |  FROM kept),
+           |sel AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    CAST(1000 AS DOUBLE) / permille AS weight
+           |  FROM samp WHERE bucket < permille),
+           |c AS (
+           |  SELECT *,
+           |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cb
+           |  FROM sel)
+           |SELECT doc_id, source, weight, CAST(n_tokens AS INTEGER) AS n_tokens,
+           |  cb // ${SamplingPack.Budget} AS shard_id,
+           |  cb % ${SamplingPack.Budget} AS offset_in_shard
+           |FROM c ORDER BY doc_id""".stripMargin)
   )
 }

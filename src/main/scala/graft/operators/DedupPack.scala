@@ -321,10 +321,11 @@ object DedupPack extends QueryPack {
   )
 
   /** Same Horner-mod-prime hash as graft.functions.ShingleHashes,
-    * replayed per shingle string (column `sh`) via list_reduce over its
-    * code points. Shared by the d2/d3/d7 signature CTE and d8.
+    * replayed per shingle string (variable `sh`) via list_reduce over its
+    * code points. Shared by the d2/d3/d7 signature CTE, d8, and the
+    * hashed repetition features (t8, pipeline1/2).
     */
-  private val polyHashSql =
+  private[operators] val polyHashSql =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(range(1, len(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), " +
       s"(acc, c) -> (acc * ${graft.functions.WinnowFingerprints.Base} + c) % " +

@@ -15,7 +15,8 @@ import graft.functions.{md5Prefix60, tokens}
   * Both are hash/prefix-sum dataflows with NO RNG: rerunning at any
   * partitioning, scale, or cluster size reproduces the same sample and the
   * same shard layout (the property that makes training runs resumable and
-  * ablations comparable).
+  * ablations comparable). The composed end-to-end form is
+  * `pipeline2_assembly` (CurationPipeline).
   */
 object SamplingPack extends QueryPack {
 
@@ -26,73 +27,92 @@ object SamplingPack extends QueryPack {
   private val Rates = Seq(1000, 500, 250, 750)
 
   /** Tokens per packed training sequence (x2). */
-  private val Budget = 2048
+  private[operators] val Budget = 2048
   /** Documents per prefix-sum bucket (x2) — see the scale note there. */
-  private val Chunk = 256
+  private[operators] val Chunk = 256
+
+  /** Keep each (doc_id, source, …) row iff a salted content-independent
+    * hash of its id falls under its source's per-mille rate; add the
+    * inverse-rate importance weight. Pure projection + filter: no
+    * shuffle, no RNG, embarrassingly parallel, and the sample is a
+    * deterministic function of (id, rate table) — stable under
+    * reshuffling, retries, and scale-out.
+    */
+  private[operators] def mixtureSample(df: DataFrame): DataFrame = {
+    val h = pmod(md5Prefix60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000))
+    val grp = expr("CAST(substring(source, 4) AS INT) div 5")
+    val permille = Rates.zipWithIndex.tail
+      .foldLeft(when(grp === 0, Rates.head)) { case (c, (r, i)) => c.when(grp === i, r) }
+      .otherwise(Rates.last)
+    df.withColumn("bucket", h)
+      .withColumn("permille", permille)
+      .where(col("bucket") < col("permille"))
+      .withColumn("weight", lit(1000).cast("double") / col("permille"))
+  }
+
+  /** Concatenate the rows in doc_id order and chop into Budget-token
+    * shards: each document gets the shard id and intra-shard offset where
+    * its tokens start (documents may straddle a boundary, as in real
+    * packed pre-training). Input needs (doc_id, n_tokens); other columns
+    * ride along.
+    *
+    * The global prefix sum is two-level so it scales: (1) a window
+    * partitioned by a coarse doc_id bucket computes within-bucket running
+    * sums in parallel; (2) bucket totals — one row per Chunk documents,
+    * ~4M rows even at 1B docs — take a single tiny window pass and
+    * broadcast-join back. No stage ever single-partitions the corpus
+    * (a bare Window.orderBy over the full table would). Gaps in doc_id
+    * (a filtered corpus) just yield lighter buckets.
+    */
+  private[operators] def packSequences(docs: DataFrame): DataFrame = {
+    val t = docs.withColumn("pbucket", expr(s"doc_id div $Chunk"))
+    val inBucket = Window.partitionBy("pbucket").orderBy("doc_id")
+    val offsets = t.groupBy("pbucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff",
+        sum(col("btot")).over(Window.orderBy("pbucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("btot"))
+      .select(col("pbucket"), col("boff"))
+    t.join(broadcast(offsets), "pbucket")
+      .withColumn("cum_before",
+        col("boff") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"cum_before div $Budget"))
+      .withColumn("offset_in_shard", col("cum_before") % Budget)
+      .drop("pbucket", "boff", "cum_before")
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // x1: stratified mixture sampling — keep each document iff a salted
-    // content-independent hash of its id falls under its source's
-    // per-mille rate; emit the inverse-rate importance weight. Pure
-    // projection + filter: no shuffle, no RNG, embarrassingly parallel,
-    // and the sample is a deterministic function of (id, rate table) —
-    // stable under reshuffling, retries, and scale-out.
-    "x1_mixture_sample" -> ((s, dir) => {
-      val h = pmod(md5Prefix60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000))
-      val grp = expr("CAST(substring(source, 4) AS INT) div 5")
-      val permille = Rates.zipWithIndex.tail
-        .foldLeft(when(grp === 0, Rates.head)) { case (c, (r, i)) => c.when(grp === i, r) }
-        .otherwise(Rates.last)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), h.as("bucket"),
-          (lit(1000).cast("double") / permille).as("weight"))
-        .where(col("bucket") < permille)
-        .orderBy("doc_id")
-    }),
+    // x1: stratified mixture sampling over the raw corpus.
+    "x1_mixture_sample" -> ((s, dir) =>
+      mixtureSample(Tables(s, dir, "documents").select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"), col("bucket"), col("weight"))
+        .orderBy("doc_id")),
 
-    // x2: sequence packing — concatenate the corpus in doc_id order and
-    // chop into Budget-token shards: each document gets the shard id and
-    // intra-shard offset where its tokens start (documents may straddle a
-    // boundary, as in real packed pre-training).
-    //
-    // The global prefix sum is two-level so it scales: (1) a window
-    // partitioned by a coarse doc_id bucket computes within-bucket running
-    // sums in parallel; (2) bucket totals — one row per Chunk documents,
-    // ~4M rows even at 1B docs — take a single tiny window pass and
-    // broadcast-join back. No stage ever single-partitions the corpus
-    // (a bare Window.orderBy over the full table would).
-    "x2_pack_sequences" -> ((s, dir) => {
-      val t = Tables(s, dir, "documents")
-        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-        .withColumn("bucket", expr(s"doc_id div $Chunk"))
-      val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
-      val offsets = t.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
-        .withColumn("boff",
-          sum(col("btot")).over(Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("btot"))
-        .select(col("bucket"), col("boff"))
-      t.join(broadcast(offsets), "bucket")
-        .withColumn("cum_before",
-          col("boff") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+    // x2: sequence packing over the raw corpus.
+    "x2_pack_sequences" -> ((s, dir) =>
+      packSequences(Tables(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens")))
         .select(col("doc_id"), col("n_tokens"),
-          expr(s"cum_before div $Budget").as("shard_id"),
-          (col("cum_before") % Budget).as("offset_in_shard"))
-        .orderBy("doc_id")
-    })
+          col("shard_id"), col("offset_in_shard"))
+        .orderBy("doc_id"))
   )
 
+  /** Oracle fragments shared with pipeline2 (CurationPipeline). */
+  private[operators] val sampleCaseSql: String = {
+    val cases = Rates.zipWithIndex.map { case (r, i) => s"WHEN $i THEN $r" }.mkString(" ")
+    s"CASE CAST(substr(source, 4) AS INTEGER) // 5 $cases ELSE ${Rates.last} END"
+  }
+  private[operators] val sampleBucketSql: String =
+    "CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
   override def oracles: Map[String, String] = Map(
-    "x1_mixture_sample" -> {
-      val cases = Rates.zipWithIndex
-        .map { case (r, i) => s"WHEN $i THEN $r" }.mkString(" ")
+    "x1_mixture_sample" ->
       s"""WITH p AS (
          |  SELECT doc_id, source,
-         |    CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
-         |    CASE CAST(substr(source, 4) AS INTEGER) // 5 $cases ELSE ${Rates.last} END AS permille
+         |    $sampleBucketSql AS bucket,
+         |    $sampleCaseSql AS permille
          |  FROM documents)
          |SELECT doc_id, source, bucket, CAST(1000 AS DOUBLE) / permille AS weight
-         |FROM p WHERE bucket < permille ORDER BY doc_id""".stripMargin
-    },
+         |FROM p WHERE bucket < permille ORDER BY doc_id""".stripMargin,
 
     "x2_pack_sequences" ->
       s"""WITH t AS (

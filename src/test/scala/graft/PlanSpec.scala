@@ -97,7 +97,7 @@ class PlanSpec extends SparkSuite {
   test("x2 packing windows partition by bucket; only the tiny totals frame is single-partition") {
     val p = plan("x2_pack_sequences")
     // the corpus-wide running sum must be keyed by the prefix bucket...
-    assert("windowspecdefinition\\(bucket#\\d+L?, doc_id".r.findFirstIn(p).isDefined, p)
+    assert("windowspecdefinition\\(pbucket#\\d+L?, doc_id".r.findFirstIn(p).isDefined, p)
     // ...and the only single-partition stage is the bucket-totals window,
     // fed by a two-phase aggregate that collapsed the corpus first
     assert("SinglePartition".r.findAllIn(p).size === 1, p)
