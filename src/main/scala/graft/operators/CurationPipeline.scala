@@ -19,10 +19,11 @@ import graft.functions.{md5Prefix60, shingle_hashes, tokens}
   * here is the composition, not the numbers.
   *
   * pipeline2 (assembly): the kept training docs → deterministic mixture
-  * sampling per source → fixed-token sequence packing. Adds one broadcast
-  * join (bucket prefix offsets) and one bucket-keyed window on top of
-  * pipeline1's shuffle — the complete raw-corpus→training-shards path is
-  * two shuffles end-to-end.
+  * sampling per source → fixed-token sequence packing. The only
+  * corpus-sized shuffle in the whole path is pipeline1's fingerprint
+  * groupBy; everything after the checkpointed stage boundary (bucket
+  * aggregation, prefix window, final sort) operates on the sampled
+  * fraction — narrow rows, a fraction of the corpus.
   */
 object CurationPipeline extends QueryPack {
 

@@ -66,6 +66,28 @@ class SamplingSpec extends SparkSuite {
     assert(inOrder.sameElements(inOrder.sorted))
   }
 
+  test("x2 packing handles doc_id gaps and zero-token docs (random corpora)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // Sparse ids (filtered corpora leave gaps; some prefix buckets end up
+    // empty) and zero-token docs must not disturb the prefix sum.
+    val genDocs = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 4000L), Gen.choose(0, 300)))
+    val corpora = Gen.listOfN(6, genDocs)(Gen.Parameters.default, Seed(11L)).get
+    corpora.foreach { raw =>
+      val docs = raw.toMap.toSeq.sortBy(_._1) // distinct ids, sorted
+      val cumBefore = docs.scanLeft(0L) { case (acc, (_, n)) => acc + n }.init
+      val expected = docs.zip(cumBefore).map { case ((id, n), cb) =>
+        id -> ((n, cb / 2048, cb % 2048)) }.toMap
+      val got = SamplingPack.packSequences(docs.toDF("doc_id", "n_tokens"))
+        .select("doc_id", "n_tokens", "shard_id", "offset_in_shard")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("d8 never flags benchmark members and only flags true overlaps") {
     val rows = q("d8_decontaminate").collect()
     assert(rows.nonEmpty)
