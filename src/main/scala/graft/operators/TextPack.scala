@@ -161,6 +161,26 @@ object TextPack extends QueryPack {
         regexp_count(raw, lit(emailRe)).cast("int").as("n_emails"),
         regexp_count(raw, lit(phoneRe)).cast("int").as("n_phones"))
         .orderBy("doc_id")
+    }),
+
+    // t11: BPE-ish regex token counting — the pre-tokenizer split every
+    // BPE-family tokenizer starts from (letter runs | digit runs |
+    // punctuation runs), as opposed to t1's whitespace tokens. The
+    // corpus is plain lowercase words, so a deterministic version/
+    // punctuation suffix is appended first (same construction in the
+    // oracle) to exercise all three classes. The character classes are
+    // disjoint, so alternation order is immaterial and the pattern sits
+    // in the Java∩RE2 regex subset. Per-row projection, no shuffle.
+    "t11_bpe_tokens" -> ((s, dir) => {
+      val enriched = concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+        lit(".0 (rev-"), (col("doc_id") % 7).cast("string"), lit(")!"))
+      val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+      Tables(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(enriched, lit(bpe), lit(0))).as("n_bpe_tokens"),
+        size(regexp_extract_all(enriched, lit("[a-zA-Z]+"), lit(0))).as("n_alpha"),
+        size(regexp_extract_all(enriched, lit("[0-9]+"), lit(0))).as("n_num"),
+        size(regexp_extract_all(enriched, lit("[^a-zA-Z0-9 ]+"), lit(0))).as("n_other"))
+        .orderBy("doc_id")
     })
   )
 
@@ -249,6 +269,19 @@ object TextPack extends QueryPack {
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS INTEGER) AS n_emails,
         |  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t11_bpe_tokens" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' v' || CAST(doc_id AS VARCHAR) || '.0 (rev-'
+        |      || CAST(doc_id % 7 AS VARCHAR) || ')!' AS enriched
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(enriched, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(enriched, '[a-zA-Z]+')) AS INTEGER) AS n_alpha,
+        |  CAST(len(regexp_extract_all(enriched, '[0-9]+')) AS INTEGER) AS n_num,
+        |  CAST(len(regexp_extract_all(enriched, '[^a-zA-Z0-9 ]+')) AS INTEGER) AS n_other
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // Same trigram construction as the d4 oracle's shingle CTE, then the

@@ -81,6 +81,13 @@ class PlanSpec extends SparkSuite {
     assert("(?s)partial_min|HashAggregate.*min.*Exchange".r.findFirstIn(p).isDefined, p)
   }
 
+  test("a25 grouping sets plan as one Expand feeding a two-phase aggregate") {
+    val p = plan("a25_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("(?s)partial_count|HashAggregate.*Exchange.*HashAggregate".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("d8 decontamination broadcasts the benchmark grams (corpus never shuffles raw grams)") {
     val p = plan("d8_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
