@@ -36,7 +36,7 @@ class HashProps extends SparkSuite {
         .map(i => polyHash(words.slice(i, i + 3).mkString(" ")))
         .distinct.sorted
       val got = ShingleHashes.hashes(UTF8String.fromString(t), 3)
-        .toLongArray.toSeq
+        .toLongArray().toSeq
       assert(got == expect, s"text: $t")
     }
   }
@@ -55,7 +55,7 @@ class HashProps extends SparkSuite {
             .distinct.sorted
         }
       val got = WinnowFingerprints.javaWinnow(UTF8String.fromString(t))
-        .toLongArray.toSeq
+        .toLongArray().toSeq
       assert(got == expect, s"text: $t")
     }
   }

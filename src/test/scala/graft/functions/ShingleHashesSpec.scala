@@ -30,7 +30,7 @@ class ShingleHashesSpec extends SparkSuite {
       "döc wïth ünïcode wörds here")
     texts.foreach { t =>
       val got = ShingleHashes.hashes(UTF8String.fromString(t), 3)
-        .toLongArray.toSeq
+        .toLongArray().toSeq
       assert(got == reference(t, 3), s"mismatch for: $t")
     }
   }
@@ -43,7 +43,7 @@ class ShingleHashesSpec extends SparkSuite {
     docs.select($"doc_id", $"text").as[(Long, String)].collect()
       .foreach { case (id, t) =>
         val interp = ShingleHashes.hashes(UTF8String.fromString(t), 3)
-          .toLongArray.toSeq
+          .toLongArray().toSeq
         assert(viaQuery(id) == interp, s"doc $id")
       }
   }

@@ -35,7 +35,7 @@ class WinnowSpec extends SparkSuite {
       "café latte with unicode ümläuts")
     texts.foreach { t =>
       val got = WinnowFingerprints.javaWinnow(UTF8String.fromString(t))
-        .toLongArray.toSeq
+        .toLongArray().toSeq
       assert(got == reference(t), s"mismatch for: $t")
     }
   }
@@ -48,7 +48,7 @@ class WinnowSpec extends SparkSuite {
     val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
     texts.foreach { case (id, t) =>
       val interp = WinnowFingerprints.javaWinnow(UTF8String.fromString(t))
-        .toLongArray.toSeq
+        .toLongArray().toSeq
       assert(viaQuery(id) == interp, s"doc $id")
     }
   }
