@@ -129,6 +129,41 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     }),
 
+    // e8: scalar-quantization (SQ8) KNN — the fourth classic index
+    // family next to Flat (e1/e2), LSH/IVF (e4/e5) and PQ (e6/e7):
+    // every dimension linearly quantized to an 8-bit code between the
+    // corpus per-dimension min/max, queries scored against the DECODED
+    // vectors (asymmetric, like ADC). The scan reads 1/4 the bytes of
+    // float32 at a quantization error ≪ PQ's. Dataflow at scale: the
+    // stats pass is a posexplode + 64-group aggregation (one tiny
+    // shuffle, like e3), the (lo, hi) arrays broadcast to the scan, and
+    // encode+decode+cosine run per-row inside the scan stage — one pass,
+    // no joins. Everything is a deterministic function of the corpus, so
+    // the DuckDB oracle replays it exactly; RecallSpec gates recall@20.
+    "e8_sq_knn" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cons = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+            x => x.getField("lo")).as("los"),
+          transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+            x => x.getField("hi")).as("his"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cons))
+        .crossJoin(broadcast(q))
+        .withColumn("de", expr(
+          s"""transform(sequence(0, ${Dim - 1}), i ->
+             |  los[i] + round((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0
+             |                 / (his[i] - los[i])) * (his[i] - los[i]) / 255.0)""".stripMargin))
+        .select(col("vec_id"),
+          round(cosine_similarity_hof(col("de"), col("qe")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
     // e6: PQ codes — every vector compressed to SubSpaces one-byte
     // codes (FAISS-style product quantization). Encoding is a pure
     // compiled projection (NearestCentroid per subspace over codebook
@@ -215,6 +250,27 @@ object SimilarityPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+
+    // Replays the SQ8 quantize→decode→score pipeline with the identical
+    // arithmetic (same operation order, same round, 1-based indexing).
+    "e8_sq_knn" ->
+      s"""WITH dims AS (
+         |  SELECT t.i AS i,
+         |    min(CAST(embedding[t.i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[t.i] AS DOUBLE)) AS hi
+         |  FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY t.i),
+         |cons AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |dec AS (
+         |  SELECT e.vec_id,
+         |    list_transform(range(1, ${Dim + 1}), i ->
+         |      los[i] + round((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0
+         |                     / (his[i] - los[i])) * (his[i] - los[i]) / 255.0) AS de
+         |  FROM embeddings e, cons WHERE e.vec_id <> 0)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT vec_id, round(list_cosine_similarity(de, qe), 6) AS cos_sim
+         |  FROM dec, q)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
     // Replays PQ encoding from the pretrained codebook constants the
     // queries embed — static SQL, exact across scale factors.
     "e6_pq_codes" -> PqIndex.encodeSql(PqIndex.Pretrained),

@@ -40,6 +40,16 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.8, s"e7 recall@20 degraded to $recall")
   }
 
+  test("e8 SQ8 KNN: recall@20 vs exact e1 >= 0.9 (finest quantizer)") {
+    val exact = topIds("e1_knn_brute")
+    val sq = topIds("e8_sq_knn")
+    val recall = (exact & sq).size.toDouble / exact.size
+    info(s"e8 recall@20 = $recall")
+    // 8-bit-per-dim quantization error is far below PQ's — hold it to a
+    // tighter gate than the bucketing indexes.
+    assert(recall >= 0.9, s"e8 recall@20 degraded to $recall")
+  }
+
   test("a20 HLL approx distinct: relative error vs exact a11 within 5%") {
     import spark.implicits._
     val exactCounts = graft.SparkEntry.queries("a11_distinct_agg")(spark, dir)
