@@ -163,6 +163,23 @@ object RelationalPack extends QueryPack {
         .orderBy("key")
     }),
 
+    // a28: semi-structured extraction — pull a typed value out of the
+    // events.props JSON payload (get_json_object is codegen'd; no UDF,
+    // no full from_json struct materialization for a single field) and
+    // aggregate it relationally. Closes the data-model claim that JSON
+    // payload columns are first-class analytics inputs, not just opaque
+    // strings to round-trip.
+    "a28_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
     // a26: RANGE-framed window — per-user trailing-10-minute count/sum,
     // the value-based frame a6's ROWS frame can't express (peers by
     // event-time distance, not row position). Both engines evaluate the
@@ -442,6 +459,12 @@ object RelationalPack extends QueryPack {
         |SELECT coalesce(c_custkey, o_custkey) AS key, c_name, n_big
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY key""".stripMargin,
+
+    "a28_json_extract" ->
+      """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a26_range_frame" ->
       """SELECT event_id, user_id,
