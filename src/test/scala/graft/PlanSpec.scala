@@ -81,6 +81,20 @@ class PlanSpec extends SparkSuite {
     assert("(?s)partial_min|HashAggregate.*min.*Exchange".r.findFirstIn(p).isDefined, p)
   }
 
+  test("e8 SQ8 KNN is one corpus pass: broadcasts + TakeOrderedAndProject, no shuffle join") {
+    val p = plan("e8_sq_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t9 TF-IDF windows partition by doc_id (no global window)") {
+    val p = plan("t9_tfidf_top_term")
+    assert("windowspecdefinition\\(doc_id#\\d+L?,".r.findFirstIn(p).isDefined, p)
+    // the only single-partition stage is the one-row corpus count (N)
+    assert("SinglePartition".r.findAllIn(p).size === 1, p)
+  }
+
   test("a25 grouping sets plan as one Expand feeding a two-phase aggregate") {
     val p = plan("a25_grouping_sets")
     assert(p.contains("Expand"), p)
