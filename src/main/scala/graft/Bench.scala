@@ -49,7 +49,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // "value" (the total) BEFORE the per-query map: the driver captures a
+    // bounded tail of stdout, and with 80+ queries the map alone can
+    // overflow it — the headline number must survive any truncation
+    // window. The full line is also written to BENCH.local.json so a
+    // truncated capture never loses the per-query breakdown.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.local.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH.local.json: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, LshBucketCodes, NearestCentroid, ShingleHashes, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, LshBucketCodes, NearestCentroid, ShingleHashes, Sq8Cosine, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers ALL the engine's custom
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashes(exprs.head, exprs(1)))
     inject(e, "lsh_bucket_codes", classOf[LshBucketCodes],
       exprs => LshBucketCodes(exprs.head, exprs(1), exprs(2)))
+    inject(e, "sq8_cosine", classOf[Sq8Cosine],
+      exprs => Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3)))
   }
 }

@@ -60,6 +60,10 @@ package object functions {
       "lsh_bucket_codes",
       exprs => LshBucketCodes(exprs.head, exprs(1), exprs(2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_cosine",
+      exprs => Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
   }
 
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */
@@ -78,6 +82,12 @@ package object functions {
       i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*))
     if (distinct) array_distinct(grams) else grams
   }
+
+  /** Fused SQ8 quantize→decode→cosine scoring (native codegen
+    * expression). See [[Sq8Cosine]].
+    */
+  def sq8_cosine(vec: Column, los: Column, his: Column, q: Column): Column =
+    columnOf(Sq8Cosine(exprOf(vec), exprOf(los), exprOf(his), exprOf(q)))
 
   /** Multi-table LSH bucket codes in one fused pass. See
     * [[LshBucketCodes]].

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_codes}
+import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_codes, sq8_cosine}
 
 /** Similarity search over the `embeddings` table (`ARRAY<FLOAT>` vectors).
   *
@@ -137,9 +137,13 @@ object SimilarityPack extends QueryPack {
     // float32 at a quantization error ≪ PQ's. Dataflow at scale: the
     // stats pass is a posexplode + 64-group aggregation (one tiny
     // shuffle, like e3), the (lo, hi) arrays broadcast to the scan, and
-    // encode+decode+cosine run per-row inside the scan stage — one pass,
-    // no joins. Everything is a deterministic function of the corpus, so
-    // the DuckDB oracle replays it exactly; RecallSpec gates recall@20.
+    // quantize+decode+score run per-row inside the scan stage as ONE
+    // compiled loop (the fused `sq8_cosine` expression — the earlier
+    // `transform(sequence...)` + HOF-cosine formulation evaluated
+    // interpreted, forfeiting SQ8's cheap-scan purpose at scale) — one
+    // pass, no joins. Everything is a deterministic function of the
+    // corpus, so the DuckDB oracle replays it exactly; RecallSpec gates
+    // recall@20.
     "e8_sq_knn" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val cons = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -154,12 +158,9 @@ object SimilarityPack extends QueryPack {
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(cons))
         .crossJoin(broadcast(q))
-        .withColumn("de", expr(
-          s"""transform(sequence(0, ${Dim - 1}), i ->
-             |  los[i] + round((CAST(embedding[i] AS DOUBLE) - los[i]) * 255.0
-             |                 / (his[i] - los[i])) * (his[i] - los[i]) / 255.0)""".stripMargin))
         .select(col("vec_id"),
-          round(cosine_similarity_hof(col("de"), col("qe")), 6).as("cos_sim"))
+          round(sq8_cosine(col("embedding"), col("los"), col("his"), col("qe")), 6)
+            .as("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(20)
     }),
@@ -201,10 +202,20 @@ object SimilarityPack extends QueryPack {
 
     // e4: multi-table LSH approximate KNN — candidates share a bucket
     // with the query in ANY of the 16 tables; exact cosine re-score on
-    // the deduped candidate set. Approximate vs e1's exact answer, but
+    // the candidate set. Approximate vs e1's exact answer, but
     // DETERMINISTIC by seeded hyperplanes — so the oracle replays the
     // bucketing from the same constants and e4 is hash-checked;
     // RecallSpec separately gates recall@20 against e1.
+    //
+    // Score FIRST, dedup the narrow (vec_id, cos_sim) projection after —
+    // never dedup rows still carrying the two 64-float embeddings: the
+    // dedup is this plan's only exchange, and scoring first shrinks it
+    // from ~520 bytes/candidate to 16 (the d6 lesson,
+    // DedupPack d6 notes — recomputing a dot product per duplicate
+    // candidate is far cheaper than shuffling wide rows). cos_sim is a
+    // pure function of vec_id given the fixed query, so deduping after
+    // scoring picks identical values. PlanSpec pins the no-wide-exchange
+    // shape.
     "e4_knn_lsh" -> ((s, dir) => {
       val sig = lshBuckets(s, Tables(s, dir, "embeddings"))
       val q = sig.where(col("vec_id") === 0)
@@ -213,10 +224,9 @@ object SimilarityPack extends QueryPack {
       sig.where(col("vec_id") =!= 0)
         .join(broadcast(q),
           col("table") === col("qtable") && col("bucket") === col("qbucket"))
-        .select(col("vec_id"), col("embedding"), col("qe"))
-        .dropDuplicates("vec_id")
         .select(col("vec_id"),
           round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .dropDuplicates("vec_id")
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(20)
     })

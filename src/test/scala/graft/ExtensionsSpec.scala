@@ -45,6 +45,16 @@ class ExtensionsSpec extends SparkSuite {
         |  1) AS b""".stripMargin)
       .collect().head.getSeq[Int](0)
     assert(bc.length === 2)
+    // decode of (1,0) between lo=0,hi=2: code=round(127.5)=128 (half-up),
+    // de=(128*2/255, 0) — colinear with the query, so cosine is exactly 1.
+    val sq = spark.sql(
+      """SELECT sq8_cosine(
+        |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |  CAST(array(0.0, 0.0) AS ARRAY<DOUBLE>),
+        |  CAST(array(2.0, 2.0) AS ARRAY<DOUBLE>),
+        |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(sq - 1.0) < 1e-12)
   }
 
   test("GraftExtensions injects without error") {

@@ -88,6 +88,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("e8 scores through the fused sq8_cosine expression (compiled, not HOF lambdas)") {
+    val p = plan("e8_sq_knn")
+    assert(p.contains("sq8_cosine"), p)
+    // the per-row interpreted decode (transform over an index sequence) is
+    // gone from the corpus scan; the only remaining lambdas are in the
+    // one-row (lo, hi) stats aggregate, which is not the hot path
+    assert(!p.contains("transform(sequence"), p)
+  }
+
+  test("e4 dedups AFTER scoring: no exchange carries an embedding column") {
+    // The d6-proven ordering (score -> dedup on the narrow projection):
+    // e4's only shuffle is the vec_id dedup, and its rows must be
+    // (vec_id, cos_sim) — never the two 64-float embeddings
+    // (~16 bytes/candidate vs ~520).
+    val p = plan("e4_knn_lsh")
+    val exchangeInputs = """\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, p)
+    exchangeInputs.foreach { cols =>
+      assert(!cols.contains("embedding") && !cols.contains("qe"),
+        s"shuffle exchange carries a wide embedding column: [$cols]")
+    }
+  }
+
   test("t9 TF-IDF windows partition by doc_id (no global window)") {
     val p = plan("t9_tfidf_top_term")
     assert("windowspecdefinition\\(doc_id#\\d+L?,".r.findFirstIn(p).isDefined, p)

@@ -24,6 +24,29 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.8, s"e4 recall@20 degraded to $recall")
   }
 
+  test("e4 LSH candidate volume is bounded (the selectivity side of the dial)") {
+    // Recall gates alone can hide an index that degenerates into a full
+    // scan (100% candidates = perfect recall, zero selectivity). On this
+    // near-random corpus the 16-table union covers ~64% per query —
+    // report it and bound it, so anyone turning the tables/planes dial at
+    // scale sees BOTH sides move.
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val sig = SimilarityPack.lshBuckets(spark, emb)
+    val q = sig.where(col("vec_id") === 0)
+      .select(col("table").as("qtable"), col("bucket").as("qbucket"))
+    val corpus = emb.where(col("vec_id") =!= 0).count()
+    val candidates = sig.where(col("vec_id") =!= 0)
+      .join(broadcast(q),
+        col("table") === col("qtable") && col("bucket") === col("qbucket"))
+      .select("vec_id").distinct().count()
+    val ratio = candidates.toDouble / corpus
+    info(f"e4 candidate volume: $candidates/$corpus = $ratio%.3f of corpus")
+    assert(ratio > 0.0, "LSH returned zero candidates")
+    assert(ratio <= 0.75, f"e4 candidate set covers $ratio%.3f of the corpus - " +
+      "the index has degenerated toward a full scan; retune planes/tables")
+  }
+
   test("e5 IVF KNN: recall@20 vs exact e1 >= 0.8") {
     val exact = topIds("e1_knn_brute")
     val ivf = topIds("e5_ivf_knn")
