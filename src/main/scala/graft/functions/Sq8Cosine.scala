@@ -101,7 +101,12 @@ object Sq8Cosine {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val l = lo(i); val h = hi(i)
-      val de = l + Math.round((v(i).toDouble - l) * 255.0 / (h - l)) * (h - l) / 255.0
+      // h == l (constant dimension): every corpus value decodes to l.
+      // Guarding keeps the kernel total — no Inf/NaN intermediates whose
+      // settling behavior an oracle replay isn't guaranteed to mirror.
+      val de =
+        if (h > l) l + Math.round((v(i).toDouble - l) * 255.0 / (h - l)) * (h - l) / 255.0
+        else l
       val qi = q(i).toDouble
       dot += de * qi; na += de * de; nb += qi * qi
       i += 1

@@ -4,10 +4,12 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 import graft.domain.TimeCodec
 import graft.operators.DerivedSignalLog
+import graft.projection.SignalProjection
 
 /** End-to-end streaming replay, oracle-checked: the derived signal log is
   * serialized to JSON-lines event files (delete events naturally shrink to
@@ -24,13 +26,7 @@ object StreamingPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_replay" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-stream-").toFile.getAbsolutePath
-      val log = DerivedSignalLog.log(s, dir)
-      val eventCols = log.columns.filterNot(_ == "seq").map(col)
-      log.select(col("seq"),
-          to_json(struct(eventCols.toIndexedSeq: _*),
-            Map("timestampFormat" -> TsFmt).asJava).as("value"))
-        .repartition(2) // 2 files -> 2 micro-batches: exercises the
-        .write.json(s"$tmp/events") // incremental merge without padding the bench
+      writeEventLog(s, dir, s"$tmp/events")
 
       // Per-workload tuning, the multi-tenant idiom: a child session
       // (shared SparkContext, independent SQLConf) runs the streaming
@@ -116,8 +112,205 @@ object StreamingPack extends QueryPack {
         .start()
       q.awaitTermination()
       ss.table("graft_s3_join").orderBy("click_id", "purchase_id")
+    }),
+
+    // s4: the PRODUCTION form of s2 — watermark + APPEND mode. Complete
+    // mode (s2) re-emits the whole aggregation state every batch and
+    // retains every window forever: correct, but state and sink grow with
+    // distinct windows — a scale-killer at 100× key cardinality. Append
+    // mode emits each window EXACTLY ONCE, when the watermark proves it
+    // closed, and then evicts its state — state is O(windows inside the
+    // watermark horizon), the only shape that runs forever on 100 TB/day.
+    // Determinism: the final watermark under AvailableNow is
+    // max(event time) − 1 h, so every window with start <
+    // trunc(max)−2 h is provably closed and emitted
+    // (WindowedStreamSpec proves the emission contract); both the query
+    // and the oracle cut at that boundary, excluding the watermark-held
+    // tail the stream must NOT have emitted yet.
+    "s4_window_append" -> ((s, dir) => {
+      val ss = tunedChild(s)
+      val chk = Files.createTempDirectory("graft-s4-").toFile.getAbsolutePath
+      val q = eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("total"))
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s4_win")
+        .option("checkpointLocation", s"$chk/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val maxHour = Tables(s, dir, "events")
+        .select(date_trunc("hour", max(col("ts"))).as("h")).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxHour.getTime - 2L * 3600 * 1000)
+      ss.table("graft_s4_win")
+        .where(col("w.start") < lit(cutoff))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // s5: s3's OUTER half — left-outer click-attribution where a purchase
+    // with no preceding click emits null-padded, but only after the
+    // watermark proves no matching click can still arrive. This is the
+    // semantics that make outer joins well-defined on unbounded streams:
+    // the emission is gated on watermark progress, and the state for the
+    // emitted row is evicted. Far-future sentinel rows (filtered out of
+    // the result by id < 0) advance the watermark past every real window;
+    // a second sentinel + restart gives the engine the data-bearing batch
+    // it needs to drain the last held rows (StreamJoinSpec proves the
+    // full drain equals the batch left-outer join).
+    "s5_stream_outer_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s5-").toFile.getAbsolutePath
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      e.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      // Sentinels must survive the per-side event_type filters
+      // (withWatermark sits AFTER the filter): one purchase-typed and one
+      // click-typed row on disjoint negative users, click strictly later
+      // so the pair cannot join.
+      def writeSentinel(days: Int): Unit =
+        e.orderBy(desc("ts")).limit(1)
+          .select(lit(-1L).as("event_id"),
+            (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type"))
+          .unionAll(e.orderBy(desc("ts")).limit(1)
+            .select(lit(-2L).as("event_id"),
+              (col("ts") + expr(s"INTERVAL ${days + 1} DAYS")).as("ts"),
+              lit(-2L).as("user_id"), lit("click").as("event_type")))
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      writeSentinel(30)
+
+      val ss = tunedChild(s)
+      def side(tpe: String, u: String, t: String, id: String): DataFrame =
+        ss.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in")
+          .where(col("event_type") === tpe)
+          .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
+          .withWatermark(t, "1 hour")
+      val joined = side("purchase", "p_user", "p_ts", "p_id")
+        .join(side("click", "c_user", "c_ts", "c_id"),
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+      // File sink, not memory: outer-row flush needs checkpoint recovery
+      // across the restart.
+      def runOnce(): Unit = {
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      writeSentinel(60)
+      runOnce()
+
+      s.read.parquet(s"$tmp/out")
+        .where(col("p_id") >= 0)
+        .select(col("p_user").as("user_id"), col("p_id").as("purchase_id"),
+          col("c_id").as("click_id"), col("p_ts").as("purchase_ts"),
+          col("c_ts").as("click_ts"))
+        .orderBy(col("purchase_id"), col("click_id")) // Spark asc = NULLS FIRST
+    }),
+
+    // s6: the LOW-LATENCY projection — the same LWW-by-seq fold as
+    // s1/p3/p4, but held as per-key state in Spark's own state store via
+    // flatMapGroupsWithState, emitting the new materialized row on every
+    // update (reference's continuous consumer loop,
+    // data-plane/internal/projection/signal.go:38-67). The replay
+    // converges to the batch fold, so it shares s1's oracle — the
+    // strongest unification claim for the stateful-API path.
+    "s6_live_projection" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s6-").toFile.getAbsolutePath
+      writeEventLog(s, dir, s"$tmp/events")
+      val ss = tunedChild(s)
+      val raw = ss.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("seq", "long").add("value", "string"))
+        .option("maxFilesPerTrigger", "1") // 2 files -> cross-batch state
+        .json(s"$tmp/events")
+      val q = LiveProjection(ss, SignalProjection.decode(raw))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("graft_s6_live")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Update mode emits one row per key per touching batch; the served
+      // view is the latest emission per key, tombstones filtered — the
+      // same read the update-stream consumer (e.g. a cache) would hold.
+      val out = ss.table("graft_s6_live")
+      val payloadCols = out.columns.filterNot(_ == "id")
+      out.groupBy(col("id"))
+        .agg(max_by(struct(payloadCols.map(col).toIndexedSeq: _*), col("seq")).as("r"))
+        .select(col("id") +: payloadCols.toSeq.map(f => col(s"r.$f").as(f)): _*)
+        .where(!col("deleted"))
+        .select(col("id"), col("seq"), col("action"), col("title"),
+          col("content"), col("priority"), col("author"),
+          TimeCodec.parseRfc3339(col("created_at")).as("created_at"),
+          TimeCodec.parseRfc3339(col("updated_at")).as("updated_at"))
+        .orderBy("id")
+    }),
+
+    // s7: streaming exact dedup on the RocksDB state store — the
+    // at-least-once ingestion guard for append-only training-data
+    // pipelines (no LWW fold to absorb redelivery). The documents table
+    // is delivered TWICE (simulated redelivery) across micro-batches;
+    // dropDuplicates(doc_id) holds seen-keys in RocksDB (off-heap,
+    // incremental checkpoints — the only provider that survives
+    // unbounded key cardinality at 100 TB). The deduped stream must equal
+    // the documents table exactly, so fingerprint-grouping its output
+    // replays d1's batch oracle verbatim.
+    "s7_stream_dedup" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s7-").toFile.getAbsolutePath
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      docs.coalesce(1).write.mode("append").parquet(s"$tmp/in") // redelivery
+      val ss = tunedChild(s)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in")
+        .dropDuplicates("doc_id")
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s7_dedup")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s7_dedup")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
     })
   )
+
+  /** Serialize the derived signal log to JSON-lines event files — the
+    * wire format of the reference's topic. Delete events naturally shrink
+    * to `{"action","id"}` because to_json drops nulls. 2 files → 2
+    * micro-batches: exercises cross-batch state without padding the bench.
+    */
+  private def writeEventLog(s: SparkSession, dir: String, out: String): Unit = {
+    val log = DerivedSignalLog.log(s, dir)
+    val eventCols = log.columns.filterNot(_ == "seq").map(col)
+    log.select(col("seq"),
+        to_json(struct(eventCols.toIndexedSeq: _*),
+          Map("timestampFormat" -> TsFmt).asJava).as("value"))
+      .repartition(2)
+      .write.json(out)
+  }
 
   /** Child session tuned for micro-batch-sized shuffles (see s1 note). */
   private def tunedChild(s: SparkSession): SparkSession = {
@@ -169,7 +362,42 @@ object StreamingPack extends QueryPack {
         |  ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // a12's aggregation restricted to the windows the final watermark
+    // (max event time − 1 h) has provably closed — the append-mode
+    // emission set, excluding the held-back tail.
+    "s4_window_append" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) <
+        |  (SELECT date_trunc('hour', max(CAST(ts AS TIMESTAMP))) - INTERVAL 2 HOUR FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The batch left-outer formulation; NULLS FIRST matches Spark's
+    // ascending-null ordering.
+    "s5_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
+
+    // The live fold converges to the batch fold: s1's oracle.
+    "s6_live_projection" -> (DerivedSignalLog.SQL_CTE +
+      """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
+        |FROM signals ORDER BY id""".stripMargin),
+
+    // Dedup of the doubled delivery == the documents table, so
+    // fingerprint-grouping replays d1's oracle.
+    "s7_stream_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
   )
 
   private implicit class MapOps(m: Map[String, String]) {

@@ -60,6 +60,53 @@ class HashProps extends SparkSuite {
     }
   }
 
+  test("Sq8Cosine.kernel ≡ decode-then-cosine reference, total on degenerate dims") {
+    // Reference implementation: materialize the decoded vector, then a
+    // plain sequential cosine — structurally different from the fused
+    // kernel, guarded division, provably no Inf/NaN intermediates.
+    def reference(v: Array[Float], lo: Array[Double], hi: Array[Double],
+        q: Array[Float]): Double = {
+      val n = Seq(v.length, q.length, lo.length, hi.length).min
+      val de = Array.tabulate(n) { i =>
+        if (hi(i) > lo(i))
+          lo(i) + Math.round((v(i).toDouble - lo(i)) * 255.0 / (hi(i) - lo(i))) *
+            (hi(i) - lo(i)) / 255.0
+        else lo(i)
+      }
+      val dot = (0 until n).map(i => de(i) * q(i).toDouble).sum
+      val na = de.map(x => x * x).sum
+      val nb = (0 until n).map(i => q(i).toDouble * q(i).toDouble).sum
+      if (na == 0.0 || nb == 0.0) Double.NaN
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val genDim = Gen.chooseNum(-5.0, 5.0)
+    val dims = 12
+    val cases = Gen.listOfN(300,
+      for {
+        v <- Gen.listOfN(dims, Gen.chooseNum(-5.0f, 5.0f))
+        q <- Gen.listOfN(dims, Gen.chooseNum(-5.0f, 5.0f))
+        bounds <- Gen.listOfN(dims, for {
+          a <- genDim; b <- genDim
+          // ~1/3 of dims degenerate: hi == lo (incl. exactly 0.0)
+          deg <- Gen.chooseNum(0, 2)
+        } yield if (deg == 0) (math.min(a, b), math.min(a, b))
+                else (math.min(a, b), math.max(a, b)))
+      } yield (v.toArray, q.toArray, bounds.map(_._1).toArray, bounds.map(_._2).toArray)
+    )(Gen.Parameters.default, Seed(99L)).get
+    cases.foreach { case (v, q, lo, hi) =>
+      val got = Sq8Cosine.kernel(v, lo, hi, q)
+      val exp = reference(v, lo, hi, q)
+      assert(
+        (got.isNaN && exp.isNaN) || got == exp,
+        s"v=${v.toSeq} lo=${lo.toSeq} hi=${hi.toSeq} q=${q.toSeq}: $got != $exp")
+    }
+    // fully-degenerate bounds with lo == 0 everywhere: zero decoded norm
+    // must surface as the NaN->null contract, not an Inf/NaN artifact
+    val z = Sq8Cosine.kernel(Array(1f, 2f), Array(0.0, 0.0), Array(0.0, 0.0),
+      Array(1f, 1f))
+    assert(z.isNaN)
+  }
+
   test("NearestCentroid ≡ argmin of squared distances (random vectors)") {
     val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
     val vecs = Gen.listOfN(100, genVec)(Gen.Parameters.default, Seed(7L)).get
