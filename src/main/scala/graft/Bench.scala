@@ -32,8 +32,14 @@ object Bench {
     // filters/sorts on, so per-row operators (token stats, fingerprints,
     // redaction) would be timed as bare scans. The noop sink consumes
     // every output column — the number measures what the query computes.
+    // Dev-loop filter: SPARK_GRAFT_QUERIES=s1_stream_replay,s5_... times
+    // only the named queries (the driver never sets it — full run).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

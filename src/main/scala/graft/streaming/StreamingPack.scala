@@ -33,10 +33,11 @@ object StreamingPack extends QueryPack {
       // fold at micro-batch-sized shuffle width. A micro-batch carries
       // ~half the log; 32-wide stages are pure scheduling overhead for
       // it (AQE cannot coalesce in streaming). The batch analytics keep
-      // the parent session's width.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val proj = new StreamingProjection(ss, s"$tmp/state")
+      // the parent session's width. Buckets likewise size to the state
+      // (~150 keys here): each bucket is a per-generation file + rename,
+      // so B follows state volume, not a fixed constant.
+      val ss = tunedChild(s, width = 4)
+      val proj = new StreamingProjection(ss, s"$tmp/state", numBuckets = 4)
       val q = proj.runFileStream(s"$tmp/events", s"$tmp/chk", maxFilesPerTrigger = 1)
       q.awaitTermination()
 
@@ -57,7 +58,7 @@ object StreamingPack extends QueryPack {
     // watermark + append for bounded state — WindowedStreamSpec covers
     // that contract, including what the watermark holds back.)
     "s2_stream_window" -> ((s, dir) => {
-      val ss = tunedChild(s)
+      val ss = tunedChild(s, width = 4)
       val chk = Files.createTempDirectory("graft-s2-").toFile.getAbsolutePath
       val q = eventsStream(ss, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -87,7 +88,7 @@ object StreamingPack extends QueryPack {
     // one AvailableNow replay yields exactly the batch join — one truth,
     // checked against the batch oracle.
     "s3_stream_join" -> ((s, dir) => {
-      val ss = tunedChild(s)
+      val ss = tunedChild(s, width = 4)
       val chk = Files.createTempDirectory("graft-s3-").toFile.getAbsolutePath
       val clicks = eventsStream(ss, dir)
         .where(col("event_type") === "click")
@@ -128,7 +129,7 @@ object StreamingPack extends QueryPack {
     // and the oracle cut at that boundary, excluding the watermark-held
     // tail the stream must NOT have emitted yet.
     "s4_window_append" -> ((s, dir) => {
-      val ss = tunedChild(s)
+      val ss = tunedChild(s, width = 4)
       val chk = Files.createTempDirectory("graft-s4-").toFile.getAbsolutePath
       val q = eventsStream(ss, dir)
         .withWatermark("ts", "1 hour")
@@ -171,23 +172,25 @@ object StreamingPack extends QueryPack {
       // Sentinels must survive the per-side event_type filters
       // (withWatermark sits AFTER the filter): one purchase-typed and one
       // click-typed row on disjoint negative users, click strictly later
-      // so the pair cannot join.
-      def writeSentinel(days: Int): Unit =
-        e.orderBy(desc("ts")).limit(1)
-          .select(lit(-1L).as("event_id"),
-            (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts"),
-            lit(-1L).as("user_id"), lit("purchase").as("event_type"))
-          .unionAll(e.orderBy(desc("ts")).limit(1)
-            .select(lit(-2L).as("event_id"),
-              (col("ts") + expr(s"INTERVAL ${days + 1} DAYS")).as("ts"),
-              lit(-2L).as("user_id"), lit("click").as("event_type")))
+      // so the pair cannot join. Built as driver-side literals from one
+      // max(ts) scan — no per-sentinel TakeOrdered jobs.
+      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      def writeSentinel(days: Int): Unit = {
+        val day = 86400000L
+        s.createDataFrame(Seq(
+            (-1L, new java.sql.Timestamp(maxTs.getTime + days * day), -1L, "purchase"),
+            (-2L, new java.sql.Timestamp(maxTs.getTime + (days + 1) * day), -2L, "click")))
+          .toDF("event_id", "ts", "user_id", "event_type")
           .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      }
       writeSentinel(30)
 
-      val ss = tunedChild(s)
+      val ss = tunedChild(s, width = 4)
+      // No maxFilesPerTrigger: the outer-emission guarantee comes from the
+      // watermark + the restart drain, not intra-run batching (cross-batch
+      // buffering is StreamJoinSpec's claim) — one join batch per run.
       def side(tpe: String, u: String, t: String, id: String): DataFrame =
         ss.readStream.schema(e.schema)
-          .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in")
           .where(col("event_type") === tpe)
@@ -232,7 +235,7 @@ object StreamingPack extends QueryPack {
     "s6_live_projection" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-s6-").toFile.getAbsolutePath
       writeEventLog(s, dir, s"$tmp/events")
-      val ss = tunedChild(s)
+      val ss = tunedChild(s, width = 4)
       val raw = ss.readStream
         .schema(new org.apache.spark.sql.types.StructType()
           .add("seq", "long").add("value", "string"))
@@ -275,7 +278,7 @@ object StreamingPack extends QueryPack {
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       docs.coalesce(1).write.mode("append").parquet(s"$tmp/in")
       docs.coalesce(1).write.mode("append").parquet(s"$tmp/in") // redelivery
-      val ss = tunedChild(s)
+      val ss = tunedChild(s, width = 4)
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val q = ss.readStream.schema(docs.schema)
@@ -312,10 +315,15 @@ object StreamingPack extends QueryPack {
       .write.json(out)
   }
 
-  /** Child session tuned for micro-batch-sized shuffles (see s1 note). */
-  private def tunedChild(s: SparkSession): SparkSession = {
+  /** Child session tuned for micro-batch-sized shuffles (see s1 note).
+    * `width` also sets the number of STATE STORE partitions for stateful
+    * queries — every partition pays a per-batch commit (delta file +
+    * rename) regardless of data volume, so micro-batch-scale replays want
+    * it small; a production deployment sizes it to state volume instead.
+    */
+  private def tunedChild(s: SparkSession, width: Int = 8): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss
   }

@@ -36,10 +36,16 @@ class StreamingProjection(
   val rawSchema: StructType = new StructType()
     .add("seq", LongType).add("value", StringType)
 
-  /** One micro-batch: decode → per-key LWW reduce → bucketed merge. */
+  /** One micro-batch: decode → per-key LWW reduce → bucketed merge.
+    * The reduced frame is persisted for the batch's lifetime: the merge
+    * runs two actions over it (the affected-buckets probe and the state
+    * write), and without the cache each one would re-decode and re-fold
+    * the whole micro-batch.
+    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val latest = SignalProjection.latestByKey(SignalProjection.decode(batch))
-    store.merge(latest, batchId)
+    val latest = SignalProjection.latestByKey(SignalProjection.decode(batch)).persist()
+    try store.merge(latest, batchId)
+    finally latest.unpersist()
   }
 
   /** Run any [[graft.sources.EventSource]] until exhausted (AvailableNow);
