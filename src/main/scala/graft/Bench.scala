@@ -36,6 +36,13 @@ object Bench {
     // only the named queries (the driver never sets it — full run).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // A typo'd name would otherwise benchmark nothing and report an
+    // empty-but-successful run.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -51,22 +58,42 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // "value" (the total) BEFORE the per-query map: the driver captures a
-    // bounded tail of stdout, and with 80+ queries the map alone can
-    // overflow it — the headline number must survive any truncation
-    // window. The full line is also written to BENCH.local.json so a
-    // truncated capture never loses the per-query breakdown.
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$qs}"""
+    // Full-precision line → BENCH.local.json (committed per round): the
+    // durable record, never truncated.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$fullQs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.local.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH.local.json: ${e.getMessage}")
+    }
+    // stdout line → the driver, which captures only the LAST 2000 chars of
+    // output (observed: BENCH_r02..r05 all have parsed:null because the
+    // full-precision 84-query map overflowed that window; sbt's
+    // "[success] ..." footer eats ~80 more). Emit ms-rounded values, and
+    // if the line still won't fit in ~1850 chars, keep the slowest
+    // queries and say how many were dropped — the headline total and the
+    // hottest queries must survive the truncation window; the rest lives
+    // in BENCH.local.json.
+    def render(qs: Seq[(String, Double)], omitted: Int): String = {
+      val qjson = qs.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val omitJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$failedJson$omitJson,"queries":$qjson}"""
+    }
+    val budget = 1850
+    var line = render(results, 0)
+    if (line.length > budget) {
+      val bySlowest = results.sortBy(-_._2)
+      var keep = bySlowest.length
+      while (keep > 1 && render(bySlowest.take(keep), results.length - keep).length > budget)
+        keep -= 1
+      line = render(bySlowest.take(keep).sortBy(_._1), results.length - keep)
     }
     println(line)
     spark.stop()

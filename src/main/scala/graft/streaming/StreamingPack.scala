@@ -174,7 +174,14 @@ object StreamingPack extends QueryPack {
       // click-typed row on disjoint negative users, click strictly later
       // so the pair cannot join. Built as driver-side literals from one
       // max(ts) scan — no per-sentinel TakeOrdered jobs.
-      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      // The sentinel scheme (users -1/-2, result filter p_id >= 0) assumes
+      // real ids are non-negative; a data-generator change to negative ids
+      // would silently corrupt the oracle comparison — fail loudly instead.
+      val stats = e.agg(max(col("ts")), min(col("event_id")), min(col("user_id"))).head()
+      require(stats.getLong(1) >= 0 && stats.getLong(2) >= 0,
+        s"s5 sentinels need non-negative ids: min(event_id)=${stats.getLong(1)}, " +
+          s"min(user_id)=${stats.getLong(2)}")
+      val maxTs = stats.getTimestamp(0)
       def writeSentinel(days: Int): Unit = {
         val day = 86400000L
         s.createDataFrame(Seq(
@@ -276,6 +283,14 @@ object StreamingPack extends QueryPack {
     "s7_stream_dedup" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-s7-").toFile.getAbsolutePath
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // The oracle equivalence (stream dedup-by-doc_id == documents table)
+      // assumes doc_id is unique in documents; a duplicate key with
+      // differing text would make dropDuplicates' arbitrary pick flake the
+      // hash check — check the assumption instead of relying on it.
+      val keyStats = docs.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      require(keyStats.getLong(0) == keyStats.getLong(1),
+        s"s7 oracle requires unique doc_id: ${keyStats.getLong(0)} rows, " +
+          s"${keyStats.getLong(1)} distinct keys")
       docs.coalesce(1).write.mode("append").parquet(s"$tmp/in")
       docs.coalesce(1).write.mode("append").parquet(s"$tmp/in") // redelivery
       val ss = tunedChild(s, width = 4)
@@ -325,6 +340,11 @@ object StreamingPack extends QueryPack {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", width.toString)
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // s4's append-mode emission under AvailableNow depends on the no-data
+    // flush batch advancing the watermark after the last data batch; the
+    // default is true, but a drifted conf would leave the sink silently
+    // empty — pin it.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     ss
   }
 
