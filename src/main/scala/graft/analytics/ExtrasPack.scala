@@ -178,6 +178,41 @@ object ExtrasPack extends QueryPack {
           |                    FROM graft_l l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     }),
 
+    // sql2: the 8-relation TPC-H Q8 shape (national market share) through
+    // the SQL text interface — the full optimizer gauntlet in one query:
+    // Catalyst must reorder the comma-join into the star shape, broadcast
+    // every dim (region→nation→customer chain, the filtered part, supplier,
+    // and nation a second time under a different alias), and leave
+    // lineitem⋈orders as the only real shuffle; AQE coalesces the
+    // post-agg stage. The self-referenced nation view under two aliases
+    // exercises plan-node reuse. Money math follows the house rule:
+    // DECIMAL until the boundary, the market-share ratio is ONE double
+    // division of two exact sums.
+    "sql2_market_share" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_q8_$t"))
+      s.sql(
+        """WITH rev AS (
+          |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+          |         * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS volume,
+          |    n2.n_name AS supp_nation
+          |  FROM graft_q8_lineitem, graft_q8_orders, graft_q8_customer,
+          |       graft_q8_supplier, graft_q8_part,
+          |       graft_q8_nation n1, graft_q8_nation n2, graft_q8_region
+          |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+          |    AND p_type = 'PROMO')
+          |SELECT o_year,
+          |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+          |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+          |    / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+          |  CAST(sum(volume) AS DOUBLE) AS total_volume
+          |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin)
+    }),
+
     // p2: the typed-Dataset/UDAF surface — LWW fold via a custom
     // Aggregator over Dataset[EvRow]; must equal the untyped fold
     // (same oracle as p4_tombstone_delete).
@@ -274,6 +309,29 @@ object ExtrasPack extends QueryPack {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Textually the same query modulo view names — both engines aggregate
+    // in exact DECIMAL and cast at the boundary, so the ratio is one
+    // IEEE division of identical operands.
+    "sql2_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem, orders, customer, supplier, part,
+        |       nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |    AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(volume) AS DOUBLE) AS total_volume
+        |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "p2_typed_latest" -> (DerivedSignalLog.SQL_CTE +
       """SELECT id, seq, action, title, content, priority, author, created_at, updated_at

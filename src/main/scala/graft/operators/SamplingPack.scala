@@ -80,6 +80,54 @@ object SamplingPack extends QueryPack {
       .drop("pbucket", "boff", "cum_before")
   }
 
+  /** Rank buckets per stratum for x3's two-level rank (first 3 md5 hex
+    * digits → 4096 uniform buckets). Dials to stratum volume: at 1B docs
+    * per stratum a bucket window sorts ~250k rows per task, and the
+    * offsets frame (strata × 4096 rows) stays broadcast-sized.
+    */
+  private val RankBuckets = 3 // hex digits
+
+  /** x3: EXACT-count stratified sampling — exactly ceil(n_g / keepOneIn)
+    * rows per stratum g, chosen by deterministic content-independent hash
+    * order. x1's rate sampling draws a binomial count per stratum; this is
+    * the contract for recipes that say "exactly 20% of each language".
+    *
+    * The within-stratum global rank is two-level, the same shape as x2's
+    * prefix sum: the hash's leading hex digits split each stratum into
+    * uniform rank buckets (md5 is uniform by construction, unlike data
+    * keys — no skew); within-(stratum, bucket) ranks come from a window
+    * with 4096× parallelism, and bucket base offsets come from a tiny
+    * (strata × 4096)-row frame that broadcast-joins back. Ordering by
+    * (bucket, hash) equals ordering by hash because the bucket is a hash
+    * prefix. No stage sorts a whole stratum in one task — the bare
+    * row_number() OVER (PARTITION BY stratum) the oracle runs would.
+    * The quota is integer arithmetic ((n + k − 1) div k), never
+    * frac · n in doubles: 0.2 · 95 rounds to 19.000000000000004 in IEEE
+    * and CEILs to 20, while exact arithmetic says 19 — the off-by-one
+    * that poisons cross-engine equality.
+    */
+  private[operators] def stratifiedExact(
+      df: DataFrame, stratum: String, keepOneIn: Int): DataFrame = {
+    val h = df
+      .withColumn("hh",
+        md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("rbucket", substring(col("hh"), 1, RankBuckets))
+    val frame = h.groupBy(col(stratum), col("rbucket")).agg(count(lit(1)).as("bn"))
+    val cum = Window.partitionBy(stratum).orderBy("rbucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = frame
+      .withColumn("off", sum(col("bn")).over(cum) - col("bn"))
+      .withColumn("n_stratum", sum(col("bn")).over(Window.partitionBy(stratum)))
+      .select(col(stratum), col("rbucket"), col("off"), col("n_stratum"))
+    val inBucket =
+      Window.partitionBy(col(stratum), col("rbucket")).orderBy(col("hh"), col("doc_id"))
+    h.join(broadcast(offsets), Seq(stratum, "rbucket"))
+      .withColumn("strat_rank", col("off") + row_number().over(inBucket))
+      .where(col("strat_rank") <=
+        expr(s"(n_stratum + ${keepOneIn - 1}) div $keepOneIn"))
+      .drop("hh", "rbucket", "off", "n_stratum")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // x1: stratified mixture sampling over the raw corpus.
     "x1_mixture_sample" -> ((s, dir) =>
@@ -93,6 +141,15 @@ object SamplingPack extends QueryPack {
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens")))
         .select(col("doc_id"), col("n_tokens"),
           col("shard_id"), col("offset_in_shard"))
+        .orderBy("doc_id")),
+
+    // x3: exact 1-in-5 per-language sample; the emitted rank makes the
+    // oracle check the full order statistic, not just membership.
+    "x3_stratified_exact" -> ((s, dir) =>
+      stratifiedExact(
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", keepOneIn = 5)
+        .select(col("doc_id"), col("lang"), col("strat_rank"))
         .orderBy("doc_id"))
   )
 
@@ -124,6 +181,20 @@ object SamplingPack extends QueryPack {
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
          |  cum_before // $Budget AS shard_id,
          |  cum_before % $Budget AS offset_in_shard
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The oracle states the spec directly — a single within-stratum
+    // row_number — which the two-level Spark rank must reproduce exactly.
+    "x3_stratified_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5('strat:' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS strat_rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang, strat_rank
+        |FROM r WHERE strat_rank <= (n + 4) // 5 ORDER BY doc_id""".stripMargin
   )
 }

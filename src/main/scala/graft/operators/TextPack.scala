@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, shingle_hashes, tokens, winnow_fingerprints, WinnowFingerprints}
+import graft.functions.{md5Prefix60, shingle_hashes, tokens, winnow_fingerprints, wordShingles, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -181,6 +181,37 @@ object TextPack extends QueryPack {
         size(regexp_extract_all(enriched, lit("[0-9]+"), lit(0))).as("n_num"),
         size(regexp_extract_all(enriched, lit("[^a-zA-Z0-9 ]+"), lit(0))).as("n_other"))
         .orderBy("doc_id")
+    }),
+
+    // t12: language-model-style novelty scoring — the corpus bigram
+    // frequency table IS the (unigram-context) model: a document whose
+    // bigrams are corpus-rare is novel/unusual, the heuristic twin of the
+    // perplexity filters real pipelines run (CCNet/KenLM). All statistics
+    // are exact integer aggregates (count / sum-of-longs / min), and the
+    // one double — mean corpus frequency of the doc's bigrams — is a
+    // single IEEE division of those exact operands, so it is bit-identical
+    // cross-engine (a log-prob perplexity would hinge on libm ulp
+    // agreement; same reasoning as t9's rarity weight). Scale: bigram
+    // counting is partial+final agg (map-side combine bounds hot bigrams
+    // like "of the"); the counts→occurrences join shuffles on the bigram
+    // key, where probe-side skew is exactly what AQE skew-join splits;
+    // the final per-doc agg shuffles on doc_id. No window, no
+    // single-partition stage.
+    "t12_bigram_novelty" -> ((s, dir) => {
+      val bg = Tables(s, dir, "documents")
+        .where(size(tokens(col("text"))) >= 2)
+        .select(col("doc_id"),
+          explode(wordShingles(col("text"), 2, distinct = false)).as("bigram"))
+      val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+      bg.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("c")).as("sum_freq"),
+          min(col("c")).as("min_freq"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_freq"), col("min_freq"),
+          (col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+            .as("avg_freq"))
+        .orderBy("doc_id")
     })
   )
 
@@ -283,6 +314,23 @@ object TextPack extends QueryPack {
         |  CAST(len(regexp_extract_all(enriched, '[0-9]+')) AS INTEGER) AS n_num,
         |  CAST(len(regexp_extract_all(enriched, '[^a-zA-Z0-9 ]+')) AS INTEGER) AS n_other
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Bigrams via the same list_transform(range(...)) construction as t8's
+    // trigrams; the HUGEINT sum DuckDB produces for sum(BIGINT) is cast
+    // back to BIGINT to match Spark's long.
+    "t12_bigram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT bigram, count(*) AS c FROM g GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(c.c) AS BIGINT) AS sum_freq,
+        |  min(c.c) AS min_freq,
+        |  CAST(CAST(sum(c.c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq
+        |FROM g JOIN c USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same trigram construction as the d4 oracle's shingle CTE, then the
     // ShingleHashes poly-hash replayed per gram (DedupPack.polyHashSql).

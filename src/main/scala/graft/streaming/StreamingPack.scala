@@ -23,9 +23,26 @@ object StreamingPack extends QueryPack {
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+  /** Ephemeral replay scratch (staged input files, checkpoints, state).
+    * These dirs live exactly as long as one query and their durability is
+    * irrelevant — a replay bench should not measure scratch-dir fsync
+    * latency — so prefer tmpfs when the host has it. A production
+    * deployment points checkpointLocation at durable shared storage
+    * (HDFS/S3); that choice is per-query config, not this helper.
+    */
+  private def scratch(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val d = Files.createTempDirectory(base, prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_replay" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-stream-").toFile.getAbsolutePath
+      val tmp = scratch("graft-stream-")
       writeEventLog(s, dir, s"$tmp/events")
 
       // Per-workload tuning, the multi-tenant idiom: a child session
@@ -59,7 +76,7 @@ object StreamingPack extends QueryPack {
     // that contract, including what the watermark holds back.)
     "s2_stream_window" -> ((s, dir) => {
       val ss = tunedChild(s, width = 4)
-      val chk = Files.createTempDirectory("graft-s2-").toFile.getAbsolutePath
+      val chk = scratch("graft-s2-")
       val q = eventsStream(ss, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -89,7 +106,7 @@ object StreamingPack extends QueryPack {
     // checked against the batch oracle.
     "s3_stream_join" -> ((s, dir) => {
       val ss = tunedChild(s, width = 4)
-      val chk = Files.createTempDirectory("graft-s3-").toFile.getAbsolutePath
+      val chk = scratch("graft-s3-")
       val clicks = eventsStream(ss, dir)
         .where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
@@ -130,7 +147,7 @@ object StreamingPack extends QueryPack {
     // tail the stream must NOT have emitted yet.
     "s4_window_append" -> ((s, dir) => {
       val ss = tunedChild(s, width = 4)
-      val chk = Files.createTempDirectory("graft-s4-").toFile.getAbsolutePath
+      val chk = scratch("graft-s4-")
       val q = eventsStream(ss, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -165,7 +182,7 @@ object StreamingPack extends QueryPack {
     // it needs to drain the last held rows (StreamJoinSpec proves the
     // full drain equals the batch left-outer join).
     "s5_stream_outer_join" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-s5-").toFile.getAbsolutePath
+      val tmp = scratch("graft-s5-")
       val e = Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       e.coalesce(1).write.mode("append").parquet(s"$tmp/in")
@@ -240,7 +257,7 @@ object StreamingPack extends QueryPack {
     // converges to the batch fold, so it shares s1's oracle — the
     // strongest unification claim for the stateful-API path.
     "s6_live_projection" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-s6-").toFile.getAbsolutePath
+      val tmp = scratch("graft-s6-")
       writeEventLog(s, dir, s"$tmp/events")
       val ss = tunedChild(s, width = 4)
       val raw = ss.readStream
@@ -281,7 +298,7 @@ object StreamingPack extends QueryPack {
     // the documents table exactly, so fingerprint-grouping its output
     // replays d1's batch oracle verbatim.
     "s7_stream_dedup" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-s7-").toFile.getAbsolutePath
+      val tmp = scratch("graft-s7-")
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       // The oracle equivalence (stream dedup-by-doc_id == documents table)
       // assumes doc_id is unique in documents; a duplicate key with

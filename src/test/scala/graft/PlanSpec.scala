@@ -149,4 +149,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x3 stratified rank: windows partition by (stratum, rank bucket), offsets broadcast") {
+    val p = plan("x3_stratified_exact")
+    // the corpus-side rank window must be keyed by (lang, rbucket) — a
+    // whole-stratum window (the oracle's shape) would sort a stratum in
+    // one task
+    assert("windowspecdefinition\\(lang#\\d+, rbucket#\\d+,".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t12 bigram counting is a two-phase aggregate; the freq join is never a cartesian") {
+    val p = plan("t12_bigram_novelty")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql2 Q8 star: every dimension broadcasts, lineitem streams, p_type pushed down") {
+    val p = plan("sql2_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // at sf0.001 statistics make every join side broadcastable; the pin is
+    // that Catalyst never falls back to a shuffle or nested-loop join for
+    // the comma-join syntax
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+  }
 }

@@ -88,6 +88,58 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("x3 two-level stratified rank equals the naive per-stratum row_number") {
+    val dir = sf("sf0.001")
+    val got = q("x3_stratified_exact")
+    // naive definition: one window per whole stratum (the single-task-per-
+    // stratum shape the two-level rank exists to avoid)
+    val h = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("hh",
+        md5(concat(lit("strat:"), col("doc_id").cast("string")).cast("binary")))
+    val naive = h
+      .withColumn("strat_rank",
+        row_number().over(Window.partitionBy("lang").orderBy("hh", "doc_id"))
+          .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("strat_rank") <= expr("(n + 4) div 5"))
+      .select("doc_id", "lang", "strat_rank")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("x3 keeps exactly ceil(n/5) docs per stratum, deterministically") {
+    val totals = Tables(spark, sf("sf0.001"), "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q("x3_stratified_exact").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === totals.keySet, "every stratum must be represented")
+    totals.foreach { case (lang, n) =>
+      assert(kept(lang) === (n + 4) / 5, s"stratum $lang quota")
+    }
+    assert(q("x3_stratified_exact").collect().toSeq ===
+      q("x3_stratified_exact").collect().toSeq, "hash order must be replay-stable")
+  }
+
+  test("t12 novelty stats are self-consistent with token counts") {
+    import spark.implicits._
+    val stats = q("t12_bigram_novelty").collect()
+    val nToks = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(stats.length === nToks.count(_._2 >= 2))
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") === nToks(id) - 1L,
+        s"doc $id: every adjacent pair is one bigram")
+      // each bigram occurs at least once (itself) and the mean is the
+      // exact ratio of the two integer aggregates
+      assert(r.getAs[Long]("min_freq") >= 1L)
+      assert(r.getAs[Long]("sum_freq") >= r.getAs[Long]("n_bigrams"))
+      assert(r.getAs[Double]("avg_freq") ===
+        r.getAs[Long]("sum_freq").toDouble / r.getAs[Long]("n_bigrams").toDouble)
+    }
+  }
+
   test("d8 never flags benchmark members and only flags true overlaps") {
     val rows = q("d8_decontaminate").collect()
     assert(rows.nonEmpty)
