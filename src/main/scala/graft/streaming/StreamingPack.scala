@@ -185,7 +185,6 @@ object StreamingPack extends QueryPack {
       val tmp = scratch("graft-s5-")
       val e = Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      e.coalesce(1).write.mode("append").parquet(s"$tmp/in")
       // Sentinels must survive the per-side event_type filters
       // (withWatermark sits AFTER the filter): one purchase-typed and one
       // click-typed row on disjoint negative users, click strictly later
@@ -205,7 +204,7 @@ object StreamingPack extends QueryPack {
             (-1L, new java.sql.Timestamp(maxTs.getTime + days * day), -1L, "purchase"),
             (-2L, new java.sql.Timestamp(maxTs.getTime + (days + 1) * day), -2L, "click")))
           .toDF("event_id", "ts", "user_id", "event_type")
-          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/sent")
       }
       writeSentinel(30)
 
@@ -213,10 +212,18 @@ object StreamingPack extends QueryPack {
       // No maxFilesPerTrigger: the outer-emission guarantee comes from the
       // watermark + the restart drain, not intra-run batching (cross-batch
       // buffering is StreamJoinSpec's claim) — one join batch per run.
+      // Each side is a streaming UNION of the events parquet read in place
+      // (no staging copy of the fact table — only the 2-row sentinel files
+      // are ever written) and the sentinel side-channel; the restart drain
+      // works because the second sentinel file is NEW to the checkpoint
+      // while the events file is already committed. One watermark sits on
+      // the merged stream, exactly as it would over a multi-topic source.
+      val sentSchema = s.read.parquet(s"$tmp/sent").schema
       def side(tpe: String, u: String, t: String, id: String): DataFrame =
-        ss.readStream.schema(e.schema)
-          .option("pathGlobFilter", "*.parquet")
-          .parquet(s"$tmp/in")
+        eventsStream(ss, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .unionByName(ss.readStream.schema(sentSchema)
+            .option("pathGlobFilter", "*.parquet").parquet(s"$tmp/sent"))
           .where(col("event_type") === tpe)
           .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
           .withWatermark(t, "1 hour")
@@ -308,15 +315,29 @@ object StreamingPack extends QueryPack {
       require(keyStats.getLong(0) == keyStats.getLong(1),
         s"s7 oracle requires unique doc_id: ${keyStats.getLong(0)} rows, " +
           s"${keyStats.getLong(1)} distinct keys")
-      docs.coalesce(1).write.mode("append").parquet(s"$tmp/in")
-      docs.coalesce(1).write.mode("append").parquet(s"$tmp/in") // redelivery
       val ss = tunedChild(s, width = 4)
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q = ss.readStream.schema(docs.schema)
+      // Redelivery without staging a copy: the documents parquet is
+      // symlinked TWICE under distinct names — the file source tracks
+      // files by path, so the same bytes are delivered twice, and
+      // maxFilesPerTrigger=1 puts the deliveries in separate
+      // micro-batches: the second arrival of every key must hit RocksDB
+      // seen-key state, never intra-batch dedup. (A union of two sources
+      // would not do this — per-source file limits admit one file from
+      // EACH source into the first batch.)
+      val in = java.nio.file.Paths.get(tmp, "in")
+      Files.createDirectory(in)
+      val src = java.nio.file.Paths.get(dir, "documents.parquet")
+      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
+      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+      val full = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir).schema
+      val q = ss.readStream.schema(full)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$tmp/in")
+        .parquet(in.toString)
+        .select(col("doc_id"), col("text"))
         .dropDuplicates("doc_id")
         .writeStream
         .outputMode("append")
