@@ -69,14 +69,22 @@ package object functions {
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word w-shingles, e.g. 3-grams joined by spaces. Codegen'd HOF
-    * pipeline: transform over an index sequence. `distinct = false` skips
-    * the per-row set build — correct whenever the consumer is
-    * duplicate-invariant (e.g. MinHash: min over a bag == min over the
-    * set); keep `distinct = true` where set semantics matter (Jaccard).
+  /** Word w-shingles over a PRE-SPLIT token array column, e.g. 3-grams
+    * joined by spaces. Codegen'd HOF pipeline: transform over an index
+    * sequence. `distinct = false` skips the per-row set build — correct
+    * whenever the consumer is duplicate-invariant (e.g. MinHash: min over
+    * a bag == min over the set); keep `distinct = true` where set
+    * semantics matter (Jaccard).
+    *
+    * Callers must project the token array into its own column first
+    * (`.select(tokens(col("text")).as("toks"), ...)`): Catalyst does NOT
+    * common-subexpression-eliminate across lambda boundaries, so passing
+    * `tokens(text)` directly inlines the split into every `element_at` —
+    * each of the w lookups per gram re-splits the whole text, turning an
+    * O(tokens) projection into O(tokens²) (measured 4.4 s vs 0.6 s on
+    * t12 at sf0.1).
     */
-  def wordShingles(text: Column, w: Int, distinct: Boolean = true): Column = {
-    val ws = tokens(text)
+  def wordShinglesOf(ws: Column, w: Int, distinct: Boolean = true): Column = {
     val grams = transform(
       sequence(lit(1), size(ws) - lit(w - 1)),
       i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, wordShingles}
+import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, wordShinglesOf}
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.1-6):
   * exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine near-dup.
@@ -211,7 +211,8 @@ object DedupPack extends QueryPack {
     "d4_ngram_jaccard" -> ((s, dir) => {
       val sh = Tables(s, dir, "documents")
         .where(col("doc_id") < 150 && size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 3)).as("sh"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") &&
           col("x.doc_id") < col("y.doc_id"))

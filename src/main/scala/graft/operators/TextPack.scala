@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, shingle_hashes, tokens, winnow_fingerprints, wordShingles, WinnowFingerprints}
+import graft.functions.{md5Prefix60, shingle_hashes, tokens, winnow_fingerprints, wordShinglesOf, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -199,9 +199,10 @@ object TextPack extends QueryPack {
     // single-partition stage.
     "t12_bigram_novelty" -> ((s, dir) => {
       val bg = Tables(s, dir, "documents")
-        .where(size(tokens(col("text"))) >= 2)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
         .select(col("doc_id"),
-          explode(wordShingles(col("text"), 2, distinct = false)).as("bigram"))
+          explode(wordShinglesOf(col("toks"), 2, distinct = false)).as("bigram"))
       val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
       bg.join(counts, "bigram")
         .groupBy("doc_id")
