@@ -74,9 +74,9 @@ class FunctionsSpec extends SparkSuite {
     assert(fused.toSeq == expected.toSeq)
   }
 
-  test("wordShingles produces distinct joined 3-grams") {
+  test("wordShinglesOf produces distinct joined 3-grams") {
     val out = Seq("a b c d c d").toDF("t")
-      .select(wordShingles($"t", 3).as("sh"))
+      .select(wordShinglesOf(split($"t", " "), 3).as("sh"))
       .as[Seq[String]].collect().head
     assert(out.toSet == Set("a b c", "b c d", "c d c", "d c d"))
     assert(out.length == 4)
