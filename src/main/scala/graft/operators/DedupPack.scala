@@ -205,6 +205,39 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // d10: cluster-level dedup that keeps the BEST document per near-dup
+    // cluster — the production form of d7's min-id convention: real
+    // pipelines keep the longest/highest-quality member (here: most
+    // tokens, ties to the lower doc_id) and drop the rest. The per-cluster
+    // argmax is an aggregate (max_by over a (n_tokens, -doc_id) struct),
+    // NOT a window: partial aggregation collapses each cluster map-side,
+    // so a pathological mega-cluster costs one row per map task, where a
+    // row_number window would sort the whole cluster in one task. The
+    // join back on cluster is AQE-skew-splittable.
+    "d10_cluster_keep_best" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val labels =
+        if (pairs.count() <= UnionFindMaxEdges) unionFindComponents(s, pairs)
+        else propagateComponents(s, pairs)
+      pairs.unpersist()
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+      val best = scored.groupBy("cluster")
+        .agg(
+          max_by(col("doc_id"), struct(col("n_tokens"), (-col("doc_id")).as("neg")))
+            .as("keep_id"),
+          count(lit(1)).as("cluster_size"))
+      scored.join(best, "cluster")
+        .select(col("doc_id"), col("cluster"), col("n_tokens"),
+          (col("doc_id") === col("keep_id")).cast("int").as("is_kept"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // d4: exact n-gram Jaccard on a bounded sample (doc_id < 150) — the
     // verification stage of the LSH pipeline. Inverted-index join on
     // shingle, never all-pairs on full data.
@@ -396,6 +429,36 @@ object DedupPack extends QueryPack {
           |  CAST(coalesce(c.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_kept
           |FROM documents d LEFT JOIN comp c USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin),
+
+    // d7's recursive-CTE component construction, then the keep-best argmax
+    // stated as the window spec the Spark aggregate must reproduce.
+    "d10_cluster_keep_best" ->
+      (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sig a JOIN sig b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM cand
+          |  UNION SELECT doc_b, doc_a FROM cand),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+          |scored AS (
+          |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+          |    len(string_split(d.text, ' ')) AS n_tokens
+          |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+          |r AS (
+          |  SELECT doc_id, cluster, n_tokens,
+          |    row_number() OVER (PARTITION BY cluster ORDER BY n_tokens DESC, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY cluster) AS cluster_size
+          |  FROM scored)
+          |SELECT doc_id, cluster, CAST(n_tokens AS INTEGER) AS n_tokens,
+          |  CAST(rn = 1 AS INTEGER) AS is_kept, cluster_size
+          |FROM r ORDER BY doc_id""".stripMargin),
 
     "d4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 150),

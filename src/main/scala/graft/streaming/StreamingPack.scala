@@ -171,6 +171,41 @@ object StreamingPack extends QueryPack {
         .orderBy("window_start", "event_type")
     }),
 
+    // s8: a13's sessionization in TRUE streaming — session_window +
+    // watermark + APPEND mode, the production shape for "user sessions
+    // over an unbounded clickstream". Session state is merged
+    // incrementally (windows extend/merge as events arrive) and a session
+    // is emitted EXACTLY ONCE when the watermark passes its close time
+    // (last event + gap), then evicted — state is O(open sessions), the
+    // only shape that survives an unbounded stream. Determinism: both the
+    // query and the oracle keep only sessions provably closed at the
+    // final watermark, with a 1 s margin because Spark tracks the
+    // watermark in millis while event time is micros — the boundary
+    // session could otherwise land on different sides cross-engine.
+    "s8_session_append" -> ((s, dir) => {
+      val ss = tunedChild(s, width = 4)
+      val chk = scratch("graft-s8-")
+      val q = eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s8_sess")
+        .option("checkpointLocation", s"$chk/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val maxTs = Tables(s, dir, "events").agg(max(col("ts"))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600L * 1000 - 1000)
+      ss.table("graft_s8_sess")
+        .where(col("sw.end") < lit(cutoff))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // s5: s3's OUTER half — left-outer click-attribution where a purchase
     // with no preceding click emits null-padded, but only after the
     // watermark proves no matching click can still arrive. This is the
@@ -463,7 +498,30 @@ object StreamingPack extends QueryPack {
     // fingerprint-grouping replays d1's oracle.
     "s7_stream_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // a13's batch sessionization restricted to sessions the final
+    // watermark (max event time − 1 h, 1 s micros/millis margin) has
+    // provably closed: close time = last event + the 30 min gap.
+    "s8_session_append" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |HAVING max(ts) + INTERVAL 30 MINUTE <
+        |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+        |    - INTERVAL 1 HOUR - INTERVAL 1 SECOND
+        |ORDER BY user_id, session_start""".stripMargin
   )
 
   private implicit class MapOps(m: Map[String, String]) {

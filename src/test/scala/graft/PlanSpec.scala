@@ -167,6 +167,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d10 keep-best is a partial-aggregated argmax, not a per-cluster window sort") {
+    val p = plan("d10_cluster_keep_best")
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("windowspecdefinition(cluster"), p)
+  }
+
   test("sql2 Q8 star: every dimension broadcasts, lineitem streams, p_type pushed down") {
     val p = plan("sql2_market_share")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -64,4 +64,26 @@ class ComponentsSpec extends SparkSuite {
     assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("d10 keeps exactly one doc per cluster, and it is the longest (ties to min id)") {
+    val rows = graft.SparkEntry.queries("d10_cluster_keep_best")(spark, sf("sf0.001"))
+      .collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_.getAs[Int]("is_kept") == 1) === 1, s"cluster $c")
+      assert(members.forall(_.getAs[Long]("cluster_size") === members.length.toLong))
+      val kept = members.find(_.getAs[Int]("is_kept") == 1).get
+      val maxTok = members.map(_.getAs[Int]("n_tokens")).max
+      assert(kept.getAs[Int]("n_tokens") === maxTok, s"cluster $c keeps a longest member")
+      val tied = members.filter(_.getAs[Int]("n_tokens") == maxTok)
+        .map(_.getAs[Long]("doc_id")).min
+      assert(kept.getAs[Long]("doc_id") === tied, s"cluster $c tie-breaks to min id")
+    }
+    // d7 and d10 agree on the clustering itself
+    val d7 = graft.SparkEntry.queries("d7_dedup_clusters")(spark, sf("sf0.001"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    rows.foreach { r =>
+      assert(d7(r.getAs[Long]("doc_id")) === r.getAs[Long]("cluster"))
+    }
+  }
 }
