@@ -41,6 +41,14 @@ object StreamingPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bench note (r6): s1's ~3 s is SCALE-INVARIANT machinery — phase
+    // timings are identical at sf0.001 and sf0.1 (writeEventLog 0.5 s,
+    // 2-batch replay 2.4 s, final read 0.2 s at BOTH scales): streaming
+    // query start/stop, per-batch planning, and state-store commits, not
+    // per-event work. Per-event cost is ~0 here and the fixed cost
+    // amortizes to nothing on a production-length stream; shrinking it
+    // further means fewer micro-batches, which would un-test cross-batch
+    // state.
     "s1_stream_replay" -> ((s, dir) => {
       val tmp = scratch("graft-stream-")
       writeEventLog(s, dir, s"$tmp/events")
