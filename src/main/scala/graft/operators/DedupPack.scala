@@ -177,6 +177,37 @@ object DedupPack extends QueryPack {
     "d3_lsh_pairs" -> ((s, dir) =>
       lshPairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // d11: signature-based Jaccard ESTIMATION for the LSH candidate pairs —
+    // the scale path between candidate generation (d3) and exact
+    // verification (d4): est = (matching minhashes)/NumBands is the
+    // standard unbiased MinHash estimator, computed from the tiny
+    // signature matrix alone — the documents are never re-read, so the
+    // verification pass costs O(pairs · NumBands), not O(pairs · doc
+    // length) like exact Jaccard. The ratio is one IEEE division of an
+    // integer agreement count. Joins are all on the narrow sig frame
+    // (NumBands longs per doc), persisted once.
+    "d11_minhash_estimate" -> ((s, dir) => {
+      val sig = signatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
+      val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
+      val cand = a.join(b, Seq("band", "minhash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val x = sig.select(col("doc_id").as("doc_a"), col("band"),
+        col("minhash").as("ma"))
+      val y = sig.select(col("doc_id").as("doc_b"), col("band"),
+        col("minhash").as("mb"))
+      cand.join(x, "doc_a")
+        .join(y, Seq("doc_b", "band"))
+        .where(col("ma") === col("mb"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_agree"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          (col("n_agree").cast("double") / lit(NumBands).cast("double"))
+            .as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // d7: dedup cluster assignment — the final stage of the pipeline:
     // connected components over the LSH candidate pairs, keep the lowest
     // doc_id per cluster. The graph is the CANDIDATE set — only docs with
@@ -404,6 +435,20 @@ object DedupPack extends QueryPack {
         """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM sig a JOIN sig b
           |  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "d11_minhash_estimate" ->
+      (shinglesCte +
+        s""", cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sig a JOIN sig b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id)
+          |SELECT c.doc_a, c.doc_b, count(*) AS n_agree,
+          |  CAST(count(*) AS DOUBLE) / CAST($NumBands AS DOUBLE) AS est_jaccard
+          |FROM cand c
+          |JOIN sig x ON x.doc_id = c.doc_a
+          |JOIN sig y ON y.doc_id = c.doc_b AND y.band = x.band AND y.minhash = x.minhash
+          |GROUP BY c.doc_a, c.doc_b
           |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Same LSH pairs, then components as a recursive transitive closure;

@@ -65,6 +65,20 @@ class ComponentsSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("d11 estimates cover exactly the d3 candidate pairs, bounded in (0, 1]") {
+    val est = graft.SparkEntry.queries("d11_minhash_estimate")(spark, sf("sf0.001"))
+      .collect()
+    val estPairs = est.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val d3Pairs = graft.SparkEntry.queries("d3_lsh_pairs")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(estPairs === d3Pairs, "every LSH candidate gets an estimate, nothing else")
+    est.foreach { r =>
+      val n = r.getAs[Long]("n_agree")
+      assert(n >= 1L && n <= 4L, "a candidate agrees on at least the colliding band")
+      assert(r.getAs[Double]("est_jaccard") === n.toDouble / 4.0)
+    }
+  }
+
   test("d10 keeps exactly one doc per cluster, and it is the longest (ties to min id)") {
     val rows = graft.SparkEntry.queries("d10_cluster_keep_best")(spark, sf("sf0.001"))
       .collect()
