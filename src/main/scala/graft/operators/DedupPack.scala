@@ -382,6 +382,37 @@ object DedupPack extends QueryPack {
           round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
         .where(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // d12: SemDeDup-style semantic deduplication — cluster the corpus
+    // with the pretrained IVF coarse quantizer, then drop every vector
+    // that has a more-senior (lower-id) near-duplicate (cosine >= τ) in
+    // ITS OWN cluster. Clustering is what makes semantic dedup tractable:
+    // pairwise scoring is confined to within-cluster pairs, O(Σ cᵢ²)
+    // instead of O(n²), and at 100 TB the knob is k — enough centroids
+    // that clusters stay bounded (SemDeDup runs k≈√n; our k=16 fits the
+    // test corpus). Same score→filter→dedup ordering as d6: the dedup
+    // shuffle carries only above-threshold ids, never embeddings, and
+    // the final keep-filter is a broadcast anti-join (the dropped set is
+    // small by construction). Deterministic end-to-end: the oracle
+    // replays assignment from the same centroid constants (e5's
+    // machinery) and the same rounded-cosine threshold.
+    "d12_semdedup" -> ((s, dir) => {
+      val asg = IvfIndex
+        .assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = asg.select(col("cid"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      val b = asg.select(col("cid"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cid"))
+        .where(col("id_a") < col("id_b"))
+        .where(round(cosine_similarity(col("ea"), col("eb")), 6) >= 0.35)
+        .select(col("id_b").as("vec_id")).distinct()
+      asg.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid"))
+        .orderBy("vec_id")
     })
   )
 
@@ -576,6 +607,29 @@ object DedupPack extends QueryPack {
          |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
          |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($sameBucket))
          |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    // d12: replays IVF assignment from the same pretrained centroid
+    // constants (shared distListSql generator with the e5 oracle) and the
+    // same rounded-cosine threshold, restated as "keep vec_id iff no
+    // lower-id same-cluster vector is within τ".
+    "d12_semdedup" -> {
+      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |dists AS (
+         |  SELECT vec_id, e, $distE AS d FROM base),
+         |asg AS (
+         |  SELECT vec_id, e,
+         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |  FROM dists),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35)
+         |SELECT vec_id, cid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY vec_id""".stripMargin
     },
 
     "d6b_neardup_brute" ->

@@ -173,6 +173,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition(cluster"), p)
   }
 
+  test("d12 semdedup: cluster equi-join + broadcast anti keep-filter, no nested loop") {
+    val p = plan("d12_semdedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sql2 Q8 star: every dimension broadcasts, lineitem streams, p_type pushed down") {
     val p = plan("sql2_market_share")
     assert(p.contains("BroadcastHashJoin"), p)
