@@ -180,6 +180,28 @@ object RelationalPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // a29: exact heavy hitters — users whose event count exceeds 1.2× the
+    // per-user mean, the frequent-items primitive (frequent domains/URLs/
+    // authors in a curation run). Two-phase: per-key counts (map-side
+    // partial, one narrow shuffle), then the 1-row global totals broadcast
+    // back as a scalar — the threshold compare stays in integers
+    // (n·users·5 > total·6) so no engine can disagree on the boundary.
+    // Scale: the per-key aggregate is the only data-sized work; the
+    // totals frame derives from the (already tiny) per-key frame, not
+    // from a second corpus scan.
+    "a29_heavy_hitters" -> ((s, dir) => {
+      val per = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = per.agg(sum(col("n_events")).as("total"),
+        count(lit(1)).as("n_users"))
+      per.crossJoin(broadcast(tot))
+        .where(col("n_events") * col("n_users") * 5 > col("total") * 6)
+        .select(col("user_id"), col("n_events"),
+          (col("n_events").cast("double") / col("total")).as("share"))
+        .orderBy(desc("n_events"), col("user_id"))
+    }),
+
     // a26: RANGE-framed window — per-user trailing-10-minute count/sum,
     // the value-based frame a6's ROWS frame can't express (peers by
     // event-time distance, not row position). Both engines evaluate the
@@ -465,6 +487,16 @@ object RelationalPack extends QueryPack {
         |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
         |FROM (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a29_heavy_hitters" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT CAST(sum(n_events) AS BIGINT) AS total, count(*) AS n_users FROM per)
+        |SELECT user_id, n_events, CAST(n_events AS DOUBLE) / total AS share
+        |FROM per, tot
+        |WHERE n_events * n_users * 5 > total * 6
+        |ORDER BY n_events DESC, user_id""".stripMargin,
 
     "a26_range_frame" ->
       """SELECT event_id, user_id,

@@ -28,6 +28,18 @@ object SamplingPack extends QueryPack {
 
   /** Tokens per packed training sequence (x2). */
   private[operators] val Budget = 2048
+
+  /** Training shards for the x4 epoch shuffle. */
+  private val NumShards = 8
+
+  /** Epoch weights by language for x5, pre-split as (whole epochs,
+    * fractional part in per-mille) so the remainder comparison is an
+    * integer test — no float thresholds to disagree across engines.
+    * en 0.8, zh 1.5, es 2.25, de 3.0, fr 0.4 epochs.
+    */
+  private val Epochs = Seq(
+    "en" -> (0, 800), "zh" -> (1, 500), "es" -> (2, 250),
+    "de" -> (3, 0), "fr" -> (0, 400))
   /** Documents per prefix-sum bucket (x2) — see the scale note there. */
   private[operators] val Chunk = 256
 
@@ -150,7 +162,55 @@ object SamplingPack extends QueryPack {
         Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", keepOneIn = 5)
         .select(col("doc_id"), col("lang"), col("strat_rank"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // x4: deterministic epoch shuffle — the training-order permutation.
+    // Each doc hashes to one of NumShards shards (salted id hash) and
+    // sorts within its shard by a second independent hash: a reproducible
+    // global shuffle with NO RNG state and NO global sort — the only
+    // ordering work is a per-shard window, so shards sort independently
+    // and in parallel at any corpus size (shard count is the parallelism
+    // knob; a real run uses thousands). Re-running at any partitioning
+    // yields the same (shard, pos) for every doc — resumable training
+    // order, same guarantee x1/x3 give for sampling.
+    "x4_epoch_shuffle" -> ((s, dir) => {
+      val shard = pmod(
+        md5Prefix60(concat(lit("shard:"), col("doc_id").cast("string"))),
+        lit(NumShards))
+      val hkey = md5(concat(lit("ord:"), col("doc_id").cast("string")).cast("binary"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), shard.as("shard"), hkey.as("hkey"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
+    // x5: fractional-epoch upsampling — the other half of mixture
+    // weighting (x1 downsamples with rates ≤ 1; real mixtures also run
+    // sources at e.g. 2.25 epochs). Every doc emits floor(w) copies plus
+    // one more iff its salted hash falls under frac(w)·1000 — so a 2.25
+    // weight yields exactly 2 copies for 3/4 of docs and 3 for 1/4,
+    // deterministically. Pure project + explode: no shuffle, no RNG, and
+    // the copy multiset is a stable function of (id, weight table).
+    "x5_repeat_upsample" -> ((s, dir) => {
+      val base = Epochs.tail.foldLeft(
+        when(col("lang") === Epochs.head._1, Epochs.head._2._1)) {
+        case (c, (l, (b, _))) => c.when(col("lang") === l, b)
+      }.otherwise(0)
+      val permille = Epochs.tail.foldLeft(
+        when(col("lang") === Epochs.head._1, Epochs.head._2._2)) {
+        case (c, (l, (_, p))) => c.when(col("lang") === l, p)
+      }.otherwise(0)
+      val h = pmod(md5Prefix60(concat(lit("up:"), col("doc_id").cast("string"))), lit(1000))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (base + (h < permille).cast("int")).as("n_copies"))
+        .where(col("n_copies") >= 1)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy"))
+        .orderBy("doc_id", "copy")
+    })
   )
 
   /** Oracle fragments shared with pipeline2 (CurationPipeline). */
@@ -195,6 +255,32 @@ object SamplingPack extends QueryPack {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM h)
         |SELECT doc_id, lang, strat_rank
-        |FROM r WHERE strat_rank <= (n + 4) // 5 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE strat_rank <= (n + 4) // 5 ORDER BY doc_id""".stripMargin,
+
+    "x4_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $NumShards AS shard,
+         |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS hkey
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INTEGER) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "x5_repeat_upsample" -> {
+      val baseCase = Epochs.map { case (l, (b, _)) => s"WHEN '$l' THEN $b" }.mkString(" ")
+      val fracCase = Epochs.map { case (l, (_, p)) => s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang $baseCase ELSE 0 END
+         |    + CASE WHEN CAST(concat('0x', substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+         |             < CASE lang $fracCase ELSE 0 END
+         |      THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(u AS INTEGER) AS copy
+         |FROM (SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS u
+         |      FROM w WHERE n_copies >= 1)
+         |ORDER BY doc_id, copy""".stripMargin
+    }
   )
 }

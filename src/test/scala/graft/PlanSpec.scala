@@ -173,6 +173,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition(cluster"), p)
   }
 
+  test("a29 heavy hitters: two-phase per-key count, totals broadcast as a 1-row side") {
+    val p = plan("a29_heavy_hitters")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x4 epoch shuffle: windows partition by shard (no global sort of the corpus)") {
+    val p = plan("x4_epoch_shuffle")
+    assert(p.contains("windowspecdefinition(shard"), p)
+    assert(!p.contains("windowspecdefinition()"), p)
+  }
+
+  test("x5 upsampling is scan -> project -> filter -> explode: no join, no aggregate") {
+    val p = plan("x5_repeat_upsample")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("d12 semdedup: cluster equi-join + broadcast anti keep-filter, no nested loop") {
     val p = plan("d12_semdedup")
     assert(p.contains("LeftAnti"), p)

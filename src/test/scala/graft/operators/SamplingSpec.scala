@@ -186,4 +186,37 @@ class SamplingSpec extends SparkSuite {
         kids.map(_.getAs[Double]("qty")).sum) < 1e-6)
     }
   }
+
+  test("x4 epoch shuffle: a permutation — every doc once, dense per-shard positions") {
+    val a = q("x4_epoch_shuffle").collect()
+    val b = q("x4_epoch_shuffle").collect()
+    assert(a.toSeq === b.toSeq, "shuffle order must be replay-stable")
+
+    val nDocs = Tables(spark, sf("sf0.001"), "documents").count()
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length.toLong === nDocs)
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val ps = rows.map(_.getAs[Int]("pos")).sorted
+      assert(ps.toSeq === (1 to rows.length), "positions must be dense from 1")
+    }
+  }
+
+  test("x5 upsampling: copy counts bounded by floor/ceil of each lang's epoch weight") {
+    val rows = q("x5_repeat_upsample").collect()
+    val bounds = Map( // floor/ceil of en 0.8, zh 1.5, es 2.25, de 3.0, fr 0.4
+      "en" -> (0, 1), "zh" -> (1, 2), "es" -> (2, 3), "de" -> (3, 3), "fr" -> (0, 1))
+    val perDoc = rows.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    perDoc.foreach { case ((_, lang), cs) =>
+      val (lo, hi) = bounds(lang)
+      assert(cs.length >= math.max(lo, 1) && cs.length <= hi)
+      assert(cs.map(_.getAs[Int]("copy")).sorted.toSeq === (1 to cs.length),
+        "copy indexes must be dense from 1")
+    }
+    // docs absent from the output are exactly the zero-copy draws of a
+    // fractional-epoch lang (never de, whose weight is a whole number)
+    val emitted = perDoc.keySet.map(_._1)
+    Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .filterNot(r => emitted.contains(r.getLong(0)))
+      .foreach(r => assert(r.getString(1) != "de"))
+  }
 }
