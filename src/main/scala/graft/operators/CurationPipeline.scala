@@ -94,6 +94,36 @@ object CurationPipeline extends QueryPack {
         .select(col("doc_id"), col("source"), col("weight"),
           col("n_tokens"), col("shard_id"), col("offset_in_shard"))
         .orderBy("doc_id")
+    }),
+
+    // pipeline3 (semantic curation): the embedding-side counterpart of
+    // pipeline1 — IVF-cluster semantic dedup (d12's SemDeDup drop set)
+    // combined with a text-side quality gate, one decision row per doc.
+    // The multimodal join documents⋈embeddings on id is THE structural
+    // shuffle of any embedding-aware curation run; at 100 TB both tables
+    // bucket by id at write time (Bucketing.writeBucketed) and the join
+    // goes zero-Exchange. The pairwise scoring stays confined to IVF
+    // clusters (see d12) and the drop set rides the join as bare ids.
+    "pipeline3_semantic" -> ((s, dir) => {
+      val asg = DedupPack.semAssign(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sem = asg.select(col("vec_id").as("doc_id"), col("cid"))
+        .join(DedupPack.semDropped(asg).withColumn("dup", lit(1))
+            .withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cid"),
+          col("dup").isNull.cast("int").as("sem_canonical"))
+      val ws = tokens(col("text"))
+      val stopRatio = TextPack.countIn(ws, TextPack.stopwords).cast("double") / size(ws)
+      val quality = Tables(s, dir, "documents")
+        .select(col("doc_id"), stopRatio.as("stop_ratio"))
+      sem.join(quality, "doc_id")
+        .select(col("doc_id"), col("cid"), col("sem_canonical"),
+          (col("stop_ratio") >= StopRatioMin && col("stop_ratio") <= StopRatioMax)
+            .cast("int").as("quality_ok"))
+        .withColumn("keep",
+          (col("sem_canonical") === 1 && col("quality_ok") === 1).cast("int"))
+        .orderBy("doc_id")
     })
   )
 
@@ -167,6 +197,25 @@ object CurationPipeline extends QueryPack {
            |SELECT doc_id, source, weight, CAST(n_tokens AS INTEGER) AS n_tokens,
            |  cb // ${SamplingPack.Budget} AS shard_id,
            |  cb % ${SamplingPack.Budget} AS offset_in_shard
-           |FROM c ORDER BY doc_id""".stripMargin)
+           |FROM c ORDER BY doc_id""".stripMargin),
+
+    "pipeline3_semantic" ->
+      (DedupPack.semCtes +
+        s""",
+           |q AS (
+           |  SELECT doc_id,
+           |    CAST(${TextPack.countInSql(TextPack.stopwords)} AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS stop_ratio
+           |  FROM documents),
+           |sem AS (
+           |  SELECT vec_id AS doc_id, cid,
+           |    CAST(vec_id NOT IN (SELECT vec_id FROM drp) AS INTEGER) AS sem_canonical
+           |  FROM asg)
+           |SELECT s.doc_id, s.cid, s.sem_canonical,
+           |  CAST(q.stop_ratio >= $StopRatioMin AND q.stop_ratio <= $StopRatioMax AS INTEGER) AS quality_ok,
+           |  CAST(s.sem_canonical = 1
+           |       AND q.stop_ratio >= $StopRatioMin AND q.stop_ratio <= $StopRatioMax AS INTEGER) AS keep
+           |FROM sem s JOIN q USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
   )
 }

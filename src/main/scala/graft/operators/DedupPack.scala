@@ -398,23 +398,58 @@ object DedupPack extends QueryPack {
     // replays assignment from the same centroid constants (e5's
     // machinery) and the same rounded-cosine threshold.
     "d12_semdedup" -> ((s, dir) => {
-      val asg = IvfIndex
-        .assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
-        .select(col("vec_id"), col("cid"), col("embedding"))
+      val asg = semAssign(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = asg.select(col("cid"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"))
-      val b = asg.select(col("cid"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"))
-      val dropped = a.join(b, Seq("cid"))
-        .where(col("id_a") < col("id_b"))
-        .where(round(cosine_similarity(col("ea"), col("eb")), 6) >= 0.35)
-        .select(col("id_b").as("vec_id")).distinct()
-      asg.join(dropped, Seq("vec_id"), "left_anti")
+      asg.join(semDropped(asg), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cid"))
         .orderBy("vec_id")
     })
   )
+
+  /** Cosine threshold for semantic (embedding-cluster) dedup. */
+  private[operators] val SemTau = 0.35
+
+  /** IVF cluster assignment of the embeddings table — the clustering that
+    * bounds d12/pipeline3 pairwise scoring to within-cluster pairs.
+    */
+  private[operators] def semAssign(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+
+  /** The SemDeDup drop set: every vec_id with a more-senior (lower-id)
+    * within-cluster near-duplicate. Same score→filter→dedup staging as
+    * d6 — the distinct shuffle carries bare ids, never embeddings.
+    */
+  private[operators] def semDropped(asg: DataFrame): DataFrame = {
+    val a = asg.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = asg.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(round(cosine_similarity(col("ea"), col("eb")), 6) >= SemTau)
+      .select(col("id_b").as("vec_id")).distinct()
+  }
+
+  /** DuckDB CTE chain `base/dists/asg/drp` replaying [[semAssign]] +
+    * [[semDropped]] from the shared centroid constants — shared by the
+    * d12 and pipeline3 oracles.
+    */
+  private[operators] val semCtes: String = {
+    val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, e, $distE AS d FROM base),
+       |asg AS (
+       |  SELECT vec_id, e,
+       |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+       |  FROM dists),
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= $SemTau)""".stripMargin
+  }
 
   /** Same Horner-mod-prime hash as graft.functions.ShingleHashes,
     * replayed per shingle string (variable `sh`) via list_reduce over its
@@ -613,24 +648,12 @@ object DedupPack extends QueryPack {
     // constants (shared distListSql generator with the e5 oracle) and the
     // same rounded-cosine threshold, restated as "keep vec_id iff no
     // lower-id same-cluster vector is within τ".
-    "d12_semdedup" -> {
-      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
-      s"""WITH base AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |dists AS (
-         |  SELECT vec_id, e, $distE AS d FROM base),
-         |asg AS (
-         |  SELECT vec_id, e,
-         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
-         |  FROM dists),
-         |drp AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35)
-         |SELECT vec_id, cid FROM asg
-         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
-         |ORDER BY vec_id""".stripMargin
-    },
+    "d12_semdedup" ->
+      (semCtes +
+        """
+          |SELECT vec_id, cid FROM asg
+          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+          |ORDER BY vec_id""".stripMargin),
 
     "d6b_neardup_brute" ->
       """SELECT vec_a, vec_b, cos_sim FROM (

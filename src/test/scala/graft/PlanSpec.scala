@@ -200,6 +200,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pipeline3 semantic curation: equi joins only, no nested loop, no cartesian") {
+    val p = plan("pipeline3_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sql2 Q8 star: every dimension broadcasts, lineitem streams, p_type pushed down") {
     val p = plan("sql2_market_share")
     assert(p.contains("BroadcastHashJoin"), p)

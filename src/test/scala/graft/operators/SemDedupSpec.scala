@@ -51,4 +51,18 @@ class SemDedupSpec extends SparkSuite {
     assert(dropped.nonEmpty, "fixture must exercise the drop path")
     assert(kept.nonEmpty)
   }
+
+  test("pipeline3's sem_canonical set is exactly d12's kept set") {
+    val dir = sf("sf0.001")
+    val d12 = DedupPack.queries("d12_semdedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val p3 = CurationPipeline.queries("pipeline3_semantic")(spark, dir).collect()
+    assert(p3.filter(_.getAs[Int]("sem_canonical") == 1)
+      .map(_.getLong(0)).toSet === d12)
+    // keep is the conjunction, never wider than either gate
+    p3.foreach { r =>
+      assert(r.getAs[Int]("keep") ===
+        r.getAs[Int]("sem_canonical") * r.getAs[Int]("quality_ok"))
+    }
+  }
 }
