@@ -32,12 +32,17 @@ object CurationPipeline extends QueryPack {
   private val MaxDupGramRatio = 0.5
   private val TrainPct = 90
 
-  /** One decision record per document, unsorted (see pipeline1 scaladoc).
+  /** The STATELESS per-row curation features — langid, stopword quality,
+    * repetition, plus the content fingerprint / split bucket: one fused
+    * projection over (doc_id, lang, text), no shuffle, no state. Taking a
+    * DataFrame (not a path) is the point: the same compiled expressions
+    * run over a batch read (pipeline1) or a readStream (s9) unchanged —
+    * Spark's batch/stream unification applied to the curation pipeline.
     * The repetition feature counts distinct trigrams via the compiled
     * ShingleHashes poly-hash, like t8 — the interpreted gram-string HOF
     * was 10× slower and is the same quantity modulo ~n²/2P collisions.
     */
-  private def decisions(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rowFeatures(docs: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
     val scores = TextPack.markers.map { case (l, ms) => l -> TextPack.countIn(ws, ms) }
     val Seq(en, de, fr, es) = scores.map(_._2)
@@ -50,20 +55,25 @@ object CurationPipeline extends QueryPack {
     val dupRatio = when(nGrams > 0,
       (nGrams - size(shingle_hashes(col("text"), 3))).cast("double") / nGrams)
       .otherwise(lit(0.0))
-    val feat = Tables(s, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      guess.as("guessed_lang"),
-      stopRatio.as("stop_ratio"),
-      dupRatio.as("dup_ratio"),
+    docs.select(
+      col("doc_id"),
+      (guess === col("lang")).cast("int").as("lang_ok"),
+      (stopRatio >= StopRatioMin && stopRatio <= StopRatioMax)
+        .cast("int").as("quality_ok"),
+      (dupRatio <= MaxDupGramRatio).cast("int").as("repetition_ok"),
       md5(col("text")).as("fp"),
       pmod(md5Prefix60(col("text")), lit(100)).as("bucket"))
+  }
+
+  /** One decision record per document, unsorted (see pipeline1 scaladoc):
+    * [[rowFeatures]] plus the one stateful step, exact-dedup canonicality.
+    */
+  private def decisions(s: SparkSession, dir: String): DataFrame = {
+    val feat = rowFeatures(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")))
     val canon = feat.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     feat.join(canon, "fp")
-      .select(col("doc_id"),
-        (col("guessed_lang") === col("lang")).cast("int").as("lang_ok"),
-        (col("stop_ratio") >= StopRatioMin && col("stop_ratio") <= StopRatioMax)
-          .cast("int").as("quality_ok"),
-        (col("dup_ratio") <= MaxDupGramRatio).cast("int").as("repetition_ok"),
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"), col("repetition_ok"),
         (col("doc_id") === col("keep_id")).cast("int").as("is_canonical"),
         when(col("bucket") < TrainPct, "train").otherwise("val").as("split"))
       .withColumn("keep",
@@ -130,7 +140,7 @@ object CurationPipeline extends QueryPack {
   /** The curation CTE chain up to `lab` (one decision row per doc) —
     * shared by both pipeline oracles.
     */
-  private val curationCtes: String = {
+  private[graft] val curationCtes: String = {
     val scoreCols = TextPack.markers.map { case (l, ms) =>
       s"CAST(${TextPack.countInSql(ms)} AS INTEGER) AS s_$l" }.mkString(",\n    ")
     s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),

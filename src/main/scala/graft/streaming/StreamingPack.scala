@@ -393,6 +393,41 @@ object StreamingPack extends QueryPack {
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")
+    }),
+
+    // s9: STREAMING curation — CurationPipeline.rowFeatures applied to a
+    // readStream of the documents table, unchanged: the same fused
+    // compiled projection (langid, stopword quality, trigram repetition)
+    // runs per-row, stateless, watermark-free, and append-emits as docs
+    // arrive. This is the batch/stream unification argument made
+    // executable — curation-at-ingest needs no second implementation, so
+    // the batch oracle (pipeline1's feature CTEs) checks the stream
+    // bit-for-bit. Scale: a stateless projection is the best possible
+    // streaming shape — zero state store, zero shuffle, per-batch cost
+    // proportional only to arriving data.
+    "s9_stream_curation" -> ((s, dir) => {
+      val tmp = scratch("graft-s9-")
+      val ss = tunedChild(s, width = 4)
+      val schema = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir).schema
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val q = graft.operators.CurationPipeline.rowFeatures(stream)
+        .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+          col("repetition_ok"))
+        .withColumn("stream_keep",
+          (col("lang_ok") === 1 && col("quality_ok") === 1 &&
+            col("repetition_ok") === 1).cast("int"))
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s9_cur")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s9_cur").orderBy("doc_id")
     })
   )
 
@@ -529,7 +564,17 @@ object StreamingPack extends QueryPack {
         |HAVING max(ts) + INTERVAL 30 MINUTE <
         |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
         |    - INTERVAL 1 HOUR - INTERVAL 1 SECOND
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // The batch restatement of the streamed per-row features — shares
+    // pipeline1's CTE chain, whose canon join is row-preserving.
+    "s9_stream_curation" ->
+      (graft.operators.CurationPipeline.curationCtes +
+        """
+          |SELECT doc_id, lang_ok, quality_ok, repetition_ok,
+          |  CAST(lang_ok = 1 AND quality_ok = 1 AND repetition_ok = 1 AS INTEGER)
+          |    AS stream_keep
+          |FROM lab ORDER BY doc_id""".stripMargin)
   )
 
   private implicit class MapOps(m: Map[String, String]) {

@@ -88,6 +88,20 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("s9 streamed curation features equal the batch rowFeatures projection") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = graft.SparkEntry.queries("s9_stream_curation")(spark, dir)
+    val batch = graft.operators.CurationPipeline.rowFeatures(
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"), col("repetition_ok"))
+      .withColumn("stream_keep",
+        (col("lang_ok") === 1 && col("quality_ok") === 1 &&
+          col("repetition_ok") === 1).cast("int"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("compact() drops old tombstones but keeps state intact") {
     val dir = tmp()
     val store = new BucketedStateStore(spark, dir, numBuckets = 4)
