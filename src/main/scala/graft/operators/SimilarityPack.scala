@@ -19,6 +19,12 @@ import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_cod
   * re-scoring within buckets. Hyperplanes are deterministic (seeded
   * per-(plane,dim) hash), so results are reproducible run to run.
   */
+/** One scored candidate in e9's bounded per-query heap; `cos6` is the
+  * cosine in integer micro-units (round(c·1e6)) so ordering is a long
+  * compare both engines replay exactly.
+  */
+final case class KnnScore(q_id: Long, vec_id: Long, cos6: Long)
+
 object SimilarityPack extends QueryPack {
 
   private[operators] val Dim = 64
@@ -229,8 +235,47 @@ object SimilarityPack extends QueryPack {
         .dropDuplicates("vec_id")
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(20)
+    }),
+
+    // e9: BATCH KNN serving — top-K for a whole query SET in one corpus
+    // pass. e1/e2 answer one query per scan; the serving shape broadcasts
+    // all Q queries, scores each corpus row against all of them in place,
+    // and bounds every query's candidates with the TopKAggregator heap:
+    // map-side partial aggregation reduces each partition to ≤K rows per
+    // query BEFORE the shuffle, so shuffle volume is K·Q, independent of
+    // corpus size (a row_number window would shuffle+sort all Q·corpus
+    // scored rows). Scores are fixed to integer micro-units (round(c·1e6))
+    // at the scoring boundary: the heap orders by a long, and both
+    // engines agree on the ordering and the emitted value exactly.
+    "e9_knn_batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[KnnScore]] =
+        org.apache.spark.sql.Encoders.kryo[Seq[KnnScore]]
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < BatchQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val topk = new graft.functions.TopKAggregator[KnnScore](
+        BatchK, _.cos6, _.vec_id)
+      emb.where(col("vec_id") >= BatchQueries)
+        .crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine_similarity(col("embedding"), col("qe")) * 1e6, 0)
+            .cast("long").as("cos6"))
+        .as[KnnScore]
+        .groupByKey(_.q_id)
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (_, rows) =>
+          rows.zipWithIndex.map { case (r, i) => (r.q_id, r.vec_id, r.cos6, i + 1) } }
+        .toDF("q_id", "vec_id", "cos6", "rn")
+        .select(col("q_id"), col("vec_id"),
+          (col("cos6").cast("double") / 1000000.0).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
     })
   )
+
+  /** Query-set size and per-query K for e9 batch serving. */
+  private val BatchQueries = 8
+  private val BatchK = 20
 
   /** DuckDB replay of [[lshBuckets]]: per-table bucket codes b0..b{n-1}
     * over the SAME hyperplane constants (sign(list_dot_product) ==
@@ -342,6 +387,27 @@ object SimilarityPack extends QueryPack {
     // e6's oracle), ADC lookup tables computed from the query row with
     // the same per-subspace accumulation order as PqIndex.adcDistance,
     // shortlist and re-rank with the same deterministic tie rules.
-    "e7_pq_knn" -> PqIndex.adcKnnSql(PqIndex.Pretrained, shortlist = 200, k = 20)
+    "e7_pq_knn" -> PqIndex.adcKnnSql(PqIndex.Pretrained, shortlist = 200, k = 20),
+
+    // e9: the oracle states the spec as the window formulation — same
+    // micro-unit scores, same (cos6 DESC, vec_id) order, rn <= K — which
+    // the bounded-heap aggregate must reproduce exactly.
+    "e9_knn_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < $BatchQueries),
+         |c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE vec_id >= $BatchQueries),
+         |sc AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(round(list_cosine_similarity(e, qe) * 1e6, 0) AS BIGINT) AS cos6
+         |  FROM c, q),
+         |r AS (
+         |  SELECT q_id, vec_id, cos6,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INTEGER) AS rn
+         |  FROM sc)
+         |SELECT q_id, vec_id, CAST(cos6 AS DOUBLE) / 1000000.0 AS cos_sim, rn
+         |FROM r WHERE rn <= $BatchK ORDER BY q_id, rn""".stripMargin
   )
 }

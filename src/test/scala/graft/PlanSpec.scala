@@ -200,6 +200,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("e9 batch KNN bounds candidates in a partial aggregate, not a window sort") {
+    val p = plan("e9_knn_batch")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("pipeline3 semantic curation: equi joins only, no nested loop, no cartesian") {
     val p = plan("pipeline3_semantic")
     assert(!p.contains("CartesianProduct"), p)

@@ -28,4 +28,24 @@ class SimilaritySpec extends SparkSuite {
     val shared = exact.keySet intersect ivf.keySet
     shared.foreach { id => assert(exact(id) == ivf(id), s"vec $id") }
   }
+
+  test("e9 bounded-heap batch KNN equals the window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.cosine_similarity
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("e9_knn_batch")(spark, dir)
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val sc = emb.where(col("vec_id") >= 8).crossJoin(qs)
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_similarity(col("embedding"), col("qe")) * 1e6, 0)
+          .cast("long").as("cos6"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos6").desc, col("vec_id"))
+    val naive = sc.withColumn("rn", row_number().over(w)).where(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"),
+        (col("cos6").cast("double") / 1000000.0).as("cos_sim"), col("rn"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
 }
