@@ -90,8 +90,32 @@ object MultimodalPack extends QueryPack {
         .where(col("doc_id") < 50)
         .select(col("doc_id"), posexplode(array(comps: _*)).as(Seq("pos", "v")))
         .orderBy("doc_id", "pos")
+    }),
+
+    // m4: INTERLEAVED multimodal sequence packing — the assembly format of
+    // image-text training runs: a document's sequence footprint is its
+    // text tokens plus a fixed patch budget per attached image (here:
+    // docs with a media payload, i.e. ≥ one m2 frame, carry MediaTokens
+    // patches). The modality-weighted totals then flow through the SAME
+    // scalable two-level prefix sum as x2 — packing is modality-agnostic
+    // once footprints are computed, so the interleaved form costs nothing
+    // extra at 100 TB.
+    "m4_interleaved_pack" -> ((s, dir) => {
+      val mediaTokens = when(col("n_chars") >= 64, lit(MediaTokens)).otherwise(lit(0))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.tokens(col("text"))).as("n_text_tokens"),
+          mediaTokens.as("n_media_tokens"))
+        .withColumn("n_tokens", col("n_text_tokens") + col("n_media_tokens"))
+      SamplingPack.packSequences(docs)
+        .select(col("doc_id"), col("n_text_tokens"), col("n_media_tokens"),
+          col("shard_id"), col("offset_in_shard"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Image-patch budget per media-bearing document (m4). */
+  private val MediaTokens = 16
 
   override def oracles: Map[String, String] = Map(
     "m1_media_meta" ->
@@ -117,6 +141,24 @@ object MultimodalPack extends QueryPack {
         |       % 2001 - 1000 AS DOUBLE) / 1000 AS v
         |FROM documents, range(0, 8) t(i)
         |WHERE doc_id < 50
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // x2's packing oracle with modality-weighted footprints.
+    "m4_interleaved_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_text_tokens,
+         |    CAST(CASE WHEN n_chars >= 64 THEN $MediaTokens ELSE 0 END AS INTEGER) AS n_media_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_text_tokens, n_media_tokens,
+         |    CAST(sum(n_text_tokens + n_media_tokens)
+         |           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - (n_text_tokens + n_media_tokens) AS BIGINT) AS cb
+         |  FROM t)
+         |SELECT doc_id, n_text_tokens, n_media_tokens,
+         |  cb // ${SamplingPack.Budget} AS shard_id,
+         |  cb % ${SamplingPack.Budget} AS offset_in_shard
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 }
