@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, wordShinglesOf}
+import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, winnow_fingerprints, wordShinglesOf}
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.1-6):
   * exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine near-dup.
@@ -403,8 +403,44 @@ object DedupPack extends QueryPack {
       asg.join(semDropped(asg), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cid"))
         .orderBy("vec_id")
+    }),
+
+    // d13: span-level near-dup candidates from winnowed fingerprints —
+    // the MOSS/plagiarism-detection shape, and what winnowing (t5) exists
+    // for: two docs sharing ≥ MinSharedFps selected k-gram windows share
+    // substantial verbatim spans, a different signal from d3's
+    // whole-document MinHash resemblance. The document-frequency cap does
+    // double duty at scale: it removes boilerplate fingerprints (the ones
+    // that match everything) AND bounds the pair join's per-bucket work —
+    // a fingerprint with df docs generates df² pairs, so df ≤ MaxFpDf
+    // caps the worst bucket at MaxFpDf², making hot-key skew impossible
+    // by construction rather than mitigated after the fact.
+    "d13_winnow_pairs" -> ((s, dir) => {
+      val fps = Tables(s, dir, "documents")
+        .where(col("n_chars") >= graft.functions.WinnowFingerprints.GramLen)
+        .select(col("doc_id"), explode(winnow_fingerprints(col("text"))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // df join is fp→fp: co-partitioned with the aggregation that
+      // produced it, narrow rows either side — never a broadcast
+      // dependency (the distinct-fp table grows with the corpus).
+      val keep = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") <= MaxFpDf), "fp")
+      val a = keep.select(col("fp"), col("doc_id").as("doc_a"))
+      val b = keep.select(col("fp"), col("doc_id").as("doc_b"))
+      a.join(b, "fp")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= MinSharedFps)
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** d13 span-dup policy: ignore fingerprints shared by more than MaxFpDf
+    * docs (boilerplate + skew cap); flag pairs sharing ≥ MinSharedFps.
+    */
+  private val MaxFpDf = 20
+  private val MinSharedFps = 5
 
   /** Cosine threshold for semantic (embedding-cluster) dedup. */
   private[operators] val SemTau = 0.35
@@ -654,6 +690,20 @@ object DedupPack extends QueryPack {
           |SELECT vec_id, cid FROM asg
           |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
           |ORDER BY vec_id""".stripMargin),
+
+    // d13: TextPack.winnowCtes replays the compiled winnowing; then the
+    // same df-cap + shared-count policy.
+    "d13_winnow_pairs" ->
+      (TextPack.winnowCtes +
+        s""",
+           |df AS (SELECT fp, count(*) AS df FROM fpd GROUP BY fp),
+           |keep AS (SELECT doc_id, fp FROM fpd JOIN df USING (fp) WHERE df <= $MaxFpDf)
+           |SELECT doc_a, doc_b, n_shared FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |WHERE n_shared >= $MinSharedFps
+           |ORDER BY doc_a, doc_b""".stripMargin),
 
     "d6b_neardup_brute" ->
       """SELECT vec_a, vec_b, cos_sim FROM (

@@ -220,6 +220,32 @@ object TextPack extends QueryPack {
   private[operators] def countInSql(words: Seq[String]): String =
     s"len(list_filter($wsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** DuckDB replay of [[graft.functions.WinnowFingerprints]] ending in
+    * CTE `fpd` = the DISTINCT (doc_id, fp) winnow set per document. The
+    * rolling hash equals this polynomial evaluated term by term with the
+    * same precomputed powers; BIGINT casts keep DuckDB's integer
+    * arithmetic from overflowing INT32. Shared by the t5 and d13 oracles.
+    */
+  private[operators] val winnowCtes: String = {
+    val hashSql = WinnowFingerprints.Pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(ascii(substr(text, CAST(i AS INTEGER) + $j, 1)) AS BIGINT) * $p"
+    }.mkString("\n      + ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, CAST(n_chars AS INTEGER) - ${WinnowFingerprints.GramLen - 2})) AS i
+       |  FROM documents WHERE n_chars >= ${WinnowFingerprints.GramLen}),
+       |h AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |    ($hashSql) % ${WinnowFingerprints.Mod} AS h
+       |  FROM pos),
+       |mins AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${WinnowFingerprints.WindowLen - 1} FOLLOWING) AS fp
+       |  FROM h),
+       |fpd AS (SELECT DISTINCT doc_id, fp FROM mins)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "t1_token_stats" ->
       s"""SELECT doc_id,
@@ -253,28 +279,8 @@ object TextPack extends QueryPack {
         |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t5_winnow_fingerprint" -> {
-      // The rolling hash in WinnowFingerprints equals this polynomial
-      // evaluated term by term with the same precomputed powers; BIGINT
-      // casts keep DuckDB's integer arithmetic from overflowing INT32.
-      val hashSql = WinnowFingerprints.Pows.zipWithIndex.map { case (p, j) =>
-        s"CAST(ascii(substr(text, CAST(i AS INTEGER) + $j, 1)) AS BIGINT) * $p"
-      }.mkString("\n      + ")
-      s"""WITH pos AS (
-         |  SELECT doc_id, text,
-         |    unnest(range(1, CAST(n_chars AS INTEGER) - ${WinnowFingerprints.GramLen - 2})) AS i
-         |  FROM documents WHERE n_chars >= ${WinnowFingerprints.GramLen}),
-         |h AS (
-         |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-         |    ($hashSql) % ${WinnowFingerprints.Mod} AS h
-         |  FROM pos),
-         |mins AS (
-         |  SELECT doc_id,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-         |                 ROWS BETWEEN CURRENT ROW AND ${WinnowFingerprints.WindowLen - 1} FOLLOWING) AS fp
-         |  FROM h)
-         |SELECT DISTINCT doc_id, fp FROM mins ORDER BY doc_id, fp""".stripMargin
-    },
+    "t5_winnow_fingerprint" ->
+      (winnowCtes + "\nSELECT doc_id, fp FROM fpd ORDER BY doc_id, fp"),
 
     "t9_tfidf_top_term" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -200,6 +200,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d13 winnow pairs: two-phase aggregates, equi joins only") {
+    val p = plan("d13_winnow_pairs")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("e9 batch KNN bounds candidates in a partial aggregate, not a window sort") {
     val p = plan("e9_knn_batch")
     assert(p.contains("ObjectHashAggregate"), p)

@@ -52,6 +52,23 @@ class SemDedupSpec extends SparkSuite {
     assert(kept.nonEmpty)
   }
 
+  test("d13 pair counts never exceed the true winnow-set intersection") {
+    val dir = sf("sf0.001")
+    val sets = graft.SparkEntry.queries("t5_winnow_fingerprint")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pairs = graft.SparkEntry.queries("d13_winnow_pairs")(spark, dir).collect()
+    assert(pairs.nonEmpty, "fixture must produce span-dup candidates")
+    pairs.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(n >= 5L)
+      // d13 counts only df-capped fingerprints, so its count is a lower
+      // bound on the full intersection
+      assert(n <= (sets(a) intersect sets(b)).size.toLong, s"pair ($a,$b)")
+    }
+  }
+
   test("pipeline3's sem_canonical set is exactly d12's kept set") {
     val dir = sf("sf0.001")
     val d12 = DedupPack.queries("d12_semdedup")(spark, dir)
