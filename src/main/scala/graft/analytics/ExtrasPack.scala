@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -83,6 +83,48 @@ object ExtrasPack extends QueryPack {
         .toDF("event_type", "est")
         .select(col("event_type"), round(col("est"), 6).as("est_users"))
         .orderBy("event_type")
+    }),
+
+    // a30: sketch SET OPERATIONS — theta-style audience overlap from two
+    // KMV sketches. The whole corpus reduces to two ≤K-long sketches
+    // (bounded mergeable state, map-side combine); intersection/union
+    // estimates are then pure array expressions over those sketches:
+    // θ = min of the two K-th hashes, P = |intersection ≤ θ|, overlap ≈
+    // P/θ_norm — the audience-overlap query every OLAP sketch library
+    // ships, here with a deterministic estimator the DuckDB oracle
+    // replays exactly (same doubles, same division order). Sub-K groups
+    // degrade to exact sets and the same formula applies.
+    "a30_sketch_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val K = 64
+      val sk = new graft.functions.KmvSketchAggregator(K)
+      val sketches = Tables(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(sk.toColumn.name("mins"))
+        .toDF("event_type", "mins")
+      def est(c: Column): Column =
+        when(size(c) < K, size(c).cast("double"))
+          .otherwise(lit((K - 1).toDouble) /
+            (element_at(c, -1).cast("double") / graft.functions.KmvAggregator.Norm))
+      val a = sketches.where(col("event_type") === "click").select(col("mins").as("ma"))
+      val b = sketches.where(col("event_type") === "purchase").select(col("mins").as("mb"))
+      a.crossJoin(b)
+        .withColumn("th", least(element_at(col("ma"), -1), element_at(col("mb"), -1)))
+        .withColumn("p",
+          size(filter(array_intersect(col("ma"), col("mb")), x => x <= col("th"))))
+        .withColumn("est_click_users", est(col("ma")))
+        .withColumn("est_purchase_users", est(col("mb")))
+        .withColumn("est_overlap",
+          col("p").cast("double") /
+            (col("th").cast("double") / graft.functions.KmvAggregator.Norm))
+        .select(col("est_click_users"), col("est_purchase_users"), col("est_overlap"),
+          (col("est_overlap") /
+            ((col("est_click_users") + col("est_purchase_users")) - col("est_overlap")))
+            .as("est_jaccard"))
     }),
 
     // t6: stable train/val split — hash-based deterministic sharding (the
@@ -266,6 +308,43 @@ object ExtrasPack extends QueryPack {
          |FROM r
          |WHERE rn = CASE WHEN nd < $K THEN nd ELSE $K END
          |ORDER BY event_type""".stripMargin
+    },
+
+    // a30: replay both KMV sketches (K smallest distinct hashes per
+    // type), then the same theta-intersection arithmetic — same doubles,
+    // same division order, down to the parenthesization of the union
+    // denominator.
+    "a30_sketch_overlap" -> {
+      val K = 64
+      val norm = "1152921504606846976"
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, list(h ORDER BY h) AS mins
+         |  FROM r WHERE rn <= $K GROUP BY event_type),
+         |ab AS (
+         |  SELECT a.mins AS ma, b.mins AS mb,
+         |    least(a.mins[len(a.mins)], b.mins[len(b.mins)]) AS th
+         |  FROM (SELECT mins FROM sk WHERE event_type = 'click') a,
+         |       (SELECT mins FROM sk WHERE event_type = 'purchase') b),
+         |e AS (
+         |  SELECT
+         |    CASE WHEN len(ma) < $K THEN CAST(len(ma) AS DOUBLE)
+         |         ELSE ${K - 1} / (CAST(ma[len(ma)] AS DOUBLE) / $norm) END AS est_click_users,
+         |    CASE WHEN len(mb) < $K THEN CAST(len(mb) AS DOUBLE)
+         |         ELSE ${K - 1} / (CAST(mb[len(mb)] AS DOUBLE) / $norm) END AS est_purchase_users,
+         |    CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
+         |      / (CAST(th AS DOUBLE) / $norm) AS est_overlap
+         |  FROM ab)
+         |SELECT est_click_users, est_purchase_users, est_overlap,
+         |  est_overlap / ((est_click_users + est_purchase_users) - est_overlap) AS est_jaccard
+         |FROM e""".stripMargin
     },
 
     "t6_stable_split" ->

@@ -48,3 +48,20 @@ object KmvAggregator {
     */
   val Norm: Double = 1152921504606846976.0
 }
+
+/** The same bounded KMV state, finishing to the sketch itself (the sorted
+  * K smallest distinct hashes) instead of a count — so sketches of
+  * different groups can be COMBINED downstream: theta-style intersection /
+  * union estimates are pure array expressions over two sketches
+  * (a30_sketch_overlap). Same mergeability and K·groups shuffle bound.
+  */
+class KmvSketchAggregator(k: Int)(implicit bufEnc: Encoder[Seq[Long]])
+  extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val kmv = new KmvAggregator(k)
+  override def zero: Seq[Long] = kmv.zero
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = kmv.reduce(buf, h)
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = kmv.merge(x, y)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] = bufEnc
+  override def outputEncoder: Encoder[Seq[Long]] = bufEnc
+}

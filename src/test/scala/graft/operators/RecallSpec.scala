@@ -101,6 +101,19 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("a30 theta-overlap estimate: relative error vs exact intersection within 30%") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, dir, "events")
+    def users(t: String) =
+      ev.where(col("event_type") === t).select("user_id").distinct()
+    val exact = users("click").intersect(users("purchase")).count()
+    val est = graft.analytics.ExtrasPack.queries("a30_sketch_overlap")(spark, dir)
+      .select("est_overlap").head().getDouble(0)
+    val err = math.abs(est - exact) / exact
+    info(f"a30 overlap: exact=$exact est=$est%.1f err=$err%.4f")
+    assert(err <= 0.30, s"overlap error $err exceeds 30% (exact=$exact est=$est)")
+  }
+
   test("d6 LSH near-dup: pair recall vs bounded brute (d6b)") {
     def pairs(q: String) = DedupPack.queries(q)(spark, dir)
       .select("vec_a", "vec_b", "cos_sim")
