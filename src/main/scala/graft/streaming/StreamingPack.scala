@@ -428,6 +428,54 @@ object StreamingPack extends QueryPack {
         .start()
       q.awaitTermination()
       ss.table("graft_s9_cur").orderBy("doc_id")
+    }),
+
+    // s10: STREAMING sketch maintenance — the KMV distinct sketch as
+    // streaming aggregation state. Mergeable bounded sketches are THE
+    // streaming-friendly aggregate: state is ≤K longs per key no matter
+    // how many events arrive, every micro-batch merges map-side, and
+    // unlike s2's complete-mode window demo this complete-mode sink is
+    // scale-safe BY CONSTRUCTION — the served table is (keys × K) longs,
+    // independent of stream length. The events file is delivered TWICE
+    // across micro-batches (s7's symlink trick): batch 2 merges into
+    // batch 1's sketch state AND, because KMV is a function of the
+    // distinct hash SET, redelivery leaves the estimate unchanged — so
+    // the result still equals a20b's single-pass batch oracle.
+    "s10_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratch("graft-s10-")
+      val ss = tunedChild(s, width = 4)
+      val in = java.nio.file.Paths.get(tmp, "in")
+      Files.createDirectory(in)
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
+      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+      val rawSchema = org.apache.spark.sql.types.StructType(
+        graft.Tables(ss, dir, "events").schema.map {
+          case f if f.name == "ts" =>
+            f.copy(dataType = org.apache.spark.sql.types.LongType)
+          case f => f
+        })
+      val kmv = new graft.functions.KmvAggregator(64)
+      val q = ss.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in.toString)
+        .select(col("event_type"),
+          graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmv.toColumn.name("est"))
+        .toDF("event_type", "est")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_s10_kmv")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s10_kmv")
+        .select(col("event_type"), round(col("est"), 6).as("est_users"))
+        .orderBy("event_type")
     })
   )
 
@@ -565,6 +613,11 @@ object StreamingPack extends QueryPack {
         |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
         |    - INTERVAL 1 HOUR - INTERVAL 1 SECOND
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Shares a20b's estimator replay: streaming sketch state converges
+    // to the batch sketch of the same hash set.
+    "s10_stream_kmv" ->
+      graft.analytics.ExtrasPack.oracles("a20b_kmv_distinct"),
 
     // The batch restatement of the streamed per-row features — shares
     // pipeline1's CTE chain, whose canon join is row-preserving.
