@@ -64,6 +64,13 @@ package object functions {
       "sq8_cosine",
       exprs => Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3)),
       "scala_udf")
+    // Aggregate surface: the KMV distinct sketch as a SQL aggregate
+    // (`SELECT kmv_distinct(h) FROM ... GROUP BY ...`) — the typed
+    // Aggregator wrapped via functions.udaf, K=64 as in a20b/a30/s10.
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(
+        new KmvAggregator(64)(org.apache.spark.sql.Encoders.kryo[Seq[Long]]),
+        org.apache.spark.sql.Encoders.scalaLong))
   }
 
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */

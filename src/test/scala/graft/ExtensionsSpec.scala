@@ -60,4 +60,13 @@ class ExtensionsSpec extends SparkSuite {
   test("GraftExtensions injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("kmv_distinct is SQL-callable as an aggregate after registerAll") {
+    graft.functions.registerAll(spark)
+    // 3 distinct values, below K=64 ⇒ the sketch is exact
+    val r = spark.sql(
+      """SELECT kmv_distinct(h) AS d FROM VALUES (1L), (2L), (2L), (3L) t(h)""")
+      .collect().head.getDouble(0)
+    assert(r === 3.0)
+  }
 }
