@@ -415,6 +415,41 @@ object DedupPack extends QueryPack {
     // a fingerprint with df docs generates df² pairs, so df ≤ MaxFpDf
     // caps the worst bucket at MaxFpDf², making hot-key skew impossible
     // by construction rather than mitigated after the fact.
+    // g1: PageRank over the near-dup candidate graph — graph analytics
+    // beyond labeling (d7): rank = which documents sit at the center of
+    // duplication clusters (template/boilerplate hubs worth human review).
+    // All arithmetic is FIXED-POINT INTEGER (rank scaled by 1e6, damping
+    // 0.85 as ·850 div 1000·deg): integer sums are exact and
+    // order-independent, so the result is identical at any partitioning
+    // AND across engines — the trick that makes an iterative numeric
+    // algorithm hash-checkable. Five unrolled iterations; each is one
+    // src-shuffle join + one dst-aggregation on the CANDIDATE graph
+    // (orders smaller than the corpus), the same per-round shape as d7's
+    // label propagation. Every node has deg ≥ 1 by construction, so
+    // there is no dangling mass.
+    "g1_pagerank" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = lshPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var rank = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to PageRankIters) {
+        val contrib = edges.join(rank, col("node") === col("src"))
+          .join(deg, "src")
+          .select(col("dst").as("node"),
+            expr("(r * 850) div (1000 * deg)").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("s"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("s"), lit(0L))).as("r"))
+      }
+      rank.select(col("node").as("doc_id"), col("r").as("rank_fp"))
+        .orderBy("doc_id")
+    }),
+
     "d13_winnow_pairs" -> ((s, dir) => {
       val fps = Tables(s, dir, "documents")
         .where(col("n_chars") >= graft.functions.WinnowFingerprints.GramLen)
@@ -441,6 +476,9 @@ object DedupPack extends QueryPack {
     */
   private val MaxFpDf = 20
   private val MinSharedFps = 5
+
+  /** g1 power iterations (unrolled identically in the oracle). */
+  private val PageRankIters = 5
 
   /** Cosine threshold for semantic (embedding-cluster) dedup. */
   private[operators] val SemTau = 0.35
@@ -690,6 +728,37 @@ object DedupPack extends QueryPack {
           |SELECT vec_id, cid FROM asg
           |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
           |ORDER BY vec_id""".stripMargin),
+
+    // g1: the shared signature CTE rebuilds the candidate graph, then the
+    // five power iterations are UNROLLED as chained CTEs (standard SQL
+    // forbids aggregates over a recursive reference) — same integer
+    // fixed-point arithmetic, so the values match bit for bit.
+    "g1_pagerank" -> {
+      val iters = (0 until 5).map { i =>
+        s"""pr${i + 1} AS (
+           |  SELECT n.node, 150000 + COALESCE(c.s, 0) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum((p.r * 850) // (1000 * d.deg)) AS BIGINT) AS s
+           |    FROM edges e
+           |    JOIN pr$i p ON p.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) c USING (node))""".stripMargin
+      }.mkString(",\n")
+      shinglesCte +
+        s""",
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sig a JOIN sig b
+           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM cand
+           |  UNION ALL SELECT doc_b, doc_a FROM cand),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |$iters
+           |SELECT node AS doc_id, r AS rank_fp FROM pr5 ORDER BY doc_id""".stripMargin
+    },
 
     // d13: TextPack.winnowCtes replays the compiled winnowing; then the
     // same df-cap + shared-count policy.

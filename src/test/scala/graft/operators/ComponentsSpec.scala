@@ -22,6 +22,31 @@ class ComponentsSpec extends SparkSuite {
     pairs.unpersist()
   }
 
+  test("g1 PageRank: base bound, mass bound, determinism, exact value on isolated pairs") {
+    val dir = sf("sf0.001")
+    def run() = DedupPack.queries("g1_pagerank")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rank = run()
+    assert(rank.nonEmpty)
+    // every node holds at least the damping base, and floor divisions can
+    // only LOSE mass relative to the uniform start
+    assert(rank.values.forall(_ >= 150000L))
+    assert(rank.values.sum <= rank.size * 1000000L)
+    assert(run() === rank, "integer iteration must be replay-stable")
+
+    // an isolated pair (both endpoints touch only each other) is a fixed
+    // point of the iteration: 150000 + (1000000·850) div 1000 = 1000000
+    val pairs = DedupPack.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val isolated = pairs.filter { case (a, b) => deg(a) == 1 && deg(b) == 1 }
+    assert(isolated.nonEmpty, "fixture should contain an isolated pair")
+    isolated.foreach { case (a, b) =>
+      assert(rank(a) === 1000000L && rank(b) === 1000000L)
+    }
+  }
+
   test("union-find matches a brute-force closure on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
