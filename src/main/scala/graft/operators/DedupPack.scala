@@ -450,6 +450,35 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // g2: per-node triangle counts on the candidate graph — the local
+    // clustering signal: a doc whose dup-neighbors are themselves mutual
+    // dups sits inside a template clique (mass-produced boilerplate),
+    // vs. a star pattern (one doc paraphrased many ways). Edges are
+    // oriented a<b<c so every triangle is enumerated exactly once by two
+    // equi-joins — no nested loop. The enumeration cost is Σ deg², which
+    // the candidate graph bounds (it is orders smaller than the corpus);
+    // the production refinement at extreme skew orients edges by
+    // (degree, id) instead of id so each triangle is found at its
+    // lowest-degree vertex — same joins, same count.
+    "g2_triangle_counts" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = lshPairs(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK) // doc_a < doc_b by construction
+      val ab = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val bc = pairs.select(col("doc_a").as("b"), col("doc_b").as("c"))
+      val ac = pairs.select(col("doc_a").as("a"), col("doc_b").as("c"))
+      val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+      val counts = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy("doc_id")
+    }),
+
     "d13_winnow_pairs" -> ((s, dir) => {
       val fps = Tables(s, dir, "documents")
         .where(col("n_chars") >= graft.functions.WinnowFingerprints.GramLen)
@@ -759,6 +788,30 @@ object DedupPack extends QueryPack {
            |$iters
            |SELECT node AS doc_id, r AS rank_fp FROM pr5 ORDER BY doc_id""".stripMargin
     },
+
+    // g2: the same ordered two-join triangle enumeration over the shared
+    // candidate-pair CTE.
+    "g2_triangle_counts" ->
+      (shinglesCte +
+        """,
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sig a JOIN sig b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |tri AS (
+          |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+          |  FROM cand ab
+          |  JOIN cand bc ON bc.doc_a = ab.doc_b
+          |  JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+          |m AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+          |nodes AS (
+          |  SELECT DISTINCT doc_id
+          |  FROM (SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand))
+          |SELECT n.doc_id,
+          |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles
+          |FROM nodes n LEFT JOIN (SELECT doc_id, count(*) AS n FROM m GROUP BY doc_id) t
+          |  USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
 
     // d13: TextPack.winnowCtes replays the compiled winnowing; then the
     // same df-cap + shared-count policy.

@@ -47,6 +47,25 @@ class ComponentsSpec extends SparkSuite {
     }
   }
 
+  test("g2 triangle counts equal a brute-force adjacency-set enumeration") {
+    val dir = sf("sf0.001")
+    val got = DedupPack.queries("g2_triangle_counts")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupPack.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keySet
+    val brute = nodes.map { v =>
+      v -> adj(v).toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }.toLong
+    }.toMap
+    assert(got === brute.toMap)
+    assert(got.values.sum % 3 === 0L, "each triangle counted at 3 vertices")
+    assert(got.values.exists(_ > 0L), "fixture graph should contain triangles")
+  }
+
   test("union-find matches a brute-force closure on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
