@@ -36,13 +36,23 @@ object SparkEntry {
     new SignalStore(DerivedSignalLog.signals(spark, "/root/testdata/sf0.001"))
       .listByCreatedAt(0, 49)
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * key across packs would silently shadow a query (Map.++ keeps the
+    * last) and the driver would grade the wrong code — fail loudly.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    uniq(packs.flatMap(_.queries), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+    uniq(packs.flatMap(_.oracles), "oracles")
+
+  private def uniq[V](kvs: Seq[(String, V)], what: String): Map[String, V] = {
+    val dups = kvs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate $what keys across packs: ${dups.toSeq.sorted.mkString(", ")}")
+    kvs.toMap
+  }
 }
