@@ -202,6 +202,22 @@ object RelationalPack extends QueryPack {
         .orderBy(desc("n_events"), col("user_id"))
     }),
 
+    // a31: consecutive-duplicate compaction — keep an event only when it
+    // CHANGES the per-user event_type (lag-based change detection), the
+    // standard cleanup for retry storms / sensor repeats, and the
+    // relational twin of log compaction. One user-partitioned window —
+    // shuffles once on user_id, each partition scans ordered — then a
+    // pure filter; no self-join.
+    "a31_dedup_consecutive" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // a26: RANGE-framed window — per-user trailing-10-minute count/sum,
     // the value-based frame a6's ROWS frame can't express (peers by
     // event-time distance, not row position). Both engines evaluate the
@@ -497,6 +513,15 @@ object RelationalPack extends QueryPack {
         |FROM per, tot
         |WHERE n_events * n_users * 5 > total * 6
         |ORDER BY n_events DESC, user_id""".stripMargin,
+
+    "a31_dedup_consecutive" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL OR event_type <> prev
+        |ORDER BY event_id""".stripMargin,
 
     "a26_range_frame" ->
       """SELECT event_id, user_id,

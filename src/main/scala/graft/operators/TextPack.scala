@@ -98,6 +98,30 @@ object TextPack extends QueryPack {
           explode(winnow_fingerprints(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // t13: language-ID confidence — the margin between the best and
+    // second-best marker scores. Real pipelines threshold on confidence,
+    // not just the argmax: a margin-0 doc (tied scores) is a coin flip
+    // and belongs in the "unknown" bucket. All-integer (count
+    // difference), so the margin is exact cross-engine; still one fused
+    // per-row projection, no shuffle.
+    "t13_langid_margin" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      val scores = markers.map { case (l, ms) => l -> countIn(ws, ms) }
+      val Seq(en, de, fr, es) = scores.map(_._2)
+      val guess = when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+      val sorted = array_sort(array(en, de, fr, es))
+      val margin = element_at(sorted, 4) - element_at(sorted, 3)
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        guess.as("guessed_lang"),
+        margin.as("margin"),
+        (margin >= 2).cast("int").as("confident"))
+        .orderBy("doc_id")
+    }),
+
     // t8: repetition ratio — the Gopher/C4-style quality filter: the
     // fraction of word trigrams that are duplicates within the document.
     // Distinctness is counted over the compiled ShingleHashes polynomial
@@ -272,6 +296,24 @@ object TextPack extends QueryPack {
          |FROM (SELECT doc_id, lang AS labeled_lang,
          |  $scoreCols
          |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+
+    "t13_langid_margin" -> {
+      val scoreCols = markers.map { case (l, ms) =>
+        s"CAST(${countInSql(ms)} AS INTEGER) AS s_$l" }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS guessed_lang,
+         |  sorted[4] - sorted[3] AS margin,
+         |  CAST(sorted[4] - sorted[3] >= 2 AS INTEGER) AS confident
+         |FROM (SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |        list_sort([s_en, s_de, s_fr, s_es]) AS sorted
+         |      FROM (SELECT doc_id,
+         |        $scoreCols
+         |      FROM documents))
+         |ORDER BY doc_id""".stripMargin
     },
 
     "t4_fingerprint" ->
