@@ -218,6 +218,53 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // a32: ordered conversion funnel — signup → click-after-signup →
+    // purchase-after-that-click, the step-sequence analysis an event
+    // engine exists to answer (the reference's signal log is exactly this
+    // event stream). Stage k's earliest qualifying time feeds stage k+1's
+    // strict lower bound, so each stage is filter → co-partitioned join on
+    // user_id → min-agg; AQE reuses the user_id exchange across stages
+    // and no stage ever widens beyond one row per user. Times compare as
+    // integer epoch-micros (both engines truncate the parquet ns
+    // timestamps identically), so stage boundaries are exact.
+    "a32_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      t1.join(t2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(t3.select("user_id", "t3"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + col("t2").isNotNull.cast("int") + col("t3").isNotNull.cast("int"))
+            .as("reached"),
+          col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
+    }),
+
+    // a33: retention cohorts — users grouped by first-active day, counted
+    // on each later active day (the activity grid behind every retention
+    // curve). distinct(user, day) bounds the frame at users×days rows;
+    // first-day derives from that frame (no second scan) and joins back
+    // co-partitioned on user_id; the final (cohort, offset) agg is
+    // partial+final on a tiny key space. All-integer outputs.
+    "a33_retention" -> ((s, dir) => {
+      val act = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      act.join(first, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // a26: RANGE-framed window — per-user trailing-10-minute count/sum,
     // the value-based frame a6's ROWS frame can't express (peers by
     // event-time distance, not row position). Both engines evaluate the
@@ -522,6 +569,34 @@ object RelationalPack extends QueryPack {
         |  FROM events)
         |WHERE prev IS NULL OR event_type <> prev
         |ORDER BY event_id""".stripMargin,
+
+    "a32_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+        |SELECT user_id,
+        |  1 + CAST(t2 IS NOT NULL AS INTEGER) + CAST(t3 IS NOT NULL AS INTEGER) AS reached,
+        |  t1, t2, t3
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "a33_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "a26_range_frame" ->
       """SELECT event_id, user_id,

@@ -122,6 +122,53 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // t14: BM25 retrieval — top-10 documents per query term under the
+    // Okapi weighting (k1=1.2, b=0.75), the ranked-retrieval primitive
+    // behind decontamination lookups and quality-targeted sampling. The
+    // query set is self-contained and scale-free: the 5 mid-frequency
+    // terms ranked 10-14 by (df DESC, term) — selected via orderBy+limit
+    // (TakeOrderedAndProject, never a global window) and broadcast back.
+    // The IDF is the log-free rational form (N - df + 0.5)/(df + 0.5):
+    // order-equivalent to Robertson's log IDF (log is monotone), and a
+    // pure IEEE division of exact integer operands, so scores are
+    // bit-identical cross-engine where a log would hinge on libm ulp
+    // agreement (same reasoning as t9's rarity weight). Every double
+    // derives from exact counts through an identical operation tree in
+    // both engines; the per-term sum never happens (scores are per
+    // (doc, term)), so no float-accumulation order exists to disagree on.
+    // Scale: tf→dl join co-partitions on doc_id; the query-term and
+    // corpus-stats frames are broadcast; top-10 per term is a 5-partition
+    // window over ≤ docs rows — the one data-sized shuffle is the tf agg.
+    "t14_bm25_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
+        .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
+        .where(col("rk") >= 10).select("w", "df")
+      val wq = Window.partitionBy("w").orderBy(col("score").desc, col("doc_id"))
+      tf.join(broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("tfn",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") /
+                  (col("sum_dl").cast("double") / col("n").cast("double"))))))
+        .withColumn("score", col("idf") * col("tfn"))
+        .withColumn("rank", row_number().over(wq))
+        .where(col("rank") <= 10)
+        .select(col("w").as("term"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("term", "rank")
+    }),
+
     // t8: repetition ratio — the Gopher/C4-style quality filter: the
     // fraction of word trigrams that are duplicates within the document.
     // Distinctness is counted over the compiled ShingleHashes polynomial
@@ -336,6 +383,32 @@ object TextPack extends QueryPack {
         |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC, w) AS rn
         |  FROM tf JOIN df USING (w), n)
         |SELECT doc_id, w AS top_term, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Same operation tree as the Spark side, term by term: rational IDF,
+    // Okapi tf-norm with avgdl = sum_dl/n, score = idf * tfn — every
+    // double one correctly-rounded IEEE op from exact integers.
+    "t14_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |qterms AS (
+        |  SELECT w, df FROM dfreq
+        |  QUALIFY row_number() OVER (ORDER BY df DESC, w) BETWEEN 10 AND 14),
+        |scored AS (
+        |  SELECT tf.w, tf.doc_id,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2
+        |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |            * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
+        |  FROM tf JOIN qterms USING (w) JOIN dl USING (doc_id), stats)
+        |SELECT w AS term,
+        |  CAST(row_number() OVER (PARTITION BY w ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, score
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY term, rank""".stripMargin,
 
     "t10_pii_redact" ->
       """WITH p AS (
