@@ -222,11 +222,11 @@ object RelationalPack extends QueryPack {
     // purchase-after-that-click, the step-sequence analysis an event
     // engine exists to answer (the reference's signal log is exactly this
     // event stream). Stage k's earliest qualifying time feeds stage k+1's
-    // strict lower bound, so each stage is filter → co-partitioned join on
-    // user_id → min-agg; AQE reuses the user_id exchange across stages
-    // and no stage ever widens beyond one row per user. Times compare as
-    // integer epoch-micros (both engines truncate the parquet ns
-    // timestamps identically), so stage boundaries are exact.
+    // strict lower bound, so each stage shuffles only its filtered event
+    // slice for the per-user min-agg, and the previous stage's ≤1-row-per-
+    // user frame joins in as a broadcast (PlanSpec pins the shape). Times
+    // compare as integer epoch-micros (both engines truncate the parquet
+    // ns timestamps identically), so stage boundaries are exact.
     "a32_funnel" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))

@@ -229,4 +229,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("EqualTo(p_type,PROMO)"), p)
   }
+
+  test("a32 funnel stages: partial min-agg per slice, prior stage broadcast, no cartesian") {
+    val p = plan("a32_funnel")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a33 retention: two-phase distinct + first-day broadcast back, no cartesian") {
+    val p = plan("a33_retention")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t14 BM25 bounds top-10 per term BEFORE the window exchange (WindowGroupLimit)") {
+    val p = plan("t14_bm25_topk")
+    // rank<=10 is pushed into a partial WindowGroupLimit ahead of the
+    // exchange, so the shuffle carries ≤10 rows per (partition, term),
+    // and the query-term selection is TakeOrderedAndProject, never a
+    // global window over the vocabulary
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
