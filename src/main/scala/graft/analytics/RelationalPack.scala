@@ -283,6 +283,53 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // a34: quality deciles per language — ntile(10) / percent_rank /
+    // cume_dist over (n_chars DESC, doc_id), the bucketing step of every
+    // quality-threshold curation pass ("keep the top 2 deciles per
+    // language"). A naive PARTITION BY lang window puts an entire
+    // language in ONE task — a wall at 100 TB (en is half the corpus) —
+    // so the global rank is computed scale-safely instead, x2-style:
+    // rows band by n_chars range (bands never interleave under the
+    // (n_chars DESC, doc_id) order), row_number runs per (lang, band),
+    // and the tiny (lang, band) count frame's running offsets broadcast
+    // back — parallelism is langs×bands, no language-sized task. ntile's
+    // remainder rule (first n%10 buckets one row larger) is replayed in
+    // closed form from the rank; percent_rank/cume_dist are single IEEE
+    // divisions of exact counts (the (lang, doc_id) total order has no
+    // ties, so rank IS row_number). In production the bands come from an
+    // approx-quantile sample; a fixed 16-char width suffices here.
+    "a34_quality_deciles" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("band", expr("n_chars DIV 16"))
+      val wb = Window.partitionBy("lang", "band")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val counts = docs.groupBy("lang", "band").agg(count(lit(1)).as("cnt"))
+      val woff = Window.partitionBy("lang").orderBy(col("band").desc)
+      val offs = counts
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(woff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_lang", sum(col("cnt")).over(Window.partitionBy("lang")))
+      docs.withColumn("rn", row_number().over(wb))
+        .join(broadcast(offs), Seq("lang", "band"))
+        .withColumn("rank", col("off") + col("rn"))
+        .withColumn("q", expr("n_lang DIV 10"))
+        .withColumn("r", col("n_lang") % 10)
+        .withColumn("decile",
+          when(col("rank") <= col("r") * (col("q") + 1),
+            expr("(rank - 1) DIV (q + 1)") + 1)
+            .otherwise(col("r") + expr("(rank - 1 - r * (q + 1)) DIV q") + 1)
+            .cast("int"))
+        .withColumn("pct_rank",
+          when(col("n_lang") === 1, lit(0.0))
+            .otherwise((col("rank") - 1).cast("double") / (col("n_lang") - 1).cast("double")))
+        .withColumn("cume",
+          col("rank").cast("double") / col("n_lang").cast("double"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("decile"), col("pct_rank"), col("cume"))
+        .orderBy("doc_id")
+    }),
+
     // a7: hierarchical rollup over (event_type, day).
     "a7_rollup" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -597,6 +644,17 @@ object RelationalPack extends QueryPack {
         |FROM act JOIN first USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // The oracle is the plain window formulation — the banded two-level
+    // rank must reproduce ntile/percent_rank/cume_dist exactly.
+    "a34_quality_deciles" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "a26_range_frame" ->
       """SELECT event_id, user_id,

@@ -230,6 +230,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("EqualTo(p_type,PROMO)"), p)
   }
 
+  test("a34 deciles: rank windows partition by (lang, band), offsets broadcast back") {
+    val p = plan("a34_quality_deciles")
+    // the data-sized window must be keyed by (lang, band) — a whole-
+    // language window (the oracle's shape) would sort a language in one
+    // task; the only single-partition work is the tiny (lang, band)
+    // count frame's running offsets
+    assert("windowspecdefinition\\(lang#\\d+, band#\\d+L?,".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a32 funnel stages: partial min-agg per slice, prior stage broadcast, no cartesian") {
     val p = plan("a32_funnel")
     assert(p.contains("partial_min"), p)
