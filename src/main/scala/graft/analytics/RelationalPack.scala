@@ -283,6 +283,30 @@ object RelationalPack extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // a35: SCD2 validity intervals — turn the per-user event log into
+    // versioned state periods: keep state CHANGES (a31's lag filter),
+    // then close each period with the next change's time (lead; NULL =
+    // current). This is the slowly-changing-dimension build every
+    // warehouse derives from a CDC log, and composes with a14's as-of
+    // join for time-travel lookups. Both windows share the user_id
+    // partitioning and (us, event_id) sort, so the plan shuffles and
+    // sorts ONCE — the second window reuses the first's exchange+sort
+    // (PlanSpec pins a single data-sized Exchange). Versions order by
+    // (us, event_id), so the output key (user_id, version) is total.
+    "a35_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"), col("version"),
+          col("us").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "version")
+    }),
+
     // a34: quality deciles per language — ntile(10) / percent_rank /
     // cume_dist over (n_chars DESC, doc_id), the bucketing step of every
     // quality-threshold curation pass ("keep the top 2 deciles per
@@ -644,6 +668,24 @@ object RelationalPack extends QueryPack {
         |FROM act JOIN first USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "a35_scd2_intervals" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_id, us, event_type FROM (
+        |    SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY us, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type AS state,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  us AS valid_from,
+        |  lead(us) OVER w AS valid_to
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     // The oracle is the plain window formulation — the banded two-level
     // rank must reproduce ntile/percent_rank/cume_dist exactly.

@@ -230,6 +230,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("EqualTo(p_type,PROMO)"), p)
   }
 
+  test("a35 SCD2: both windows share one exchange+sort (lag filter preserves partitioning)") {
+    val p = plan("a35_scd2_intervals")
+    // node (a): the user_id window exchange; node (b): the final orderBy
+    // range partition — nothing else may shuffle
+    assert("""\) Exchange""".r.findAllIn(p).size === 2, p)
+    assert("""\) Window""".r.findAllIn(p).size === 2, p)
+    assert("""\) Sort""".r.findAllIn(p).size === 2, p)
+  }
+
   test("a34 deciles: rank windows partition by (lang, band), offsets broadcast back") {
     val p = plan("a34_quality_deciles")
     // the data-sized window must be keyed by (lang, band) — a whole-
