@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryPack, Tables}
+import graft.functions.tokens
 
 /** Classic relational operator coverage (SURVEY §2.6 — everything the
   * reference lacks but a complete engine needs): multi-way joins,
@@ -281,6 +282,58 @@ object RelationalPack extends QueryPack {
           sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
         .select("event_id", "user_id", "n_10m", "sum_10m")
         .orderBy("event_id")
+    }),
+
+    // a36: first/last/second-touch attribution — the marketing-analytics
+    // classic (which channel opened, which closed) and the
+    // first_value/last_value/nth_value window coverage. The full-frame
+    // windows need an explicit UNBOUNDED FOLLOWING upper bound (both
+    // engines default last_value's frame to CURRENT ROW — a silent
+    // wrong-answer otherwise); per-user constants then collapse through
+    // the same user_id-partitioned aggregate, reusing the window's
+    // exchange. Converted flag stays integer.
+    "a36_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("first_touch", first(col("event_type")).over(full))
+        .withColumn("last_touch", last(col("event_type")).over(full))
+        .withColumn("second_touch", nth_value(col("event_type"), 2).over(full))
+        .groupBy("user_id", "first_touch", "second_touch", "last_touch")
+        .agg(count(lit(1)).as("n_events"),
+          max((col("event_type") === "purchase").cast("int")).as("converted"))
+        .orderBy("user_id")
+    }),
+
+    // a37: exact per-group Pearson correlation + population covariance
+    // (n_chars vs whitespace token count per language) — the
+    // feature-relationship scan a curation pass runs before trusting a
+    // proxy metric. Both moments come from EXACT integer sums (counts,
+    // sums, sums of squares/products — one partial+final agg), and the
+    // closed forms are then a handful of IEEE ops; sqrt IS correctly
+    // rounded by IEEE-754 (unlike log/exp), so the result is
+    // bit-identical cross-engine. At 100 TB the long sums would move to
+    // DECIMAL(38) — same shape, no overflow.
+    "a37_correlation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars").as("x"),
+          size(tokens(col("text"))).cast("long").as("y"))
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lang"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("pearson_r"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("n")).cast("double")).as("covar_pop"))
+        .orderBy("lang")
     }),
 
     // a35: SCD2 validity intervals — turn the per-user event log into
@@ -668,6 +721,46 @@ object RelationalPack extends QueryPack {
         |FROM act JOIN first USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "a36_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type,
+        |    first_value(event_type) OVER w AS first_touch,
+        |    nth_value(event_type, 2) OVER w AS second_touch,
+        |    last_value(event_type) OVER w AS last_touch
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_touch, second_touch, last_touch,
+        |  count(*) AS n_events,
+        |  max(CAST(event_type = 'purchase' AS INTEGER)) AS converted
+        |FROM t
+        |GROUP BY user_id, first_touch, second_touch, last_touch
+        |ORDER BY user_id""".stripMargin,
+
+    // Closed forms replayed from the same exact integer sums — NOT
+    // DuckDB's corr()/covar_pop() aggregates, whose internal float
+    // accumulation order is engine-private.
+    "a37_correlation" ->
+      """WITH m AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT lang, n_chars AS x,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |        FROM documents)
+        |  GROUP BY lang)
+        |SELECT lang, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop
+        |FROM m ORDER BY lang""".stripMargin,
 
     "a35_scd2_intervals" ->
       """WITH ev AS (

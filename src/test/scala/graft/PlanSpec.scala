@@ -239,6 +239,22 @@ class PlanSpec extends SparkSuite {
     assert("""\) Sort""".r.findAllIn(p).size === 2, p)
   }
 
+  test("a36 attribution: the collapse agg reuses the window's user_id partitioning") {
+    val p = plan("a36_attribution")
+    // window exchange + output orderBy only — the groupBy(user_id, ...)
+    // must NOT re-shuffle (HashPartitioning(user_id) satisfies the
+    // grouping's clustered distribution)
+    assert("""\) Exchange""".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("a37 correlation: all six moments in ONE two-phase aggregate pass") {
+    val p = plan("a37_correlation")
+    assert("""\) Exchange""".r.findAllIn(p).size === 2, p) // agg + output orderBy
+    assert("""\) HashAggregate""".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_sum((x#"), p)
+  }
+
   test("a34 deciles: rank windows partition by (lang, band), offsets broadcast back") {
     val p = plan("a34_quality_deciles")
     // the data-sized window must be keyed by (lang, band) — a whole-
