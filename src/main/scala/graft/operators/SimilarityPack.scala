@@ -270,8 +270,76 @@ object SimilarityPack extends QueryPack {
         .select(col("q_id"), col("vec_id"),
           (col("cos6").cast("double") / 1000000.0).as("cos_sim"), col("rn"))
         .orderBy("q_id", "rn")
+    }),
+
+    // e10: in-engine k-means TRAINING — the missing half of the
+    // train-once/serve-many story e5/e6/e7 tell from pretrained
+    // constants: two full Lloyd iterations (k=4, init = first k vectors)
+    // run as DataFrame jobs, then the final cluster assignment is the
+    // deliverable (an IVF index build). Cross-engine determinism comes
+    // from ROUNDING AT EVERY ITERATION BOUNDARY: centroids and distances
+    // are round(·, 6) in both engines, so float-mean accumulation-order
+    // ulps (the reason a raw k-means can't be hash-checked) are absorbed
+    // before they can influence an argmin — the e3/e8 rounding precedent
+    // applied to an iterative algorithm. Argmin ties resolve to the
+    // lowest cid in both engines (array_position first-min ≡ ORDER BY
+    // d, cid). Scale: each iteration is one corpus pass (a per-row
+    // projection against k×dim driver-resident constants — the blessed
+    // IvfIndex residency) plus a ≤ k×dim-row partial-agg shuffle; at
+    // 100 TB you train on a bounded sample exactly like the committed
+    // Pretrained artifacts — this query proves the trainer itself is
+    // in-engine, deterministic, and oracle-checkable.
+    "e10_kmeans_train" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val init: Seq[Seq[Double]] = emb.where(col("vec_id") < KmeansK)
+        .orderBy("vec_id")
+        .select(transform(col("embedding").cast("array<double>"),
+          x => round(x, 6)).as("c"))
+        .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+      def update(cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+        val rows = kmeansAssign(emb, cents)
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(round(avg(col("v").cast("double")), 6).as("c"))
+          .collect()
+        // an empty cluster would keep its previous centroid on the Spark
+        // side but has no row in the oracle's GROUP BY — fail loudly
+        // rather than hash-diverge (k=4 over this corpus never empties)
+        require(rows.map(_.getInt(0)).distinct.length == cents.length,
+          s"e10: empty cluster among ${cents.length}")
+        val next = Array.fill(cents.length)(new Array[Double](Dim))
+        rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        next.map(_.toSeq).toSeq
+      }
+      val trained = update(update(init))
+      kmeansAssign(emb, trained)
+        .select(col("vec_id"), col("cid"), col("dist"))
+        .orderBy("vec_id")
     })
   )
+
+  /** k for the e10 in-engine training demo. */
+  private[operators] val KmeansK = 4
+
+  /** Rounded euclidean distance to each centroid + lowest-index argmin.
+    * Distances round to 6 before the argmin so both engines compare
+    * identical doubles; the fold is the HOF formulation (interpreted) —
+    * acceptable for a training pass that runs O(iters) times offline,
+    * unlike the serving paths (e2/e8) which use fused codegen kernels.
+    */
+  private def kmeansAssign(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val dists = cents.map { c =>
+      round(sqrt(aggregate(
+        zip_with(col("embedding").cast("array<double>"), typedLit(c),
+          (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, v) => acc + v)), 6)
+    }
+    emb.withColumn("_d", array(dists: _*))
+      .withColumn("cid",
+        (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
+      .withColumn("dist", element_at(col("_d"), col("cid") + 1))
+      .drop("_d")
+  }
 
   /** Query-set size and per-query K for e9 batch serving. */
   private val BatchQueries = 8
@@ -305,6 +373,43 @@ object SimilarityPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+
+    // Replays the two rounded Lloyd iterations CTE by CTE: assignment =
+    // first-min over rounded distances (ORDER BY d, cid ≡ lowest-index
+    // argmin), update = round(avg, 6) per (cid, dim), init = the first k
+    // vectors rounded — the same boundary rounding the Spark side does.
+    "e10_kmeans_train" -> {
+      def assignCte(a: String, cSrc: String): String =
+        s"""$a AS (
+           |  SELECT vec_id, cid,
+           |    round(sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+           |      i -> (v[i] - c[i]) * (v[i] - c[i])))), 6) AS d
+           |  FROM e, $cSrc),
+           |${a}r AS (
+           |  SELECT vec_id, cid, d,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |  FROM $a)"""
+      def updateCte(cNext: String, aPrev: String): String =
+        s"""$cNext AS (
+           |  SELECT cid, list(c ORDER BY pos) AS c FROM (
+           |    SELECT s.cid, t.i AS pos, round(avg(v[t.i]), 6) AS c
+           |    FROM e JOIN (SELECT vec_id, cid FROM ${aPrev}r WHERE rn = 1) s USING (vec_id),
+           |         range(1, ${Dim + 1}) t(i)
+           |    GROUP BY s.cid, t.i)
+           |  GROUP BY cid)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS c
+         |  FROM embeddings WHERE vec_id < $KmeansK),
+         |${assignCte("a0", "c0")},
+         |${updateCte("c1", "a0")},
+         |${assignCte("a1", "c1")},
+         |${updateCte("c2", "a1")},
+         |${assignCte("a2", "c2")}
+         |SELECT vec_id, CAST(cid AS INTEGER) AS cid, d AS dist
+         |FROM a2r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
 
     // Replays the SQ8 quantize→decode→score pipeline with the identical
     // arithmetic (same operation order, same round, 1-based indexing).

@@ -239,6 +239,16 @@ class PlanSpec extends SparkSuite {
     assert("""\) Sort""".r.findAllIn(p).size === 2, p)
   }
 
+  test("e10 trained-assignment serve plan: pure projection, no join, one output sort") {
+    // training jobs run eagerly at construction; the RETURNED plan is the
+    // index-build assignment — per-row distances against driver-resident
+    // centroids, so the only exchange is the output orderBy
+    val p = plan("e10_kmeans_train")
+    assert("""\) Exchange""".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("a36 attribution: the collapse agg reuses the window's user_id partitioning") {
     val p = plan("a36_attribution")
     // window exchange + output orderBy only — the groupBy(user_id, ...)
