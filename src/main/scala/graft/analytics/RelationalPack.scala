@@ -336,6 +336,34 @@ object RelationalPack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // a38: z-score outlier flagging per event_type — anomaly screening
+    // with an INTEGER-EXACT predicate: values quantize to cents (their
+    // native precision), moments are exact integer sums (one partial+
+    // final agg, broadcast back), and |z| > 2 rewrites to
+    // (x·n − Sx)² > 4·(n·Sxx − Sx²) in DECIMAL(38,0) — no float ever
+    // enters the DECISION, so no engine can disagree on a boundary row.
+    // The reported z itself is one division + one IEEE-exact sqrt of
+    // those exact operands. DuckDB replays the compare in HUGEINT.
+    "a38_outliers" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+      val st = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("num",
+          col("x").cast(dec) * col("n").cast(dec) - col("sx").cast(dec))
+        .withColumn("den",
+          col("n").cast(dec) * col("sxx").cast(dec) -
+            col("sx").cast(dec) * col("sx").cast(dec))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("num").cast("double") / sqrt(col("den").cast("double"))).as("z"),
+          (col("num") * col("num") > col("den") * lit(4)).cast("int").as("is_outlier"))
+        .orderBy("event_id")
+    }),
+
     // a35: SCD2 validity intervals — turn the per-user event log into
     // versioned state periods: keep state CHANGES (a31's lag filter),
     // then close each period with the next change's time (lead; NULL =
@@ -761,6 +789,26 @@ object RelationalPack extends QueryPack {
         |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop
         |FROM m ORDER BY lang""".stripMargin,
+
+    "a38_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ev GROUP BY event_type),
+        |j AS (
+        |  SELECT event_id, ev.event_type, value,
+        |    CAST(x AS HUGEINT) * CAST(n AS HUGEINT) - CAST(sx AS HUGEINT) AS num,
+        |    CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+        |  FROM ev JOIN st USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)) AS z,
+        |  CAST(num * num > den * 4 AS INTEGER) AS is_outlier
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "a35_scd2_intervals" ->
       """WITH ev AS (

@@ -169,6 +169,25 @@ object TextPack extends QueryPack {
         .orderBy("term", "rank")
     }),
 
+    // t15: fixed-size overlapping chunking — 32-token windows on a
+    // 24-token stride (25% overlap), the context-window prep every
+    // RAG/embedding pipeline runs between curation and encoding. Pure
+    // per-row sequence+explode+slice — codegen'd, no shuffle before the
+    // output sort, parallel in the documents regardless of corpus size;
+    // the trailing partial chunk is kept (slice clamps identically in
+    // both engines).
+    "t15_chunking" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")), lit(24))).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          size(slice(col("ws"), col("chunk_start"), lit(32))).as("n_chunk_tokens"),
+          array_join(slice(col("ws"), col("chunk_start"), lit(32)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_start")
+    }),
+
     // t8: repetition ratio — the Gopher/C4-style quality filter: the
     // fraction of word trigrams that are duplicates within the document.
     // Distinctness is counted over the compiled ShingleHashes polynomial
@@ -383,6 +402,14 @@ object TextPack extends QueryPack {
         |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC, w) AS rn
         |  FROM tf JOIN df USING (w), n)
         |SELECT doc_id, w AS top_term, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "t15_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 24)) AS chunk_start FROM w)
+        |SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+        |  CAST(len(list_slice(ws, chunk_start, chunk_start + 31)) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(list_slice(ws, chunk_start, chunk_start + 31), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
 
     // Same operation tree as the Spark side, term by term: rational IDF,
     // Okapi tf-norm with avgdl = sum_dl/n, score = idf * tfn — every

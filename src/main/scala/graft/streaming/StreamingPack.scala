@@ -405,6 +405,34 @@ object StreamingPack extends QueryPack {
     // bit-for-bit. Scale: a stateless projection is the best possible
     // streaming shape — zero state store, zero shuffle, per-batch cost
     // proportional only to arriving data.
+    // s11: stream-STATIC enrichment join — each purchase event in the
+    // stream is enriched with a batch-computed per-user dimension (here
+    // the user's lifetime event count), the lookup-table pattern every
+    // production stream runs against its warehouse. Stream-static inner
+    // joins are STATELESS: the static side is planned per micro-batch
+    // (broadcast here — the per-user frame is agg-bounded), no watermark
+    // and no state store, so this is scale-safe by construction; the
+    // batch oracle is the same join, proving the streamed rows bit-equal
+    // the warehouse view.
+    "s11_stream_enrich" -> ((s, dir) => {
+      val ss = tunedChild(s, width = 4)
+      val tmp = scratch("graft-s11-")
+      val stats = Tables(ss, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      val q = eventsStream(ss, dir)
+        .where(col("event_type") === "purchase")
+        .join(stats, "user_id")
+        .select(col("event_id"), col("user_id"), col("user_total"))
+        .writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s11_enr")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s11_enr").orderBy("event_id")
+    }),
+
     "s9_stream_curation" -> ((s, dir) => {
       val tmp = scratch("graft-s9-")
       val ss = tunedChild(s, width = 4)
@@ -621,6 +649,13 @@ object StreamingPack extends QueryPack {
 
     // The batch restatement of the streamed per-row features — shares
     // pipeline1's CTE chain, whose canon join is row-preserving.
+    "s11_stream_enrich" ->
+      """WITH st AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+        |SELECT event_id, user_id, user_total
+        |FROM events JOIN st USING (user_id)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     "s9_stream_curation" ->
       (graft.operators.CurationPipeline.curationCtes +
         """

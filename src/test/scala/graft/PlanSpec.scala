@@ -239,6 +239,21 @@ class PlanSpec extends SparkSuite {
     assert("""\) Sort""".r.findAllIn(p).size === 2, p)
   }
 
+  test("t15 chunking: scan -> explode -> project, no shuffle before the output sort") {
+    val p = plan("t15_chunking")
+    assert("""\) Exchange""".r.findAllIn(p).size === 1, p) // output orderBy only
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("a38 outliers: per-type moments broadcast back, no sort-merge join") {
+    val p = plan("a38_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("e10 trained-assignment serve plan: pure projection, no join, one output sort") {
     // training jobs run eagerly at construction; the RETURNED plan is the
     // index-build assignment — per-row distances against driver-resident
