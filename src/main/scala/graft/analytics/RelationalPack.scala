@@ -336,6 +336,28 @@ object RelationalPack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // a39: Markov transition matrix over per-user event sequences —
+    // P(next | current) from lead() pairs, the behavioral model behind
+    // next-action prediction and anomalous-session scoring. One
+    // user-partitioned window (a35's exchange shape), then counts
+    // collapse to a ≤|types|² frame whose per-from totals broadcast
+    // back; probabilities are single IEEE divisions of exact counts.
+    "a39_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("total"))
+      trans.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("prob"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // a38: z-score outlier flagging per event_type — anomaly screening
     // with an INTEGER-EXACT predicate: values quantize to cents (their
     // native precision), moments are exact integer sums (one partial+
@@ -789,6 +811,21 @@ object RelationalPack extends QueryPack {
         |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop
         |FROM m ORDER BY lang""".stripMargin,
+
+    "a39_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n FROM (
+        |    SELECT event_type,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+        |    FROM ev)
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total FROM tr GROUP BY 1)
+        |SELECT from_type, to_type, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "a38_outliers" ->
       """WITH ev AS (

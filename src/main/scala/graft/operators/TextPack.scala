@@ -188,6 +188,47 @@ object TextPack extends QueryPack {
         .orderBy("doc_id", "chunk_start")
     }),
 
+    // t16: χ²-distinctive terms per language — the top-5 terms most
+    // over-represented in each language's documents by chi-squared
+    // association, the keyword-extraction / domain-signature primitive
+    // (what makes THIS slice different). With the 2×2 margins folded in
+    // (a+b = lang docs, a+c = term docs, …), χ² = N(ad−bc)² /
+    // (nl·(N−nl)·aw·(N−aw)) — every factor an EXACT integer carried in
+    // DECIMAL(38,0) (HUGEINT in the oracle), one IEEE division at the
+    // end, so scores are bit-identical cross-engine with no libm
+    // dependence. Positive-association filter (ad > bc) keeps only
+    // over-represented terms. Scale: term stats are two-phase aggs; the
+    // per-lang and corpus frames broadcast; the rank window partitions
+    // by lang over a vocabulary-sized frame.
+    "t16_distinctive_terms" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = Tables(s, dir, "documents")
+      val dt = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("w"))
+      val lt = dt.groupBy("lang", "w").agg(count(lit(1)).as("a"))
+      val langTot = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val termTot = lt.groupBy("w").agg(sum(col("a")).as("aw"))
+      val nAll = docs.agg(count(lit(1)).as("nn"))
+      val diff = (col("a") * col("d") - col("b") * col("c")).cast(dec)
+      val wr = Window.partitionBy("lang").orderBy(col("chi2").desc, col("w"))
+      lt.join(broadcast(langTot), "lang")
+        .join(termTot, "w")
+        .crossJoin(broadcast(nAll))
+        .withColumn("b", col("nl") - col("a"))
+        .withColumn("c", col("aw") - col("a"))
+        .withColumn("d", col("nn") - col("nl") - col("c"))
+        .where(col("a") * col("d") > col("b") * col("c"))
+        .withColumn("chi2",
+          (col("nn").cast(dec) * diff * diff).cast("double") /
+            (col("nl").cast(dec) * (col("nn") - col("nl")).cast(dec) *
+              col("aw").cast(dec) * (col("nn") - col("aw")).cast(dec)).cast("double"))
+        .withColumn("rank", row_number().over(wr))
+        .where(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("w").as("term"),
+          col("a").as("df_in_lang"), col("chi2"))
+        .orderBy("lang", "rank")
+    }),
+
     // t8: repetition ratio — the Gopher/C4-style quality filter: the
     // fraction of word trigrams that are duplicates within the document.
     // Distinctness is counted over the compiled ShingleHashes polynomial
@@ -402,6 +443,33 @@ object TextPack extends QueryPack {
         |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC, w) AS rn
         |  FROM tf JOIN df USING (w), n)
         |SELECT doc_id, w AS top_term, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // 2×2 margins replayed in HUGEINT; same single terminal division.
+    "t16_distinctive_terms" ->
+      """WITH dt AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |lt AS (SELECT lang, w, count(*) AS a FROM dt GROUP BY 1, 2),
+        |lang_tot AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        |term_tot AS (SELECT w, CAST(sum(a) AS BIGINT) AS aw FROM lt GROUP BY 1),
+        |n_all AS (SELECT count(*) AS nn FROM documents),
+        |cells AS (
+        |  SELECT lang, w, a, nl, aw, nn,
+        |    nl - a AS b, aw - a AS c, nn - nl - (aw - a) AS d
+        |  FROM lt JOIN lang_tot USING (lang) JOIN term_tot USING (w), n_all),
+        |scored AS (
+        |  SELECT lang, w, a,
+        |    CAST(CAST(nn AS HUGEINT)
+        |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
+        |      / CAST(CAST(nl AS HUGEINT) * (nn - nl) * aw * (nn - aw) AS DOUBLE) AS chi2
+        |  FROM cells WHERE CAST(a AS HUGEINT) * d > CAST(b AS HUGEINT) * c)
+        |SELECT lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS INTEGER) AS rank,
+        |  w AS term, a AS df_in_lang, chi2
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
 
     "t15_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

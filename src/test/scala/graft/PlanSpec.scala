@@ -239,6 +239,20 @@ class PlanSpec extends SparkSuite {
     assert("""\) Sort""".r.findAllIn(p).size === 2, p)
   }
 
+  test("a39 transitions: one user window, totals broadcast, no cartesian") {
+    val p = plan("a39_markov_transitions")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t16 chi-squared: rank window partitions by lang, margins broadcast") {
+    val p = plan("t16_distinctive_terms")
+    assert("windowspecdefinition\\(lang#\\d+,".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t15 chunking: scan -> explode -> project, no shuffle before the output sort") {
     val p = plan("t15_chunking")
     assert("""\) Exchange""".r.findAllIn(p).size === 1, p) // output orderBy only
