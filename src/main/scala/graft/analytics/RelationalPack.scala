@@ -336,6 +336,46 @@ object RelationalPack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // a40: behavioral diversity per user — GINI IMPURITY of the
+    // event-type mix, 1 − Σpᵢ² = (n² − Σnᵢ²)/n². The entropy-style
+    // diversity metric, but exactly rational: a log-entropy would hinge
+    // on libm ulps, while Gini is integer sums and ONE division — same
+    // determinism argument as t9/t14. Two stacked aggs, both partial+
+    // final — the (user, type) exchange carries map-combined counts and
+    // the user rollup exchange carries the already-tiny per-pair frame,
+    // so no shuffle ever moves raw events.
+    "a40_gini_diversity" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * col("c")).as("ss"),
+          count(lit(1)).as("n_types"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          ((col("n") * col("n") - col("ss")).cast("double") /
+            (col("n") * col("n")).cast("double")).as("gini"))
+        .orderBy("user_id")
+    }),
+
+    // a41: UNPIVOT (melt) — a16's wide per-user matrix folded back to
+    // long form via stack(), the wide→long reshape every feature store
+    // needs in both directions. stack is a per-row Expand (no shuffle,
+    // no join); zero-count cells are dropped so the long form is sparse,
+    // and the round trip a16 ∘ a41 is the identity on non-zero cells
+    // (which is exactly what the oracle states).
+    "a41_unpivot" -> ((s, dir) => {
+      val wide = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.select(col("user_id"),
+          expr("stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+            "'signup', signup, 'view', view) AS (event_type, n)"))
+        .where(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
     // a39: Markov transition matrix over per-user event sequences —
     // P(next | current) from lead() pairs, the behavioral model behind
     // next-action prediction and anomalous-session scoring. One
@@ -811,6 +851,26 @@ object RelationalPack extends QueryPack {
         |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop
         |FROM m ORDER BY lang""".stripMargin,
+
+    "a40_gini_diversity" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * c) AS BIGINT) AS ss, count(*) AS n_types
+        |  FROM per GROUP BY user_id)
+        |SELECT user_id, n, n_types,
+        |  CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    // The unpivot restated as the sparse long-form aggregate it folds
+    // back into — the round trip with a16 is the identity on non-zero
+    // cells, so the oracle is just the per-(user, type) count.
+    "a41_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "a39_markov_transitions" ->
       """WITH ev AS (

@@ -239,6 +239,19 @@ class PlanSpec extends SparkSuite {
     assert("""\) Sort""".r.findAllIn(p).size === 2, p)
   }
 
+  test("a40 gini: both stacked aggs are partial+final — no shuffle moves raw events") {
+    val p = plan("a40_gini_diversity")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("a41 unpivot: stack is a per-row Generate — no join, no extra shuffle") {
+    val p = plan("a41_unpivot")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("a39 transitions: one user window, totals broadcast, no cartesian") {
     val p = plan("a39_markov_transitions")
     assert(p.contains("BroadcastHashJoin"), p)
