@@ -336,6 +336,39 @@ object RelationalPack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // a42: gap-fill / resample — each user's event history regularized
+    // to a daily grid (their first→last active day) with the day's
+    // closing value carried FORWARD through silent days: sequence()
+    // generates the grid, the per-day close is an exact max_by argmax on
+    // (epoch-micros, event_id), and the fill is last(..., ignoreNulls)
+    // over an unbounded-preceding frame — the standard warehouse
+    // resample (IoT/finance "last observation carried forward"). No
+    // arithmetic touches the carried value, so equality is exact. Scale:
+    // grid size is Σ per-user active spans (generate-side, not a join
+    // blow-up); the fill window partitions by user — multi-year spans
+    // would band the window by (user, month) with a carried boundary
+    // row, the a34 offsets trick in time.
+    "a42_daily_gapfill" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_events"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("close"), ignoreNulls = true).over(w).as("filled_close"))
+        .orderBy("user_id", "day")
+    }),
+
     // a40: behavioral diversity per user — GINI IMPURITY of the
     // event-type mix, 1 − Σpᵢ² = (n² − Σnᵢ²)/n². The entropy-style
     // diversity metric, but exactly rational: a log-entropy would hinge
@@ -851,6 +884,34 @@ object RelationalPack extends QueryPack {
         |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop
         |FROM m ORDER BY lang""".stripMargin,
+
+    "a42_daily_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, value AS close, n_events FROM (
+        |    SELECT user_id, day, value,
+        |      row_number() OVER (PARTITION BY user_id, day
+        |                         ORDER BY us DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, day) AS n_events
+        |    FROM ev)
+        |  WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+        |                                CAST(max(day) AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, day,
+        |  coalesce(n_events, 0) AS n_events,
+        |  last_value(close IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close
+        |FROM grid LEFT JOIN daily USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
 
     "a40_gini_diversity" ->
       """WITH per AS (

@@ -239,6 +239,13 @@ class PlanSpec extends SparkSuite {
     assert("""\) Sort""".r.findAllIn(p).size === 2, p)
   }
 
+  test("a42 gapfill: grid is generate-side (Explode), fill window partitions by user") {
+    val p = plan("a42_daily_gapfill")
+    assert(p.contains("Generate"), p)
+    assert("windowspecdefinition\\(user_id#\\d+L".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a40 gini: both stacked aggs are partial+final — no shuffle moves raw events") {
     val p = plan("a40_gini_diversity")
     assert(p.contains("partial_count"), p)
