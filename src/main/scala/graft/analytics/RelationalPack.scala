@@ -29,6 +29,13 @@ import graft.functions.tokens
   */
 object RelationalPack extends QueryPack {
 
+  /** The closed event-type vocabulary the a16 pivot / a41 unpivot pair
+    * hardcodes (a pivot's column set must be static). One definition —
+    * a fixture regeneration adding a 6th type shows up as ONE edit plus
+    * loud crosscheck failures, not a silently-dropped row class.
+    */
+  private[analytics] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   private def dec(c: String): Column = col(c).cast(DecimalType(12, 2))
   /** extendedprice * (1 - discount), exact, scale 4. */
   private val discPrice: Column =
@@ -399,12 +406,12 @@ object RelationalPack extends QueryPack {
     "a41_unpivot" -> ((s, dir) => {
       val wide = Tables(s, dir, "events")
         .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", EventTypes)
         .agg(count(lit(1)))
         .na.fill(0L)
+      val stackArgs = EventTypes.map(t => s"'$t', $t").mkString(", ")
       wide.select(col("user_id"),
-          expr("stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
-            "'signup', signup, 'view', view) AS (event_type, n)"))
+          expr(s"stack(${EventTypes.size}, $stackArgs) AS (event_type, n)"))
         .where(col("n") > 0)
         .orderBy("user_id", "event_type")
     }),
@@ -636,7 +643,7 @@ object RelationalPack extends QueryPack {
     "a16_pivot" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", EventTypes)
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("user_id")
@@ -1079,14 +1086,13 @@ object RelationalPack extends QueryPack {
         |  round(max(value), 4) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "a16_pivot" ->
-      """SELECT user_id,
-        |  count(*) FILTER (WHERE event_type = 'click') AS click,
-        |  count(*) FILTER (WHERE event_type = 'error') AS error,
-        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
-        |  count(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a16_pivot" -> {
+      val cells = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cells
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     // The oracle states the range join directly — DuckDB plans its own
     // range join; the binned rewrite must agree row for row.

@@ -274,33 +274,38 @@ object SimilarityPack extends QueryPack {
 
     // e10: in-engine k-means TRAINING — the missing half of the
     // train-once/serve-many story e5/e6/e7 tell from pretrained
-    // constants: two full Lloyd iterations (k=4, init = first k vectors)
-    // run as DataFrame jobs, then the final cluster assignment is the
-    // deliverable (an IVF index build). Cross-engine determinism comes
-    // from ROUNDING AT EVERY ITERATION BOUNDARY: centroids and distances
-    // are round(·, 6) in both engines, so float-mean accumulation-order
-    // ulps (the reason a raw k-means can't be hash-checked) are absorbed
-    // before they can influence an argmin — the e3/e8 rounding precedent
-    // applied to an iterative algorithm. Argmin ties resolve to the
-    // lowest cid in both engines (array_position first-min ≡ ORDER BY
-    // d, cid). Scale: each iteration is one corpus pass (a per-row
-    // projection against k×dim driver-resident constants — the blessed
-    // IvfIndex residency) plus a ≤ k×dim-row partial-agg shuffle; at
-    // 100 TB you train on a bounded sample exactly like the committed
-    // Pretrained artifacts — this query proves the trainer itself is
-    // in-engine, deterministic, and oracle-checkable.
+    // constants: two full Lloyd iterations (k=4, init = first k raw
+    // vectors) run as DataFrame jobs, then the final cluster assignment
+    // is the deliverable (an IVF index build). Cross-engine determinism
+    // by construction, not by luck: centroid means are EXACT — each
+    // component quantizes to round(v·1e6) and the cluster mean is one
+    // double division of the exact integer sum (g1's fixed-point trick
+    // for iterative numerics: float-sum accumulation order, the reason
+    // a raw k-means can't be hash-checked, never exists). Only the
+    // argmin compares doubles, on round(·, 6) distances with ties to
+    // the lowest cid (array_position first-min ≡ ORDER BY d, cid) —
+    // the e3/e8 rounding precedent confined to the final compare
+    // instead of compounding through three rounds of state. Scale:
+    // each iteration is one corpus pass (a per-row projection against
+    // k×dim driver-resident constants — the blessed IvfIndex residency)
+    // plus a ≤ k×dim-row partial-agg shuffle; at 100 TB you train on a
+    // bounded sample exactly like the committed Pretrained artifacts —
+    // this query proves the trainer itself is in-engine, deterministic,
+    // and oracle-checkable.
     "e10_kmeans_train" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val init: Seq[Seq[Double]] = emb.where(col("vec_id") < KmeansK)
         .orderBy("vec_id")
-        .select(transform(col("embedding").cast("array<double>"),
-          x => round(x, 6)).as("c"))
+        .select(col("embedding").cast("array<double>").as("c"))
         .collect().toSeq.map(_.getSeq[Double](0).toSeq)
       def update(cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
         val rows = kmeansAssign(emb, cents)
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cid", "pos")
-          .agg(round(avg(col("v").cast("double")), 6).as("c"))
+          .agg(sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("sq"),
+            count(lit(1)).as("cnt"))
+          .select(col("cid"), col("pos"),
+            (col("sq").cast("double") / (col("cnt") * 1000000L).cast("double")).as("c"))
           .collect()
         // an empty cluster would keep its previous centroid on the Spark
         // side but has no row in the oracle's GROUP BY — fail loudly
@@ -374,10 +379,11 @@ object SimilarityPack extends QueryPack {
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
 
-    // Replays the two rounded Lloyd iterations CTE by CTE: assignment =
+    // Replays the two Lloyd iterations CTE by CTE: assignment =
     // first-min over rounded distances (ORDER BY d, cid ≡ lowest-index
-    // argmin), update = round(avg, 6) per (cid, dim), init = the first k
-    // vectors rounded — the same boundary rounding the Spark side does.
+    // argmin), update = the EXACT fixed-point mean — sum of round(v·1e6)
+    // BIGINTs, one terminal double division — init = the first k raw
+    // vectors (float→double is exact, no rounding needed).
     "e10_kmeans_train" -> {
       def assignCte(a: String, cSrc: String): String =
         s"""$a AS (
@@ -392,15 +398,16 @@ object SimilarityPack extends QueryPack {
       def updateCte(cNext: String, aPrev: String): String =
         s"""$cNext AS (
            |  SELECT cid, list(c ORDER BY pos) AS c FROM (
-           |    SELECT s.cid, t.i AS pos, round(avg(v[t.i]), 6) AS c
+           |    SELECT s.cid, t.i AS pos,
+           |      CAST(sum(CAST(round(v[t.i] * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           |        / CAST(count(*) * 1000000 AS DOUBLE) AS c
            |    FROM e JOIN (SELECT vec_id, cid FROM ${aPrev}r WHERE rn = 1) s USING (vec_id),
            |         range(1, ${Dim + 1}) t(i)
            |    GROUP BY s.cid, t.i)
            |  GROUP BY cid)"""
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c0 AS (
-         |  SELECT vec_id AS cid,
-         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS c
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
          |  FROM embeddings WHERE vec_id < $KmeansK),
          |${assignCte("a0", "c0")},
          |${updateCte("c1", "a0")},

@@ -143,7 +143,10 @@ object TextPack extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      // doc lengths derive from the tf frame (Σ tf per doc = token
+      // count, every doc has ≥ 1 token) — no second scan+tokenize of
+      // the corpus; dl is already co-partitioned on doc_id for the join
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
@@ -209,7 +212,14 @@ object TextPack extends QueryPack {
       val langTot = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
       val termTot = lt.groupBy("w").agg(sum(col("a")).as("aw"))
       val nAll = docs.agg(count(lit(1)).as("nn"))
-      val diff = (col("a") * col("d") - col("b") * col("c")).cast(dec)
+      // cell products go through DECIMAL(38,0) BEFORE multiplying — a
+      // LONG a*d wraps silently past ~3e9 docs where the oracle's
+      // HUGEINT would not, flipping the filter. (Exactness of the full
+      // N·diff² numerator is itself bounded by the 38-digit carrier —
+      // worst-case safe to ~1e7 docs; past that χ² becomes a
+      // double-precision RANKING score, which is all it is used for.)
+      val diff = col("a").cast(dec) * col("d").cast(dec) -
+        col("b").cast(dec) * col("c").cast(dec)
       val wr = Window.partitionBy("lang").orderBy(col("chi2").desc, col("w"))
       lt.join(broadcast(langTot), "lang")
         .join(termTot, "w")
@@ -217,7 +227,8 @@ object TextPack extends QueryPack {
         .withColumn("b", col("nl") - col("a"))
         .withColumn("c", col("aw") - col("a"))
         .withColumn("d", col("nn") - col("nl") - col("c"))
-        .where(col("a") * col("d") > col("b") * col("c"))
+        .where(col("a").cast(dec) * col("d").cast(dec) >
+          col("b").cast(dec) * col("c").cast(dec))
         .withColumn("chi2",
           (col("nn").cast(dec) * diff * diff).cast("double") /
             (col("nl").cast(dec) * (col("nn") - col("nl")).cast(dec) *
@@ -485,7 +496,7 @@ object TextPack extends QueryPack {
     "t14_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS dl FROM documents),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS INTEGER) AS dl FROM tf GROUP BY doc_id),
         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
         |qterms AS (

@@ -395,16 +395,6 @@ object StreamingPack extends QueryPack {
         .orderBy("keep_id")
     }),
 
-    // s9: STREAMING curation — CurationPipeline.rowFeatures applied to a
-    // readStream of the documents table, unchanged: the same fused
-    // compiled projection (langid, stopword quality, trigram repetition)
-    // runs per-row, stateless, watermark-free, and append-emits as docs
-    // arrive. This is the batch/stream unification argument made
-    // executable — curation-at-ingest needs no second implementation, so
-    // the batch oracle (pipeline1's feature CTEs) checks the stream
-    // bit-for-bit. Scale: a stateless projection is the best possible
-    // streaming shape — zero state store, zero shuffle, per-batch cost
-    // proportional only to arriving data.
     // s11: stream-STATIC enrichment join — each purchase event in the
     // stream is enriched with a batch-computed per-user dimension (here
     // the user's lifetime event count), the lookup-table pattern every
@@ -433,6 +423,16 @@ object StreamingPack extends QueryPack {
       ss.table("graft_s11_enr").orderBy("event_id")
     }),
 
+    // s9: STREAMING curation — CurationPipeline.rowFeatures applied to a
+    // readStream of the documents table, unchanged: the same fused
+    // compiled projection (langid, stopword quality, trigram repetition)
+    // runs per-row, stateless, watermark-free, and append-emits as docs
+    // arrive. This is the batch/stream unification argument made
+    // executable — curation-at-ingest needs no second implementation, so
+    // the batch oracle (pipeline1's feature CTEs) checks the stream
+    // bit-for-bit. Scale: a stateless projection is the best possible
+    // streaming shape — zero state store, zero shuffle, per-batch cost
+    // proportional only to arriving data.
     "s9_stream_curation" -> ((s, dir) => {
       val tmp = scratch("graft-s9-")
       val ss = tunedChild(s, width = 4)
