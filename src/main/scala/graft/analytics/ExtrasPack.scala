@@ -92,8 +92,12 @@ object ExtrasPack extends QueryPack {
     // θ = min of the two K-th hashes, P = |intersection ≤ θ|, overlap ≈
     // P/θ_norm — the audience-overlap query every OLAP sketch library
     // ships, here with a deterministic estimator the DuckDB oracle
-    // replays exactly (same doubles, same division order). Sub-K groups
-    // degrade to exact sets and the same formula applies.
+    // replays exactly (same doubles, same division order). When BOTH
+    // sketches are sub-K they are exact sets (and the ≤θ filter is a
+    // no-op: an element of both sets cannot exceed either set's max), so
+    // the intersection count P IS the exact overlap — dividing by θ/Norm
+    // there would wildly inflate it. The estimator gates on that, exactly
+    // as est() does for the per-set cardinalities.
     "a30_sketch_overlap" -> ((s, dir) => {
       import s.implicits._
       val K = 64
@@ -119,8 +123,9 @@ object ExtrasPack extends QueryPack {
         .withColumn("est_click_users", est(col("ma")))
         .withColumn("est_purchase_users", est(col("mb")))
         .withColumn("est_overlap",
-          col("p").cast("double") /
-            (col("th").cast("double") / graft.functions.KmvAggregator.Norm))
+          when(size(col("ma")) < K && size(col("mb")) < K, col("p").cast("double"))
+            .otherwise(col("p").cast("double") /
+              (col("th").cast("double") / graft.functions.KmvAggregator.Norm)))
         .select(col("est_click_users"), col("est_purchase_users"), col("est_overlap"),
           (col("est_overlap") /
             ((col("est_click_users") + col("est_purchase_users")) - col("est_overlap")))
@@ -313,7 +318,7 @@ object ExtrasPack extends QueryPack {
     // a30: replay both KMV sketches (K smallest distinct hashes per
     // type), then the same theta-intersection arithmetic — same doubles,
     // same division order, down to the parenthesization of the union
-    // denominator.
+    // denominator, including the both-sub-K exact-set gate.
     "a30_sketch_overlap" -> {
       val K = 64
       val norm = "1152921504606846976"
@@ -339,8 +344,10 @@ object ExtrasPack extends QueryPack {
          |         ELSE ${K - 1} / (CAST(ma[len(ma)] AS DOUBLE) / $norm) END AS est_click_users,
          |    CASE WHEN len(mb) < $K THEN CAST(len(mb) AS DOUBLE)
          |         ELSE ${K - 1} / (CAST(mb[len(mb)] AS DOUBLE) / $norm) END AS est_purchase_users,
-         |    CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
-         |      / (CAST(th AS DOUBLE) / $norm) AS est_overlap
+         |    CASE WHEN len(ma) < $K AND len(mb) < $K
+         |         THEN CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
+         |         ELSE CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
+         |           / (CAST(th AS DOUBLE) / $norm) END AS est_overlap
          |  FROM ab)
          |SELECT est_click_users, est_purchase_users, est_overlap,
          |  est_overlap / ((est_click_users + est_purchase_users) - est_overlap) AS est_jaccard

@@ -196,11 +196,14 @@ object RelationalPack extends QueryPack {
     // (n·users·5 > total·6) so no engine can disagree on the boundary.
     // Scale: the per-key aggregate is the only data-sized work; the
     // totals frame derives from the (already tiny) per-key frame, not
-    // from a second corpus scan.
+    // from a second corpus scan. The per-key frame is materialized with
+    // an eager checkpoint, not persist(): same single-scan guarantee,
+    // but the blocks are GC-owned instead of leaking in the session's
+    // CacheManager (round-6 advice; see DedupPack.lshPairs).
     "a29_heavy_hitters" -> ((s, dir) => {
       val per = Tables(s, dir, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val tot = per.agg(sum(col("n_events")).as("total"),
         count(lit(1)).as("n_users"))
       per.crossJoin(broadcast(tot))
@@ -446,6 +449,11 @@ object RelationalPack extends QueryPack {
     // enters the DECISION, so no engine can disagree on a boundary row.
     // The reported z itself is one division + one IEEE-exact sqrt of
     // those exact operands. DuckDB replays the compare in HUGEINT.
+    // Carrying bound (t16's caveat applies here too): num² ≈ (x·n)² must
+    // fit 38 digits, i.e. exact while max|x_cents|·n < 10¹⁹ — e.g. $10M
+    // values across 10¹⁰ rows. Past that, non-ANSI Spark NULLs the
+    // DECIMAL product where the oracle's HUGEINT stays exact, so
+    // is_outlier would go NULL (loud in a hash check) rather than flip.
     "a38_outliers" -> ((s, dir) => {
       val dec = DecimalType(38, 0)
       val ev = Tables(s, dir, "events")

@@ -116,7 +116,7 @@ object CurationPipeline extends QueryPack {
     // clusters (see d12) and the drop set rides the join as bare ids.
     "pipeline3_semantic" -> ((s, dir) => {
       val asg = DedupPack.semAssign(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager: GC-owned blocks, see DedupPack.lshPairs
       val sem = asg.select(col("vec_id").as("doc_id"), col("cid"))
         .join(DedupPack.semDropped(asg).withColumn("dup", lit(1))
             .withColumnRenamed("vec_id", "doc_id"),

@@ -55,21 +55,35 @@ object DedupPack extends QueryPack {
   }
 
   /** Distinct LSH candidate pairs (doc_a < doc_b), unordered — shared by
-    * d3 and d7. The signature matrix is persisted first: without it Spark
-    * recomputes the whole shingle+hash pipeline for BOTH self-join sides
-    * (measured ~2× at sf0.1). At any scale the matrix is tiny next to the
-    * corpus — NumBands longs per doc — so MEMORY_AND_DISK is the right
-    * trade everywhere.
+    * d3 and d7. The signature matrix is materialized first: without it
+    * Spark recomputes the whole shingle+hash pipeline for BOTH self-join
+    * sides (measured ~2× at sf0.1). At any scale the matrix is tiny next
+    * to the corpus — NumBands longs per doc. An EAGER localCheckpoint
+    * rather than persist(): same reuse, but the blocks are owned by the
+    * RDD (ContextCleaner frees them when the query's frames go out of
+    * scope) instead of pinned forever in the session's CacheManager —
+    * a long-lived driver running many queries must not accumulate one
+    * leaked signature cache per call (round-6 advice).
     */
   private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatures(s, dir).localCheckpoint(true)
     val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
     val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "minhash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** The LSH candidate graph, MATERIALIZED on the given session — so the
+    * corpus-sized build (signature aggregation + banded self-join) runs
+    * at this session's shuffle width, regardless of what width the
+    * caller iterates at afterwards (g1 hands the result to a width-4
+    * child; WidthSplitSpec pins that the build itself honors the
+    * caller). Eager localCheckpoint: reused without recompute, blocks
+    * GC-owned rather than CacheManager-pinned.
+    */
+  private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir).localCheckpoint(true)
 
   /** Edge-count bound for the single-task union-find path: 4M edges is
     * ~64 MB of packed longs in one task — far below executor memory, far
@@ -185,10 +199,10 @@ object DedupPack extends QueryPack {
     // verification pass costs O(pairs · NumBands), not O(pairs · doc
     // length) like exact Jaccard. The ratio is one IEEE division of an
     // integer agreement count. Joins are all on the narrow sig frame
-    // (NumBands longs per doc), persisted once.
+    // (NumBands longs per doc), materialized once (eager checkpoint —
+    // GC-owned blocks, see lshPairs).
     "d11_minhash_estimate" -> ((s, dir) => {
-      val sig = signatures(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = signatures(s, dir).localCheckpoint(true)
       val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
       val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
       val cand = a.join(b, Seq("band", "minhash"))
@@ -348,7 +362,8 @@ object DedupPack extends QueryPack {
     "d6_embed_neardup" -> ((s, dir) => {
       val sig = SimilarityPack
         .lshBuckets(s, Tables(s, dir, "embeddings"), NeardupTables)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager: GC-owned blocks, see lshPairs
+
       val a = sig.select(col("table"), col("bucket"),
         col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = sig.select(col("table"), col("bucket"),
@@ -399,7 +414,7 @@ object DedupPack extends QueryPack {
     // machinery) and the same rounded-cosine threshold.
     "d12_semdedup" -> ((s, dir) => {
       val asg = semAssign(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager: GC-owned blocks, see lshPairs
       asg.join(semDropped(asg), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cid"))
         .orderBy("vec_id")
@@ -429,18 +444,21 @@ object DedupPack extends QueryPack {
     // there is no dangling mass.
     "g1_pagerank" -> ((s0, dir) => {
       import org.apache.spark.storage.StorageLevel
-      // The iteration runs on a narrow-shuffle child session (same trick
-      // as the streaming replays): the candidate graph is a few hundred
-      // rows, so 32-partition shuffles × (2 stages × 5 iterations) are
-      // pure task-scheduling overhead — measured 4.1 s at 32 partitions
-      // vs 2.5 s at 4 for the whole query. The child narrows the
-      // signature aggregation too, which is fine at bench scale; a
-      // production run splits the stages — materialize the candidate
-      // graph wide (it's the corpus-sized step), then iterate narrow —
-      // and sizes each to its own data volume.
+      // TWO stages, TWO widths — the production split: the candidate-
+      // graph BUILD (signature aggregation + banded self-join) is the
+      // corpus-sized step, so it runs on the CALLER's session at its
+      // full shuffle width and is materialized eagerly (candidatePairs;
+      // WidthSplitSpec pins the width). Only THEN does a narrow child
+      // session take over: the iteration touches a few-hundred-row
+      // graph, where 32-partition shuffles × (2 stages × 5 iterations)
+      // are pure task-scheduling overhead — measured 4.1 s at 32
+      // partitions vs 2.5 s at 4 for the iteration. Re-rooting the
+      // materialized RDD in the child costs one row conversion, never a
+      // recompute.
+      val pairsWide = candidatePairs(s0, dir)
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val pairs = lshPairs(s, dir)
+      val pairs = s.createDataFrame(pairsWide.rdd, pairsWide.schema)
       // The edge list is pre-joined with the degree column ONCE: the
       // iteration then touches a single cached narrow frame per round
       // instead of re-joining deg. rank is localCheckpoint'd each round —
@@ -466,7 +484,13 @@ object DedupPack extends QueryPack {
             (lit(150000L) + coalesce(col("s"), lit(0L))).as("r"))
           .localCheckpoint(false)
       }
-      rank.select(col("node").as("doc_id"), col("r").as("rank_fp"))
+      // Materialize the final rank eagerly so the iteration caches can
+      // be dropped HERE instead of leaking for the session's lifetime
+      // (round-6 advice) — the returned plan reads only the final RDD.
+      val fin = rank.localCheckpoint(true)
+      edgesDeg.unpersist()
+      nodes.unpersist()
+      fin.select(col("node").as("doc_id"), col("r").as("rank_fp"))
         .orderBy("doc_id")
     }),
 
@@ -481,9 +505,10 @@ object DedupPack extends QueryPack {
     // (degree, id) instead of id so each triangle is found at its
     // lowest-degree vertex — same joins, same count.
     "g2_triangle_counts" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
-      val pairs = lshPairs(s, dir)
-        .persist(StorageLevel.MEMORY_AND_DISK) // doc_a < doc_b by construction
+      // doc_a < doc_b by construction; eager checkpoint (GC-owned
+      // blocks, see lshPairs) — the three join views + the node list all
+      // read the one materialized edge RDD.
+      val pairs = candidatePairs(s, dir)
       val ab = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       val bc = pairs.select(col("doc_a").as("b"), col("doc_b").as("c"))
       val ac = pairs.select(col("doc_a").as("a"), col("doc_b").as("c"))
@@ -503,7 +528,7 @@ object DedupPack extends QueryPack {
       val fps = Tables(s, dir, "documents")
         .where(col("n_chars") >= graft.functions.WinnowFingerprints.GramLen)
         .select(col("doc_id"), explode(winnow_fingerprints(col("text"))).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager: GC-owned blocks, see lshPairs
       // df join is fp→fp: co-partitioned with the aggregation that
       // produced it, narrow rows either side — never a broadcast
       // dependency (the distinct-fp table grows with the corpus).

@@ -173,9 +173,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition(cluster"), p)
   }
 
-  test("a29 heavy hitters: two-phase per-key count, totals broadcast as a 1-row side") {
+  test("a29 heavy hitters: per-key counts materialized once, totals broadcast as a 1-row side") {
+    // The per-key aggregate is eagerly checkpointed (single corpus scan,
+    // GC-owned blocks), so the final plan reads the materialized RDD —
+    // never the events table — and broadcasts the 1-row totals back.
     val p = plan("a29_heavy_hitters")
-    assert(p.contains("partial_count"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.toLowerCase.contains("parquet"), p)
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
