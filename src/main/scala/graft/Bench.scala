@@ -61,16 +61,20 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision line → BENCH.local.json (committed per round): the
-    // durable record, never truncated.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$fullQs}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH.local.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH.local.json: ${e.getMessage}")
+    // durable record, never truncated. FULL runs only — a filtered
+    // dev-loop run must not overwrite the round's record with a partial
+    // total (burned on this in round 5).
+    if (only.isEmpty) {
+      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val fullLine =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedJson,"queries":$fullQs}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH.local.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH.local.json: ${e.getMessage}")
+      }
     }
     // stdout line → the driver, which captures only the LAST 2000 chars of
     // output (observed: BENCH_r02..r05 all have parsed:null because the

@@ -23,7 +23,17 @@ import graft.projection.SignalProjection
   */
 object DerivedSignalLog {
 
-  def log(spark: SparkSession, dir: String): DataFrame = {
+  def log(spark: SparkSession, dir: String): DataFrame =
+    logWithEventTime(spark, dir).drop("ets")
+
+  /** [[log]] plus `ets` — the ENVELOPE event time (epoch micros of the
+    * source `ts`), the Kafka-record-timestamp analog: present for every
+    * event INCLUDING deletes, whose 2-field payloads carry no
+    * `updated_at`. This is what makes timestamp-LWW (s12) well-defined
+    * for tombstones — real CDC wires carry the envelope time even when
+    * the payload is bare.
+    */
+  def logWithEventTime(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
     val isDel = col("event_type") === "error"
     val action = when(isDel, "deleted")
@@ -32,6 +42,7 @@ object DerivedSignalLog {
     def unlessDel(c: Column): Column = when(isDel, lit(null)).otherwise(c)
     e.select(
       col("event_id").as("seq"),
+      unix_micros(col("ts")).as("ets"),
       col("user_id").cast("string").as("id"),
       action.as("action"),
       unlessDel(concat(lit("evt-"), col("event_id").cast("string"))).as("title"),
@@ -58,6 +69,29 @@ object DerivedSignalLog {
   /** The log derivation as a standalone SELECT (DuckDB). */
   private val LOG_SELECT: String =
     """SELECT event_id AS seq,
+      |    CAST(user_id AS VARCHAR) AS id,
+      |    CASE WHEN event_type = 'error' THEN 'deleted'
+      |         WHEN event_type = 'signup' THEN 'created'
+      |         ELSE 'updated' END AS action,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |         ELSE 'evt-' || CAST(event_id AS VARCHAR) END AS title,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS content,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |         WHEN value < 5 THEN 'Low'
+      |         WHEN value < 15 THEN 'Medium'
+      |         ELSE 'High' END AS priority,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |         ELSE 'user-' || CAST(user_id AS VARCHAR) END AS author,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(ts AS TIMESTAMP) END AS created_at,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(ts AS TIMESTAMP) END AS updated_at
+      |  FROM events""".stripMargin
+
+  /** [[LOG_SELECT]] + the envelope event time (epoch micros), mirroring
+    * [[logWithEventTime]] — the s12 timestamp-LWW oracle's log source.
+    */
+  private[graft] val LOG_SELECT_ETS: String =
+    """SELECT event_id AS seq,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ets,
       |    CAST(user_id AS VARCHAR) AS id,
       |    CASE WHEN event_type = 'error' THEN 'deleted'
       |         WHEN event_type = 'signup' THEN 'created'
