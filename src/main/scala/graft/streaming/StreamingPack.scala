@@ -524,28 +524,7 @@ object StreamingPack extends QueryPack {
     // watermark — it is order-independent by construction.
     "s12_late_lww" -> ((s, dir) => {
       val tmp = scratch("graft-s12-")
-      val log = DerivedSignalLog.logWithEventTime(s, dir)
-      val eventCols = log.columns.filterNot(c => c == "seq" || c == "ets").map(col)
-      val wire = log.select(col("seq"), col("ets"),
-        to_json(struct(eventCols.toIndexedSeq: _*),
-          Map("timestampFormat" -> TsFmt).asJava).as("value"))
-      val events = java.nio.file.Paths.get(tmp, "events")
-      Files.createDirectory(events)
-      // One file per half; name AND mtime both order on-time before late
-      // (the file source admits one file per micro-batch in mtime order).
-      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
-        val d = s"$tmp/stage-$name"
-        half.coalesce(1).write.json(d)
-        val part = new java.io.File(d).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-          .getOrElse(sys.error(s"no part file in $d"))
-        val dst = events.resolve(name)
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-      }
-      stage(wire.where(col("seq") % 2 === 1), "a-ontime.json", 1000000L)
-      stage(wire.where(col("seq") % 2 === 0), "b-late.json", 2000000L)
-
+      val events = stagedLateWire(s, dir)
       val ss = tunedChild(s, width = 4)
       val store = new BucketedStateStore(ss, s"$tmp/state", numBuckets = 4,
         key = "id", seq = "_ord")
@@ -554,7 +533,7 @@ object StreamingPack extends QueryPack {
         .schema(new org.apache.spark.sql.types.StructType()
           .add("seq", "long").add("ets", "long").add("value", "string"))
         .option("maxFilesPerTrigger", "1")
-        .json(events.toString)
+        .json(events)
       val q = raw.writeStream
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
@@ -632,6 +611,39 @@ object StreamingPack extends QueryPack {
       val out = s"${scratch("graft-eventlog-")}/events"
       writeEventLog(s, d, out)
       out
+    })
+
+  /** s12's adversarial wire, staged once per process (same fixture
+    * argument as [[stagedEventLog]]): two JSON files — odd event-ids
+    * (on time), then even (late). One file per half; name AND mtime both
+    * order on-time before late, because the file source admits one file
+    * per micro-batch in modification-time order.
+    */
+  private val stagedLateWires =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedLateWire(s: SparkSession, dir: String): String =
+    stagedLateWires.computeIfAbsent(dir, { d =>
+      val tmp = scratch("graft-latewire-")
+      val log = DerivedSignalLog.logWithEventTime(s, d)
+      val eventCols = log.columns.filterNot(c => c == "seq" || c == "ets").map(col)
+      val wire = log.select(col("seq"), col("ets"),
+        to_json(struct(eventCols.toIndexedSeq: _*),
+          Map("timestampFormat" -> TsFmt).asJava).as("value"))
+      val events = java.nio.file.Paths.get(tmp, "events")
+      Files.createDirectory(events)
+      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
+        val stageDir = s"$tmp/stage-$name"
+        half.coalesce(1).write.json(stageDir)
+        val part = new java.io.File(stageDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+          .getOrElse(sys.error(s"no part file in $stageDir"))
+        val dst = events.resolve(name)
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      stage(wire.where(col("seq") % 2 === 1), "a-ontime.json", 1000000L)
+      stage(wire.where(col("seq") % 2 === 0), "b-late.json", 2000000L)
+      events.toString
     })
 
   /** Serialize the derived signal log to JSON-lines event files — the
