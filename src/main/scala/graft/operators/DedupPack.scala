@@ -40,8 +40,16 @@ object DedupPack extends QueryPack {
     * is the per-doc partial-min aggregation, which carries NumBands longs
     * per doc regardless of document size.
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir, "documents")
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(Tables(s, dir, "documents"))
+
+  /** The signature pipeline over any (doc_id, text) frame — batch OR a
+    * streaming micro-batch (s14 maintains bucket claims incrementally
+    * from exactly this computation; per-band min is an order-independent
+    * fold, so signatures of a batch ARE the signatures of its docs).
+    */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    val sh = docs
       .where(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("hs"))
     val hm = col("hs") % P
@@ -610,7 +618,7 @@ object DedupPack extends QueryPack {
       s"(acc, c) -> (acc * ${graft.functions.WinnowFingerprints.Base} + c) % " +
       s"${graft.functions.WinnowFingerprints.Mod})"
 
-  private val shinglesCte = {
+  private[graft] val shinglesCte = {
     val minsSql = (0 until NumBands).map { i =>
       s"min((hm * ${A(i)} + ${B(i)}) % $P) AS s$i" }.mkString(",\n    ")
     val unpivot = (0 until NumBands).map { i =>

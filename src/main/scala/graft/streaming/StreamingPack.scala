@@ -594,6 +594,60 @@ object StreamingPack extends QueryPack {
           TimeCodec.parseRfc3339(col("created_at")).as("created_at"),
           TimeCodec.parseRfc3339(col("updated_at")).as("updated_at"))
         .orderBy("id")
+    }),
+
+    // s14: streaming NEAR-dup claims at ingest — the MinHash/LSH analog
+    // of s7's exact streaming dedup, and the incremental form of d3's
+    // candidate index: each arriving micro-batch computes its docs' LSH
+    // bucket signatures (the SAME compiled pipeline as d2/d3, shared via
+    // signaturesOf) and merges a per-bucket MIN-doc_id claim into the
+    // bucketed store. Min is a semilattice fold — order-independent and
+    // idempotent, the s10/KMV argument — so the claim table converges to
+    // the batch answer under ANY delivery order; the staged wire proves
+    // it adversarially (the HIGH-id half arrives first and claims every
+    // bucket, the LOW half arrives a micro-batch later and must steal
+    // every contested claim). Flagging is a READ-time join of corpus
+    // signatures (parent session, full width — the corpus-sized pass)
+    // against the final claim table: a doc is a near-dup candidate iff
+    // some bucket of its signature is claimed by a lower doc_id. Scale:
+    // state is one narrow row per DISTINCT bucket; merge cost is
+    // O(buckets touched per batch); at 100 TB the knob is the store's
+    // bucket count, exactly as in s1.
+    "s14_stream_neardup" -> ((s, dir) => {
+      val tmp = scratch("graft-s14-")
+      val wire = stagedNeardupWire(s, dir)
+      val ss = tunedChild(s, width = 4, noData = false)
+      val store = new BucketedStateStore(ss, s"$tmp/state", numBuckets = 4,
+        key = "bkey", seq = "_ord")
+      val schema = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).schema
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(wire)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val claims = graft.operators.DedupPack.signaturesOf(b)
+            .select(concat_ws(":", col("band"), col("minhash")).as("bkey"),
+              col("doc_id"), (-col("doc_id")).as("_ord"))
+          val latest = SignalProjection.latestByKey(claims, "bkey", "_ord").persist()
+          try store.merge(latest, batchId) finally latest.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+      val winners = store.read()
+        .getOrElse(sys.error("s14: no claims written"))
+        .select(col("bkey"), col("doc_id").as("winner"))
+      graft.operators.DedupPack
+        .signaturesOf(Tables(s, dir, "documents"))
+        .select(concat_ws(":", col("band"), col("minhash")).as("bkey"),
+          col("doc_id"))
+        .join(winners, "bkey")
+        .groupBy("doc_id")
+        .agg(max((col("winner") < col("doc_id")).cast("int")).as("is_neardup"))
+        .orderBy("doc_id")
     })
   )
 
@@ -643,6 +697,36 @@ object StreamingPack extends QueryPack {
       }
       stage(wire.where(col("seq") % 2 === 1), "a-ontime.json", 1000000L)
       stage(wire.where(col("seq") % 2 === 0), "b-late.json", 2000000L)
+      events.toString
+    })
+
+  /** s14's adversarial delivery, staged once per process: the documents
+    * table split at the doc_id midpoint into two parquet files — the
+    * HIGH half first (claims buckets with high ids), the LOW half a
+    * micro-batch later (must steal every contested claim).
+    */
+  private val stagedNeardupWires =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedNeardupWire(s: SparkSession, dir: String): String =
+    stagedNeardupWires.computeIfAbsent(dir, { d =>
+      val tmp = scratch("graft-neardupwire-")
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
+        .cast("long")).head().getLong(0)
+      val events = java.nio.file.Paths.get(tmp, "events")
+      Files.createDirectory(events)
+      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
+        val stageDir = s"$tmp/stage-$name"
+        half.coalesce(1).write.parquet(stageDir)
+        val part = new java.io.File(stageDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $stageDir"))
+        val dst = events.resolve(name)
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      stage(docs.where(col("doc_id") > mid), "a-high.parquet", 1000000L)
+      stage(docs.where(col("doc_id") <= mid), "b-low.parquet", 2000000L)
       events.toString
     })
 
@@ -834,7 +918,21 @@ object StreamingPack extends QueryPack {
       """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
         |FROM signal_view
         |WHERE NOT (action = 'deleted' AND seq < (SELECT max(event_id) // 2 FROM events))
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin),
+
+    // The batch restatement of the claim table: per-bucket min doc_id
+    // over d2/d3's replayed signature pipeline — a doc is a near-dup
+    // candidate iff some bucket of its signature has a lower-id claimant.
+    "s14_stream_neardup" ->
+      (graft.operators.DedupPack.shinglesCte +
+        """, claims AS (
+          |  SELECT band, minhash, min(doc_id) AS winner
+          |  FROM sig GROUP BY band, minhash)
+          |SELECT s.doc_id,
+          |  CAST(max(CASE WHEN c.winner < s.doc_id THEN 1 ELSE 0 END) AS INTEGER)
+          |    AS is_neardup
+          |FROM sig s JOIN claims c ON c.band = s.band AND c.minhash = s.minhash
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
   )
 
   private implicit class MapOps(m: Map[String, String]) {

@@ -85,6 +85,26 @@ class LateDataSpec extends SparkSuite {
       s"streamed ts-fold diverged: got ${got.length} rows, want ${want.length}")
   }
 
+  test("s14 bucket claims: min-doc_id steals across batches in any arrival order") {
+    // The claim fold is max_by(payload, -doc_id) == per-bucket MIN: a
+    // semilattice, so late arrivals converge identically. High ids claim
+    // first; a later batch with lower ids must steal every contested
+    // bucket and leave uncontested claims alone.
+    import spark.implicits._
+    val store = new BucketedStateStore(spark, tmpDir(), numBuckets = 2,
+      key = "bkey", seq = "_ord")
+    def claims(rows: Seq[(String, Long)]): DataFrame =
+      rows.toDF("bkey", "doc_id").withColumn("_ord", -col("doc_id"))
+    store.merge(SignalProjection.latestByKey(
+      claims(Seq(("b1", 100L), ("b2", 200L))), "bkey", "_ord"), gen = 0)
+    store.merge(SignalProjection.latestByKey(
+      claims(Seq(("b1", 5L), ("b3", 300L))), "bkey", "_ord"), gen = 1)
+    val won = store.read().get.select("bkey", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(won == Map("b1" -> 5L, "b2" -> 200L, "b3" -> 300L),
+      s"claim table did not converge to per-bucket min: $won")
+  }
+
   test("s13 compaction drops only pre-horizon tombstones and keeps live state") {
     val store = new BucketedStateStore(spark, tmpDir(), numBuckets = 2)
     import spark.implicits._
