@@ -124,6 +124,13 @@ object DerivedSignalLog {
     */
   val SQL_CTE: String = cte(s"signal_log AS (\n  $LOG_SELECT)")
 
+  /** [[SQL_CTE]] with the log RESTRICTED by `pred` — the oracle form for
+    * partial replays (as-of / time-travel reads fold only the events the
+    * replay had consumed by that point).
+    */
+  def sqlCteFiltered(pred: String): String =
+    cte(s"signal_log AS (\n  SELECT * FROM ($LOG_SELECT) WHERE $pred)")
+
   /** Same pipeline over the log unioned with itself (idempotency oracle,
     * reference projection/signal_test.go:132-151).
     */

@@ -58,9 +58,10 @@ class BucketedStateStore(
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
   }
 
-  private def latestGenPaths(buckets: Seq[Long]): Seq[String] =
+  private def latestGenPaths(
+      buckets: Seq[Long], maxGen: Long = Long.MaxValue): Seq[String] =
     buckets.flatMap { b =>
-      val gens = listGens(b)
+      val gens = listGens(b).filter(_ <= maxGen)
       if (gens.isEmpty) None
       else {
         // skip generations emptied by compaction (no data files)
@@ -78,6 +79,20 @@ class BucketedStateStore(
 
   /** Current state (tombstones included); None if no state yet. */
   def read(): Option[DataFrame] = readBuckets(allBuckets)
+
+  /** TIME-TRAVEL read: state as of generation `maxGen` (inclusive) —
+    * each bucket serves its newest generation ≤ maxGen; buckets first
+    * touched later have no state yet and contribute nothing. This is
+    * what the per-bucket generation layout buys beyond idempotent
+    * replay: any still-retained batch boundary is a consistent snapshot
+    * (the Delta/Iceberg version-read analog), bounded by the retention
+    * window (2 generations/bucket here; production sizes retention to
+    * its audit horizon).
+    */
+  def readAt(maxGen: Long): Option[DataFrame] = {
+    val paths = latestGenPaths(allBuckets, maxGen)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
 
   private def readBuckets(buckets: Seq[Long]): Option[DataFrame] = {
     val paths = latestGenPaths(buckets)

@@ -648,6 +648,35 @@ object StreamingPack extends QueryPack {
         .groupBy("doc_id")
         .agg(max((col("winner") < col("doc_id")).cast("int")).as("is_neardup"))
         .orderBy("doc_id")
+    }),
+
+    // s15: TIME-TRAVEL state read — what the per-bucket generation layout
+    // buys beyond idempotent replay: any retained batch boundary is a
+    // consistent snapshot (the Delta/Iceberg version-read analog). The
+    // log replays through the s1 projection in two micro-batches (the
+    // parity wire: odd seqs in batch 0, even in batch 1), then the view
+    // is read AS OF generation 0 — per bucket, the newest generation ≤ 0;
+    // buckets first touched by batch 1 have no snapshot and contribute
+    // nothing. The oracle folds ONLY the odd-seq half: the snapshot must
+    // equal the projection of exactly the events consumed by that batch,
+    // proving generations are batch-consistent, not merely replayable.
+    // Retention bounds how far back readAt reaches (2 gens/bucket here;
+    // production sizes retention to its audit horizon).
+    "s15_state_time_travel" -> ((s, dir) => {
+      val tmp = scratch("graft-s15-")
+      val wire = stagedLateWire(s, dir) // (seq, ets, value): ets unused here
+      val ss = tunedChild(s, width = 4)
+      val proj = new StreamingProjection(ss, s"$tmp/state", numBuckets = 4)
+      val q = proj.runFileStream(wire, s"$tmp/chk", maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      proj.store.readAt(0)
+        .getOrElse(sys.error("s15: no snapshot at generation 0"))
+        .where(col("action") =!= graft.domain.SignalSchema.Deleted)
+        .select(col("id"), col("seq"), col("action"), col("title"),
+          col("content"), col("priority"), col("author"),
+          TimeCodec.parseRfc3339(col("created_at")).as("created_at"),
+          TimeCodec.parseRfc3339(col("updated_at")).as("updated_at"))
+        .orderBy("id")
     })
   )
 
@@ -932,7 +961,14 @@ object StreamingPack extends QueryPack {
           |  CAST(max(CASE WHEN c.winner < s.doc_id THEN 1 ELSE 0 END) AS INTEGER)
           |    AS is_neardup
           |FROM sig s JOIN claims c ON c.band = s.band AND c.minhash = s.minhash
-          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    // The generation-0 snapshot folds exactly the odd-seq half the first
+    // micro-batch consumed.
+    "s15_state_time_travel" ->
+      (DerivedSignalLog.sqlCteFiltered("seq % 2 = 1") +
+        """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
+          |FROM signals ORDER BY id""".stripMargin)
   )
 
   private implicit class MapOps(m: Map[String, String]) {

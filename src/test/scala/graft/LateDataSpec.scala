@@ -105,6 +105,24 @@ class LateDataSpec extends SparkSuite {
       s"claim table did not converge to per-bucket min: $won")
   }
 
+  test("readAt(g) is a batch-consistent snapshot: newest generation <= g per bucket") {
+    import spark.implicits._
+    val store = new BucketedStateStore(spark, tmpDir(), numBuckets = 2)
+    store.merge(Seq((1L, "a", "created"), (2L, "b", "created"))
+      .toDF("seq", "id", "action"), gen = 0)
+    store.merge(Seq((3L, "a", "updated"), (4L, "c", "created"))
+      .toDF("seq", "id", "action"), gen = 1)
+    def snap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, String)] =
+      df.select("id", "seq", "action").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val asOf0 = snap(store.readAt(0).get)
+    val full = snap(store.read().get)
+    assert(asOf0 == Map("a" -> ((1L, "created")), "b" -> ((2L, "created"))),
+      s"generation-0 snapshot must hold exactly batch 0's fold: $asOf0")
+    assert(full == Map("a" -> ((3L, "updated")), "b" -> ((2L, "created")),
+      "c" -> ((4L, "created"))), s"full read regressed: $full")
+  }
+
   test("s13 compaction drops only pre-horizon tombstones and keeps live state") {
     val store = new BucketedStateStore(spark, tmpDir(), numBuckets = 2)
     import spark.implicits._
