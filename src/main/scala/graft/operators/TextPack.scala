@@ -355,8 +355,64 @@ object TextPack extends QueryPack {
           (col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
             .as("avg_freq"))
         .orderBy("doc_id")
+    }),
+
+    // t17: in-engine BPE tokenizer TRAINING — e10's in-engine-training
+    // claim extended to the text pipeline: the merges a tokenizer is made
+    // of are learned as DataFrame jobs, deterministically, and the oracle
+    // replays every iteration CTE-by-CTE. The 100 TB shape is the whole
+    // point: the ONLY corpus-sized job is the word-frequency scan (one
+    // partial+final agg); every BPE iteration then runs on the bounded
+    // word table — O(vocab) per round, independent of corpus size (real
+    // deployments additionally cap the table by frequency rank; that cap
+    // is the knob, not a different algorithm). Symbol sequences are
+    // encoded as strings with every token wrapped in single spaces
+    // (" a  b  c "): the merge " l  r " → " lr " is then one plain
+    // leftmost-non-overlapping replace — identical semantics in both
+    // engines, and BPE's left-to-right non-overlap rule falls out of the
+    // wrapping (in " a  a  a " the pattern " a  a " matches once).
+    // Per-round argmax is a 1-row bounded collect (the blessed e10/IvfIndex
+    // residency); ties break (freq DESC, left, right) so the learned
+    // merges are total-ordered in both engines.
+    "t17_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val chars = filter(split(col("word"), ""), x => x =!= "")
+      val seq0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
+      def pairsOf(seqCol: Column): Column = {
+        val t = transform(split(seqCol, "  "), x => trim(x))
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))
+      }
+      var vocab = words.select(col("freq"), seq0.as("seq")).localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (i <- 1 to BpeIters) {
+        val top = vocab
+          .select(col("freq"), explode(pairsOf(col("seq"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pf"))
+          .orderBy(desc("pf"), col("l"), col("r"))
+          .head()
+        val (l, r, pf) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((i, l, r, pf))
+        vocab = vocab.withColumn("seq",
+            replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint(true) // truncate the replace chain per round
+      }
+      merges.toSeq.toDF("step", "left", "right", "pair_freq")
+        .select(col("step"), col("left"), col("right"),
+          concat(col("left"), col("right")).as("merged"), col("pair_freq"))
+        .orderBy("step")
     })
   )
+
+  /** BPE merge rounds for the t17 training demo (unrolled identically in
+    * the oracle).
+    */
+  private val BpeIters = 3
 
   private val wsSql = "string_split(text, ' ')"
   private[operators] def countInSql(words: Seq[String]): String =
@@ -571,6 +627,46 @@ object TextPack extends QueryPack {
         |  FROM w WHERE len(ws) >= 3)
         |SELECT doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
         |  round(CAST(len(gs) - len(list_distinct(list_transform(gs, sh -> ${DedupPack.polyHashSql}))) AS DOUBLE) / len(gs), 6) AS dup_gram_ratio
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // t17: every BPE round replayed CTE-by-CTE — the same wrapped-token
+    // string encoding, the same leftmost-non-overlapping replace(), the
+    // same (pf DESC, l, r) argmax as a LIMIT 1.
+    "t17_bpe_train" -> {
+      val pairs = (i: Int) =>
+        s"""p$i AS (
+           |  SELECT split_part(pr, chr(1), 1) AS l, split_part(pr, chr(1), 2) AS r,
+           |    CAST(sum(freq) AS BIGINT) AS pf
+           |  FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+           |      j -> toks[j] || chr(1) || toks[j + 1])) AS pr
+           |    FROM (SELECT freq, list_transform(string_split(seq, '  '),
+           |      x -> trim(x)) AS toks FROM s${i - 1}))
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, pf FROM p$i ORDER BY pf DESC, l, r LIMIT 1)"""
+      val nextSeq = (i: Int) =>
+        s"""s$i AS (
+           |  SELECT freq, replace(seq,
+           |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+           |    ' ' || (SELECT l || r FROM m$i) || ' ') AS seq
+           |  FROM s${i - 1})"""
+      val rounds = (1 to 3).map(i =>
+        pairs(i) + (if (i < 3) ",\n" + nextSeq(i) else "")).mkString(",\n")
+      val out = (1 to 3).map(i =>
+        s"SELECT $i AS step, l AS \"left\", r AS \"right\", l || r AS merged, pf AS pair_freq FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH wf AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |s0 AS (
+         |  SELECT freq,
+         |    ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+         |      i -> word[i:i]), '  ') || ' ' AS seq
+         |  FROM wf),
+         |$rounds
+         |$out
+         |ORDER BY step""".stripMargin
+    }
   )
 }
