@@ -376,43 +376,80 @@ object TextPack extends QueryPack {
     // merges are total-ordered in both engines.
     "t17_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val words = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .where(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      val chars = filter(split(col("word"), ""), x => x =!= "")
-      val seq0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
-      def pairsOf(seqCol: Column): Column = {
-        val t = transform(split(seqCol, "  "), x => trim(x))
-        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))
-      }
-      var vocab = words.select(col("freq"), seq0.as("seq")).localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      for (i <- 1 to BpeIters) {
-        val top = vocab
-          .select(col("freq"), explode(pairsOf(col("seq"))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("pf"))
-          .orderBy(desc("pf"), col("l"), col("r"))
-          .head()
-        val (l, r, pf) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((i, l, r, pf))
-        vocab = vocab.withColumn("seq",
-            replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint(true) // truncate the replace chain per round
-      }
-      merges.toSeq.toDF("step", "left", "right", "pair_freq")
+      learnMerges(s, dir).toDF("step", "left", "right", "pair_freq")
         .select(col("step"), col("left"), col("right"),
           concat(col("left"), col("right")).as("merged"), col("pair_freq"))
         .orderBy("step")
+    }),
+
+    // t18: BPE APPLICATION — the trained artifact actually used: the
+    // merge table learned by t17 tokenizes every document. Per word the
+    // same wrapped-char encoding, then the 3 merges applied in learned
+    // priority order as a chain of plain replaces (BPE application IS
+    // priority-ordered merging); token counts fold per doc through HOFs —
+    // a pure per-row projection, zero shuffles after the (bounded)
+    // training collects, so application scales as a map over the corpus,
+    // exactly how a production tokenizer pass runs. The oracle re-learns
+    // the same merges CTE-by-CTE and replays the same replace chain.
+    "t18_bpe_apply" -> ((s, dir) => {
+      val merges = learnMerges(s, dir).map { case (_, l, r, _) => (l, r) }
+      val ws = filter(split(col("text"), " "), w => w =!= "")
+      def bpeTokens(w: Column): Column = {
+        val seq0 = concat(lit(" "),
+          concat_ws("  ", filter(split(w, ""), x => x =!= "")), lit(" "))
+        val mergedSeq = merges.foldLeft(seq0) { case (c, (l, r)) =>
+          replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        size(split(mergedSeq, "  "))
+      }
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          size(ws).as("n_words"),
+          aggregate(transform(ws, w => bpeTokens(w)), lit(0), (a, x) => a + x)
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id")
     })
   )
 
-  /** BPE merge rounds for the t17 training demo (unrolled identically in
-    * the oracle).
+  /** BPE merge rounds for the t17/t18 training demo (unrolled identically
+    * in the oracles).
     */
   private val BpeIters = 3
+
+  /** t17's trainer: (step, left, right, pair_freq) for [[BpeIters]]
+    * rounds. One corpus-sized word-frequency scan; each round then costs
+    * O(vocab) + a 1-row bounded collect (see the t17 scaladoc).
+    */
+  private def learnMerges(
+      s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val chars = filter(split(col("word"), ""), x => x =!= "")
+    val seq0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
+    def pairsOf(seqCol: Column): Column = {
+      val t = transform(split(seqCol, "  "), x => trim(x))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+    }
+    var vocab = words.select(col("freq"), seq0.as("seq")).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (i <- 1 to BpeIters) {
+      val top = vocab
+        .select(col("freq"), explode(pairsOf(col("seq"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(desc("pf"), col("l"), col("r"))
+        .head()
+      val (l, r, pf) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i, l, r, pf))
+      vocab = vocab.withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+        .localCheckpoint(true) // truncate the replace chain per round
+    }
+    merges.toSeq
+  }
 
   private val wsSql = "string_split(text, ' ')"
   private[operators] def countInSql(words: Seq[String]): String =
@@ -633,40 +670,76 @@ object TextPack extends QueryPack {
     // string encoding, the same leftmost-non-overlapping replace(), the
     // same (pf DESC, l, r) argmax as a LIMIT 1.
     "t17_bpe_train" -> {
-      val pairs = (i: Int) =>
-        s"""p$i AS (
-           |  SELECT split_part(pr, chr(1), 1) AS l, split_part(pr, chr(1), 2) AS r,
-           |    CAST(sum(freq) AS BIGINT) AS pf
-           |  FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(toks)),
-           |      j -> toks[j] || chr(1) || toks[j + 1])) AS pr
-           |    FROM (SELECT freq, list_transform(string_split(seq, '  '),
-           |      x -> trim(x)) AS toks FROM s${i - 1}))
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT l, r, pf FROM p$i ORDER BY pf DESC, l, r LIMIT 1)"""
-      val nextSeq = (i: Int) =>
-        s"""s$i AS (
-           |  SELECT freq, replace(seq,
-           |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-           |    ' ' || (SELECT l || r FROM m$i) || ' ') AS seq
-           |  FROM s${i - 1})"""
-      val rounds = (1 to 3).map(i =>
-        pairs(i) + (if (i < 3) ",\n" + nextSeq(i) else "")).mkString(",\n")
-      val out = (1 to 3).map(i =>
+      val out = (1 to BpeIters).map(i =>
         s"SELECT $i AS step, l AS \"left\", r AS \"right\", l || r AS merged, pf AS pair_freq FROM m$i")
         .mkString("\nUNION ALL ")
-      s"""WITH wf AS (
-         |  SELECT word, count(*) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE len(word) > 0 GROUP BY word),
-         |s0 AS (
-         |  SELECT freq,
-         |    ' ' || array_to_string(list_transform(range(1, len(word) + 1),
-         |      i -> word[i:i]), '  ') || ' ' AS seq
-         |  FROM wf),
-         |$rounds
+      s"""$bpeCtes
          |$out
          |ORDER BY step""".stripMargin
+    },
+
+    // t18: the same re-learned merges (bpeCtes), then the identical
+    // per-word wrap + priority-ordered replace chain applied to every
+    // document. The merge rows are pinned into columns (mm) because the
+    // replace chain runs inside a list lambda, where column capture is
+    // portable and scalar subqueries are not.
+    "t18_bpe_apply" -> {
+      val wrapped =
+        "' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' '"
+      val chain = (1 to BpeIters).foldLeft(wrapped) { (acc, i) =>
+        s"replace($acc, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
+      }
+      val mmCols = (1 to BpeIters).map(i =>
+        s"(SELECT l FROM m$i) AS l$i, (SELECT r FROM m$i) AS r$i").mkString(",\n    ")
+      s"""$bpeCtes,
+         |mm AS (SELECT
+         |    $mmCols),
+         |dw AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(ws,
+         |    w -> len(string_split($chain, '  ')))), 0) AS INTEGER) AS n_bpe_tokens
+         |FROM dw, mm
+         |ORDER BY doc_id""".stripMargin
     }
   )
+
+  /** The BPE training replay through merge [[BpeIters]]: word
+    * frequencies → wrapped-char sequences → per-round pair counts, argmax
+    * (`m1..m3`) and merge application — shared by the t17 and t18
+    * oracles.
+    */
+  private val bpeCtes: String = {
+    val pairs = (i: Int) =>
+      s"""p$i AS (
+         |  SELECT split_part(pr, chr(1), 1) AS l, split_part(pr, chr(1), 2) AS r,
+         |    CAST(sum(freq) AS BIGINT) AS pf
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+         |      j -> toks[j] || chr(1) || toks[j + 1])) AS pr
+         |    FROM (SELECT freq, list_transform(string_split(seq, '  '),
+         |      x -> trim(x)) AS toks FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, pf FROM p$i ORDER BY pf DESC, l, r LIMIT 1)"""
+    val nextSeq = (i: Int) =>
+      s"""s$i AS (
+         |  SELECT freq, replace(seq,
+         |    ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l || r FROM m$i) || ' ') AS seq
+         |  FROM s${i - 1})"""
+    val rounds = (1 to BpeIters).map(i =>
+      pairs(i) + (if (i < BpeIters) ",\n" + nextSeq(i) else "")).mkString(",\n")
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT freq,
+       |    ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> word[i:i]), '  ') || ' ' AS seq
+       |  FROM wf),
+       |$rounds"""
+  }
 }
