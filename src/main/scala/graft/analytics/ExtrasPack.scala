@@ -132,6 +132,40 @@ object ExtrasPack extends QueryPack {
             .as("est_jaccard"))
     }),
 
+    // a43: QUANTILE sketch — bottom-K-by-hash uniform sampling as a
+    // bounded mergeable aggregate (HashSampleAggregator), completing the
+    // sketch family: KMV counts distinct (a20b), theta intersects (a30),
+    // this one estimates QUANTILES. Hashing the unique event_id makes the
+    // K-row sample a pure function of the row set — deterministic at any
+    // partitioning, exactly replayable cross-engine (row_number over hash
+    // order ≤ K), which t-digest/GK sketches are not. State is K pairs
+    // per group no matter the corpus size; quantiles of the sample carry
+    // the standard ~1/√K error (RecallSpec gates it against a15's exact
+    // percentiles). Values quantize to cents (a38's convention) so the
+    // sampled payloads are integers and the only doubles are the final
+    // /100 displays.
+    "a43_sketch_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val K = 128
+      val agg = new graft.functions.HashSampleAggregator(K)
+      val sampled = Tables(s, dir, "events")
+        .select(col("event_type"),
+          graft.functions.md5Prefix60(col("event_id").cast("string")).as("h"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(agg.toColumn.name("sample"))
+        .toDF("event_type", "sample")
+      def estAt(q: Double): Column = {
+        val xs = array_sort(col("sample"))
+        element_at(xs, (floor(lit(q) * (size(xs) - 1)) + 1).cast("int"))
+          .cast("double") / 100
+      }
+      sampled.select(col("event_type"), size(col("sample")).as("n_sample"),
+          estAt(0.5).as("est_p50"), estAt(0.9).as("est_p90"))
+        .orderBy("event_type")
+    }),
+
     // t6: stable train/val split — hash-based deterministic sharding (the
     // training-data staple: reproducible splits that survive reshuffling
     // and scale-out, no RNG). 90/10 by md5 bucket.
@@ -352,6 +386,29 @@ object ExtrasPack extends QueryPack {
          |SELECT est_click_users, est_purchase_users, est_overlap,
          |  est_overlap / ((est_click_users + est_purchase_users) - est_overlap) AS est_jaccard
          |FROM e""".stripMargin
+    },
+
+    // a43: the sample is replayed literally — the K smallest event-id
+    // hashes per type, payloads listed in value order, the same
+    // floor(q·(n−1))+1 pick.
+    "a43_sketch_quantiles" -> {
+      val K = 128
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS x
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sm AS (
+         |  SELECT event_type, list(x ORDER BY x) AS xs
+         |  FROM r WHERE rn <= $K GROUP BY event_type)
+         |SELECT event_type, CAST(len(xs) AS INTEGER) AS n_sample,
+         |  CAST(xs[CAST(floor(0.5 * (len(xs) - 1)) AS INTEGER) + 1] AS DOUBLE) / 100 AS est_p50,
+         |  CAST(xs[CAST(floor(0.9 * (len(xs) - 1)) AS INTEGER) + 1] AS DOUBLE) / 100 AS est_p90
+         |FROM sm ORDER BY event_type""".stripMargin
     },
 
     "t6_stable_split" ->

@@ -101,6 +101,23 @@ class RecallSpec extends SparkSuite {
     }
   }
 
+  test("a43 sampled quantiles: error vs exact a15 within 15% of the value range") {
+    import spark.implicits._
+    val exact = graft.SparkEntry.queries("a15_percentiles")(spark, dir)
+      .select("event_type", "p50", "vmin", "vmax")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4 - r._3))).toMap
+    val est = graft.analytics.ExtrasPack.queries("a43_sketch_quantiles")(spark, dir)
+      .select("event_type", "est_p50").as[(String, Double)].collect().toMap
+    exact.foreach { case (k, (p50, range)) =>
+      val e = est(k)
+      val err = math.abs(e - p50) / range
+      info(f"a43 $k: exact p50=$p50%.2f sampled=$e%.2f err=$err%.4f of range")
+      assert(err <= 0.15,
+        s"$k: sampled p50 off by $err of the value range (exact=$p50 est=$e)")
+    }
+  }
+
   test("a30 theta-overlap estimate: relative error vs exact intersection within 30%") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables(spark, dir, "events")
