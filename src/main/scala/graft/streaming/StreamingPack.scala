@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -677,6 +677,61 @@ object StreamingPack extends QueryPack {
           TimeCodec.parseRfc3339(col("created_at")).as("created_at"),
           TimeCodec.parseRfc3339(col("updated_at")).as("updated_at"))
         .orderBy("id")
+    }),
+
+    // s16: STREAMING quantile-sketch maintenance — a43's bottom-K-by-hash
+    // sampler as streaming aggregation state, the exact pairing s10 gives
+    // the KMV sketch: state is K (hash, payload) pairs per key no matter
+    // how long the stream runs, every micro-batch merges map-side, and
+    // because the sample is a pure function of the row SET (min-payload
+    // hash ties — HashSampleProps' redelivery law), the doubled delivery
+    // (s7's symlink trick, second copy in its own micro-batch) leaves the
+    // sample bit-identical — so the streamed estimates replay a43's batch
+    // oracle verbatim. This is the complete-mode sink that is scale-safe
+    // BY CONSTRUCTION: the served table is keys × K pairs, independent of
+    // stream length.
+    "s16_stream_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratch("graft-s16-")
+      val ss = tunedChild(s, width = 4, noData = false)
+      val in = java.nio.file.Paths.get(tmp, "in")
+      Files.createDirectory(in)
+      val src = java.nio.file.Paths.get(dir, "events.parquet")
+      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
+      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+      val rawSchema = org.apache.spark.sql.types.StructType(
+        graft.Tables(ss, dir, "events").schema.map {
+          case f if f.name == "ts" =>
+            f.copy(dataType = org.apache.spark.sql.types.LongType)
+          case f => f
+        })
+      val agg = new graft.functions.HashSampleAggregator(128)
+      val q = ss.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in.toString)
+        .select(col("event_type"),
+          graft.functions.md5Prefix60(col("event_id").cast("string")).as("h"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(agg.toColumn.name("sample"))
+        .toDF("event_type", "sample")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_s16_qs")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def estAt(q0: Double): Column = {
+        val xs = array_sort(col("sample"))
+        element_at(xs, (floor(lit(q0) * (size(xs) - 1)) + 1).cast("int"))
+          .cast("double") / 100
+      }
+      ss.table("graft_s16_qs")
+        .select(col("event_type"), size(col("sample")).as("n_sample"),
+          estAt(0.5).as("est_p50"), estAt(0.9).as("est_p90"))
+        .orderBy("event_type")
     })
   )
 
@@ -968,7 +1023,12 @@ object StreamingPack extends QueryPack {
     "s15_state_time_travel" ->
       (DerivedSignalLog.sqlCteFiltered("seq % 2 = 1") +
         """SELECT id, seq, action, title, content, priority, author, created_at, updated_at
-          |FROM signals ORDER BY id""".stripMargin)
+          |FROM signals ORDER BY id""".stripMargin),
+
+    // Streaming sample state converges to the batch sketch of the same
+    // row set (redelivery is a no-op): a43's oracle verbatim.
+    "s16_stream_quantiles" ->
+      graft.analytics.ExtrasPack.oracles("a43_sketch_quantiles")
   )
 
   private implicit class MapOps(m: Map[String, String]) {
