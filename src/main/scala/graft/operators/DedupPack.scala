@@ -72,6 +72,16 @@ object DedupPack extends QueryPack {
     * scope) instead of pinned forever in the session's CacheManager —
     * a long-lived driver running many queries must not accumulate one
     * leaked signature cache per call (round-6 advice).
+    *
+    * Skew note for 100 TB: a degenerate (band, minhash) bucket — near-
+    * empty or boilerplate documents all sharing a signature — generates
+    * df² candidate pairs from one bucket. The production guard is d13's
+    * df cap applied here identically (drop buckets with more than N
+    * claimants before the self-join; such buckets are boilerplate by
+    * definition and their members still pair via their other bands). Not
+    * applied at bench scale so the d3/d7/g1/g2/d11 oracles stay the
+    * uncapped ground truth; AQE skew-join splitting is the runtime
+    * backstop either way.
     */
   private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir).localCheckpoint(true)

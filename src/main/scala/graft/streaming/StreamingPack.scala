@@ -732,6 +732,49 @@ object StreamingPack extends QueryPack {
         .select(col("event_type"), size(col("sample")).as("n_sample"),
           estAt(0.5).as("est_p50"), estAt(0.9).as("est_p90"))
         .orderBy("event_type")
+    }),
+
+    // s17: STREAMING top-K leaderboard — the third bounded aggregate
+    // streaming-ified (KMV → s10, hash-sample → s16, bounded heap →
+    // here): top-5 events by value per type held as ≤K rows of state per
+    // key forever. Unlike the set-function sketches, a heap is NOT
+    // redelivery-idempotent (a duplicate row would enter twice), so the
+    // delivery is the parity SPLIT, not the symlink double: odd event-ids
+    // in batch 0, even in batch 1 — cross-batch merges must displace
+    // batch-0 entries when higher-valued evens arrive, which is the
+    // re-rank the bounded merge exists for. At-least-once sources guard
+    // the heap with upstream dedup (s7's RocksDB dropDuplicates);
+    // exactly-once file/Kafka replay (this path) needs none. State and
+    // shuffle volume are K·keys at any stream length (TopKProps laws).
+    "s17_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratch("graft-s17-")
+      val wire = stagedEventSplit(s, dir)
+      val ss = tunedChild(s, width = 4, noData = false)
+      val topk = new graft.functions.TopKAggregator[(Long, Long)](
+        5, _._2, _._1)
+      val q = ss.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("event_id", "long").add("event_type", "string").add("xc", "long"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(wire)
+        .as[(Long, String, Long)]
+        .groupByKey(_._2).mapValues(t => (t._1, t._3))
+        .agg(topk.toColumn.name("top"))
+        .toDF("event_type", "top")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_s17_topk")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s17_topk")
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rank"),
+          col("r._1").as("event_id"),
+          (col("r._2").cast("double") / 100).as("value"))
+        .orderBy("event_type", "rank")
     })
   )
 
@@ -811,6 +854,36 @@ object StreamingPack extends QueryPack {
       }
       stage(docs.where(col("doc_id") > mid), "a-high.parquet", 1000000L)
       stage(docs.where(col("doc_id") <= mid), "b-low.parquet", 2000000L)
+      events.toString
+    })
+
+  /** s17's delivery, staged once per process: the (event_id, event_type,
+    * value-cents) projection of the events table split by event-id
+    * parity into two parquet files — odd first, even a micro-batch
+    * later. A SPLIT (each row delivered exactly once), not the symlink
+    * redelivery double: a bounded heap is not a set function.
+    */
+  private val stagedEventSplits =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEventSplit(s: SparkSession, dir: String): String =
+    stagedEventSplits.computeIfAbsent(dir, { d =>
+      val tmp = scratch("graft-evsplit-")
+      val ev = Tables(s, d, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("xc"))
+      val events = java.nio.file.Paths.get(tmp, "events")
+      Files.createDirectory(events)
+      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
+        val stageDir = s"$tmp/stage-$name"
+        half.coalesce(1).write.parquet(stageDir)
+        val part = new java.io.File(stageDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $stageDir"))
+        val dst = events.resolve(name)
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      stage(ev.where(col("event_id") % 2 === 1), "a-odd.parquet", 1000000L)
+      stage(ev.where(col("event_id") % 2 === 0), "b-even.parquet", 2000000L)
       events.toString
     })
 
@@ -1028,7 +1101,21 @@ object StreamingPack extends QueryPack {
     // Streaming sample state converges to the batch sketch of the same
     // row set (redelivery is a no-op): a43's oracle verbatim.
     "s16_stream_quantiles" ->
-      graft.analytics.ExtrasPack.oracles("a43_sketch_quantiles")
+      graft.analytics.ExtrasPack.oracles("a43_sketch_quantiles"),
+
+    // The batch leaderboard: rank by (value-cents DESC, event_id) ≤ 5 —
+    // the bounded heap's (ord DESC, tie ASC) contract as a window.
+    "s17_stream_topk" ->
+      """WITH x AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100, 0) AS BIGINT) AS xc
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, xc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY xc DESC, event_id) AS rank
+        |  FROM x)
+        |SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id,
+        |  CAST(xc AS DOUBLE) / 100 AS value
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin
   )
 
   private implicit class MapOps(m: Map[String, String]) {

@@ -184,6 +184,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t18 BPE application is a pure per-row projection: no join, no aggregate") {
+    // Training collects run eagerly before the returned plan; application
+    // itself must stay a map over the corpus (the production tokenizer
+    // pass) — any Join/HashAggregate here means the merges leaked into
+    // the per-row path.
+    val p = plan("t18_bpe_apply")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("a43 quantile sketch: typed bounded aggregate with partial merge, no window") {
+    val p = plan("a43_sketch_quantiles")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("x4 epoch shuffle: windows partition by shard (no global sort of the corpus)") {
     val p = plan("x4_epoch_shuffle")
     assert(p.contains("windowspecdefinition(shard"), p)
