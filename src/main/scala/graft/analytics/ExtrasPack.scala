@@ -156,11 +156,8 @@ object ExtrasPack extends QueryPack {
         .groupByKey(_._1).mapValues(t => (t._2, t._3))
         .agg(agg.toColumn.name("sample"))
         .toDF("event_type", "sample")
-      def estAt(q: Double): Column = {
-        val xs = array_sort(col("sample"))
-        element_at(xs, (floor(lit(q) * (size(xs) - 1)) + 1).cast("int"))
-          .cast("double") / 100
-      }
+      def estAt(q: Double): Column =
+        graft.functions.HashSampleAggregator.centQuantile(col("sample"), q)
       sampled.select(col("event_type"), size(col("sample")).as("n_sample"),
           estAt(0.5).as("est_p50"), estAt(0.9).as("est_p90"))
         .orderBy("event_type")
@@ -388,9 +385,12 @@ object ExtrasPack extends QueryPack {
          |FROM e""".stripMargin
     },
 
-    // a43: the sample is replayed literally — the K smallest event-id
-    // hashes per type, payloads listed in value order, the same
-    // floor(q·(n−1))+1 pick.
+    // a43: the sample is replayed literally — the K smallest DISTINCT
+    // event-id hashes per type with the aggregator's min-payload tie rule
+    // (`hd`: a 60-bit collision keeps one row, the minimum payload —
+    // without it the oracle would keep both collision rows and diverge in
+    // exactly the case the tie handling exists for), payloads listed in
+    // value order, the same floor(q·(n−1))+1 pick.
     "a43_sketch_quantiles" -> {
       val K = 128
       s"""WITH h AS (
@@ -398,10 +398,12 @@ object ExtrasPack extends QueryPack {
          |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
          |    CAST(round(value * 100, 0) AS BIGINT) AS x
          |  FROM events),
+         |hd AS (
+         |  SELECT event_type, h, min(x) AS x FROM h GROUP BY event_type, h),
          |r AS (
          |  SELECT event_type, h, x,
          |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-         |  FROM h),
+         |  FROM hd),
          |sm AS (
          |  SELECT event_type, list(x ORDER BY x) AS xs
          |  FROM r WHERE rn <= $K GROUP BY event_type)

@@ -30,10 +30,16 @@ class HashSampleAggregator(k: Int)(
 
   override def reduce(
       buf: Seq[(Long, Long)], p: (Long, Long)): Seq[(Long, Long)] = {
-    val i = buf.indexWhere(_._1 == p._1)
-    if (i >= 0) { if (p._2 < buf(i)._2) buf.updated(i, p) else buf }
-    else if (buf.size >= k && p._1 >= buf.last._1) buf
-    else (buf :+ p).sortBy(_._1).take(k)
+    // steady-state fast path: a full buffer rejects any hash STRICTLY
+    // above its max in O(1) (it cannot be present — the buffer is the
+    // bottom-k) before paying the O(k) membership scan
+    if (buf.size >= k && p._1 > buf.last._1) buf
+    else {
+      val i = buf.indexWhere(_._1 == p._1)
+      if (i >= 0) { if (p._2 < buf(i)._2) buf.updated(i, p) else buf }
+      else if (buf.size >= k && p._1 >= buf.last._1) buf
+      else (buf :+ p).sortBy(_._1).take(k)
+    }
   }
 
   override def merge(
@@ -47,4 +53,21 @@ class HashSampleAggregator(k: Int)(
 
   override def bufferEncoder: Encoder[Seq[(Long, Long)]] = bufEnc
   override def outputEncoder: Encoder[Seq[Long]] = outEnc
+}
+
+object HashSampleAggregator {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** The quantile pick over a sample column of cent-quantized payloads:
+    * sorted sample, nearest-rank index floor(q·(n−1))+1, /100 display.
+    * ONE definition shared by the batch (a43) and streaming (s16) forms —
+    * their equivalence contract is that they replay the same oracle, so
+    * the pick rule must not be able to drift between them.
+    */
+  def centQuantile(sample: Column, q: Double): Column = {
+    val xs = array_sort(sample)
+    element_at(xs, (floor(lit(q) * (size(xs) - 1)) + 1).cast("int"))
+      .cast("double") / 100
+  }
 }

@@ -35,14 +35,22 @@ object SignalProjection {
   /** P1: decode raw event bytes/strings. Malformed payloads are skipped,
     * not fatal (consumer.go:39-44): `from_json` yields null, which we
     * filter. Events missing `action` or `id` are likewise unusable.
+    *
+    * `carry` passes wire ENVELOPE columns (e.g. the Kafka record
+    * timestamp `ets` that s12's timestamp-LWW orders by) through the
+    * decode untouched — ONE definition of the validity rule for every
+    * consumer, rather than a re-implemented decode per extra column.
     */
-  def decode(raw: DataFrame, valueCol: String = "value", seqCol: String = "seq"): DataFrame = {
+  def decode(
+      raw: DataFrame, valueCol: String = "value", seqCol: String = "seq",
+      carry: Seq[String] = Nil): DataFrame = {
     val parsed = raw.select(
-      col(seqCol).cast("long").as("seq"),
-      from_json(col(valueCol).cast("string"), SignalSchema.eventSchema).as("e"))
+      (col(seqCol).cast("long").as("seq") +: carry.map(col)) :+
+        from_json(col(valueCol).cast("string"), SignalSchema.eventSchema).as("e"): _*)
     parsed
       .where(col("e").isNotNull && col("e.action").isNotNull && col("e.id").isNotNull)
-      .select(col("seq") +: SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
+      .select((col("seq") +: carry.map(col)) ++
+        SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
   }
 
   /** Dead-letter split: the operational extension of P1's silent skip

@@ -88,8 +88,35 @@ class BucketedStateStore(
     * (the Delta/Iceberg version-read analog), bounded by the retention
     * window (2 generations/bucket here; production sizes retention to
     * its audit horizon).
+    *
+    * FAILS LOUDLY when the snapshot has aged out: a bucket whose needed
+    * generation was deleted by retention is indistinguishable from one
+    * first touched later by directory listing alone, and silently
+    * skipping it would return a cross-epoch mix. Retention therefore
+    * records each bucket's first-dropped generation (`_dropped` marker,
+    * written once = the minimum ever dropped); if a bucket has no
+    * retained generation ≤ maxGen but DID drop one ≤ maxGen, the
+    * snapshot is unservable and this throws instead of lying.
     */
   def readAt(maxGen: Long): Option[DataFrame] = {
+    allBuckets.foreach { b =>
+      if (listGens(b).forall(_ > maxGen)) {
+        val marker = new Path(bucketPath(b), "_dropped")
+        if (fs.exists(marker)) {
+          val in = fs.open(marker)
+          val minDropped =
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          if (minDropped <= maxGen)
+            throw new IllegalStateException(
+              s"readAt($maxGen): bucket $b's generation <= $maxGen was " +
+                s"deleted by retention (oldest dropped: $minDropped) — " +
+                "the snapshot is no longer servable; raise retention or " +
+                "read a newer generation")
+        }
+      }
+    }
     val paths = latestGenPaths(allBuckets, maxGen)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
@@ -142,8 +169,20 @@ class BucketedStateStore(
       fs.mkdirs(dst.getParent)
       if (fs.exists(src)) fs.rename(src, dst)
       else fs.mkdirs(dst) // bucket emptied (e.g. by compaction)
-      // retain only the 2 newest generations per bucket
-      listGens(b).sorted.dropRight(2).foreach(g => fs.delete(genPath(b, g), true))
+      // retain only the 2 newest generations per bucket; record the FIRST
+      // drop (the minimum ever, since oldest go first) so readAt can fail
+      // loudly on aged-out snapshots instead of silently skipping
+      val dropped = listGens(b).sorted.dropRight(2)
+      dropped.headOption.foreach { g0 =>
+        val marker = new Path(bucketPath(b), "_dropped")
+        if (!fs.exists(marker)) {
+          val out = fs.create(marker, true)
+          try out.write(g0.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+      dropped.foreach(g => fs.delete(genPath(b, g), true))
     }
     fs.delete(staging, true)
   }

@@ -528,7 +528,6 @@ object StreamingPack extends QueryPack {
       val ss = tunedChild(s, width = 4)
       val store = new BucketedStateStore(ss, s"$tmp/state", numBuckets = 4,
         key = "id", seq = "_ord")
-      val schema = graft.domain.SignalSchema.eventSchema
       val raw = ss.readStream
         .schema(new org.apache.spark.sql.types.StructType()
           .add("seq", "long").add("ets", "long").add("value", "string"))
@@ -538,16 +537,10 @@ object StreamingPack extends QueryPack {
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          // decode keeping the envelope time, then the SAME fold/merge as
-          // s1 with the ordering column swapped seq → (ets, seq).
-          val parsed = b.select(col("seq").cast("long").as("seq"),
-            col("ets").cast("long").as("ets"),
-            from_json(col("value"), schema).as("e"))
-          val dec = parsed
-            .where(col("e").isNotNull && col("e.action").isNotNull &&
-              col("e.id").isNotNull)
-            .select(Seq(col("seq"), col("ets")) ++
-              schema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
+          // the SAME decode as s1/s6 (one validity rule) with the
+          // envelope time carried through, then the same fold/merge with
+          // the ordering column swapped seq → (ets, seq).
+          val dec = SignalProjection.decode(b, carry = Seq("ets"))
             .withColumn("_ord", struct(col("ets"), col("seq")))
           val latest = SignalProjection.latestByKey(dec, "id", "_ord").persist()
           try store.merge(latest, batchId) finally latest.unpersist()
@@ -723,11 +716,8 @@ object StreamingPack extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      def estAt(q0: Double): Column = {
-        val xs = array_sort(col("sample"))
-        element_at(xs, (floor(lit(q0) * (size(xs) - 1)) + 1).cast("int"))
-          .cast("double") / 100
-      }
+      def estAt(q0: Double): Column =
+        graft.functions.HashSampleAggregator.centQuantile(col("sample"), q0)
       ss.table("graft_s16_qs")
         .select(col("event_type"), size(col("sample")).as("n_sample"),
           estAt(0.5).as("est_p50"), estAt(0.9).as("est_p90"))
@@ -794,97 +784,82 @@ object StreamingPack extends QueryPack {
       out
     })
 
+  /** Stage a two-half adversarial wire under its own scratch dir: each
+    * half written as ONE file with an explicit name + mtime — the unit of
+    * delivery ordering (the file source admits one file per micro-batch
+    * in modification-time order; the names second the ordering for
+    * readability). One definition for every split wire (s12/s14/s17) —
+    * the part-file discovery / rename / mtime logic must not fork.
+    */
+  private def stageSplitWire(
+      first: (DataFrame, String), second: (DataFrame, String),
+      format: String): String = {
+    val tmp = scratch("graft-wire-")
+    val events = java.nio.file.Paths.get(tmp, "events")
+    Files.createDirectory(events)
+    def stage(half: DataFrame, name: String, mtime: Long): Unit = {
+      val stageDir = s"$tmp/stage-$name"
+      half.coalesce(1).write.format(format).save(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(s".$format"))
+        .getOrElse(sys.error(s"no part file in $stageDir"))
+      val dst = events.resolve(name)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    stage(first._1, s"a-${first._2}.$format", 1000000L)
+    stage(second._1, s"b-${second._2}.$format", 2000000L)
+    events.toString
+  }
+
   /** s12's adversarial wire, staged once per process (same fixture
-    * argument as [[stagedEventLog]]): two JSON files — odd event-ids
-    * (on time), then even (late). One file per half; name AND mtime both
-    * order on-time before late, because the file source admits one file
-    * per micro-batch in modification-time order.
+    * argument as [[stagedEventLog]]): odd event-ids on time, even late.
     */
   private val stagedLateWires =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedLateWire(s: SparkSession, dir: String): String =
     stagedLateWires.computeIfAbsent(dir, { d =>
-      val tmp = scratch("graft-latewire-")
       val log = DerivedSignalLog.logWithEventTime(s, d)
       val eventCols = log.columns.filterNot(c => c == "seq" || c == "ets").map(col)
       val wire = log.select(col("seq"), col("ets"),
         to_json(struct(eventCols.toIndexedSeq: _*),
           Map("timestampFormat" -> TsFmt).asJava).as("value"))
-      val events = java.nio.file.Paths.get(tmp, "events")
-      Files.createDirectory(events)
-      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
-        val stageDir = s"$tmp/stage-$name"
-        half.coalesce(1).write.json(stageDir)
-        val part = new java.io.File(stageDir).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-          .getOrElse(sys.error(s"no part file in $stageDir"))
-        val dst = events.resolve(name)
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-      }
-      stage(wire.where(col("seq") % 2 === 1), "a-ontime.json", 1000000L)
-      stage(wire.where(col("seq") % 2 === 0), "b-late.json", 2000000L)
-      events.toString
+      stageSplitWire(
+        (wire.where(col("seq") % 2 === 1), "ontime"),
+        (wire.where(col("seq") % 2 === 0), "late"), "json")
     })
 
   /** s14's adversarial delivery, staged once per process: the documents
-    * table split at the doc_id midpoint into two parquet files — the
-    * HIGH half first (claims buckets with high ids), the LOW half a
-    * micro-batch later (must steal every contested claim).
+    * table split at the doc_id midpoint — the HIGH half first (claims
+    * buckets with high ids), the LOW half a micro-batch later (must
+    * steal every contested claim).
     */
   private val stagedNeardupWires =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedNeardupWire(s: SparkSession, dir: String): String =
     stagedNeardupWires.computeIfAbsent(dir, { d =>
-      val tmp = scratch("graft-neardupwire-")
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
       val mid = docs.agg(((min(col("doc_id")) + max(col("doc_id"))) / 2)
         .cast("long")).head().getLong(0)
-      val events = java.nio.file.Paths.get(tmp, "events")
-      Files.createDirectory(events)
-      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
-        val stageDir = s"$tmp/stage-$name"
-        half.coalesce(1).write.parquet(stageDir)
-        val part = new java.io.File(stageDir).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $stageDir"))
-        val dst = events.resolve(name)
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-      }
-      stage(docs.where(col("doc_id") > mid), "a-high.parquet", 1000000L)
-      stage(docs.where(col("doc_id") <= mid), "b-low.parquet", 2000000L)
-      events.toString
+      stageSplitWire(
+        (docs.where(col("doc_id") > mid), "high"),
+        (docs.where(col("doc_id") <= mid), "low"), "parquet")
     })
 
   /** s17's delivery, staged once per process: the (event_id, event_type,
     * value-cents) projection of the events table split by event-id
-    * parity into two parquet files — odd first, even a micro-batch
-    * later. A SPLIT (each row delivered exactly once), not the symlink
+    * parity. A SPLIT (each row delivered exactly once), not the symlink
     * redelivery double: a bounded heap is not a set function.
     */
   private val stagedEventSplits =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedEventSplit(s: SparkSession, dir: String): String =
     stagedEventSplits.computeIfAbsent(dir, { d =>
-      val tmp = scratch("graft-evsplit-")
       val ev = Tables(s, d, "events").select(col("event_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("xc"))
-      val events = java.nio.file.Paths.get(tmp, "events")
-      Files.createDirectory(events)
-      def stage(half: DataFrame, name: String, mtime: Long): Unit = {
-        val stageDir = s"$tmp/stage-$name"
-        half.coalesce(1).write.parquet(stageDir)
-        val part = new java.io.File(stageDir).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $stageDir"))
-        val dst = events.resolve(name)
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-      }
-      stage(ev.where(col("event_id") % 2 === 1), "a-odd.parquet", 1000000L)
-      stage(ev.where(col("event_id") % 2 === 0), "b-even.parquet", 2000000L)
-      events.toString
+      stageSplitWire(
+        (ev.where(col("event_id") % 2 === 1), "odd"),
+        (ev.where(col("event_id") % 2 === 0), "even"), "parquet")
     })
 
   /** Serialize the derived signal log to JSON-lines event files — the

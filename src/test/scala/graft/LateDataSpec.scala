@@ -123,6 +123,23 @@ class LateDataSpec extends SparkSuite {
       "c" -> ((4L, "created"))), s"full read regressed: $full")
   }
 
+  test("readAt fails loudly when the requested snapshot was aged out by retention") {
+    // 3 merges into a 1-bucket store: the 2-generation retention drops
+    // gen 0. A bucket with no generation <= 0 is then ambiguous from the
+    // listing alone (first-touched-later vs aged-out) — readAt must THROW
+    // on the aged-out case, never silently return a cross-epoch mix.
+    import spark.implicits._
+    val store = new BucketedStateStore(spark, tmpDir(), numBuckets = 1)
+    store.merge(Seq((1L, "a", "created")).toDF("seq", "id", "action"), gen = 0)
+    store.merge(Seq((2L, "a", "updated")).toDF("seq", "id", "action"), gen = 1)
+    store.merge(Seq((3L, "a", "updated")).toDF("seq", "id", "action"), gen = 2)
+    val e = intercept[IllegalStateException](store.readAt(0))
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    // retained generations still serve
+    assert(store.readAt(1).get.select("seq").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(store.readAt(2).get.select("seq").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("s13 compaction drops only pre-horizon tombstones and keeps live state") {
     val store = new BucketedStateStore(spark, tmpDir(), numBuckets = 2)
     import spark.implicits._
