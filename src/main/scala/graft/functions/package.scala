@@ -71,6 +71,19 @@ package object functions {
       org.apache.spark.sql.functions.udaf(
         new KmvAggregator(64)(org.apache.spark.sql.Encoders.kryo[Seq[Long]]),
         org.apache.spark.sql.Encoders.scalaLong))
+    // ... and the bottom-K-by-hash uniform sampler as its quantile-sketch
+    // sibling (`SELECT hash_sample(h, x) FROM ... GROUP BY ...` returns
+    // the sampled payloads in hash order as ARRAY<BIGINT> — session
+    // implicit encoders, not kryo, so SQL consumers get a real array
+    // column they can sort/index), K=128 as in a43/s16.
+    spark.udf.register("hash_sample",
+      org.apache.spark.sql.functions.udaf(
+        new HashSampleAggregator(128)(
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]](),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)))
   }
 
   /** Word tokens (single-space-separated corpus; see FIXTURES.md). */

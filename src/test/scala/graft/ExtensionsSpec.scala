@@ -69,4 +69,16 @@ class ExtensionsSpec extends SparkSuite {
       .collect().head.getDouble(0)
     assert(r === 3.0)
   }
+
+  test("hash_sample is SQL-callable and returns a sortable ARRAY<BIGINT>") {
+    graft.functions.registerAll(spark)
+    // 3 distinct hashes below K=128 ⇒ the sample is the full set, in
+    // hash order, with the min-payload tie rule on the duplicated hash;
+    // array_sort proves SQL consumers get a real array, not a kryo blob
+    val r = spark.sql(
+      """SELECT array_sort(hash_sample(h, x)) AS s
+        |FROM VALUES (5L, 50L), (1L, 30L), (1L, 10L), (9L, 20L) t(h, x)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(10L, 20L, 50L), s"got $r")
+  }
 }
