@@ -92,12 +92,15 @@ object ExtrasPack extends QueryPack {
     // θ = min of the two K-th hashes, P = |intersection ≤ θ|, overlap ≈
     // P/θ_norm — the audience-overlap query every OLAP sketch library
     // ships, here with a deterministic estimator the DuckDB oracle
-    // replays exactly (same doubles, same division order). When BOTH
-    // sketches are sub-K they are exact sets (and the ≤θ filter is a
-    // no-op: an element of both sets cannot exceed either set's max), so
-    // the intersection count P IS the exact overlap — dividing by θ/Norm
-    // there would wildly inflate it. The estimator gates on that, exactly
-    // as est() does for the per-set cardinalities.
+    // replays exactly (same doubles, same division order). A sub-K
+    // sketch is an EXACT set — its sampling threshold is θ = 1, not its
+    // max hash (standard theta-sketch exact-mode handling): using the
+    // max would shrink θ below the true sampling rate and inflate
+    // P/(θ/Norm). So each side contributes its K-th hash only when at
+    // capacity and Norm (= θ of 1) otherwise; θ = least of the two.
+    // Both-sub-K then falls out: θ = Norm, the ≤θ filter is a no-op, and
+    // P/(Norm/Norm) = P — the exact overlap, no special-case gate
+    // needed (per-set est() keeps its own sub-K exact gate).
     "a30_sketch_overlap" -> ((s, dir) => {
       import s.implicits._
       val K = 64
@@ -116,16 +119,21 @@ object ExtrasPack extends QueryPack {
             (element_at(c, -1).cast("double") / graft.functions.KmvAggregator.Norm))
       val a = sketches.where(col("event_type") === "click").select(col("mins").as("ma"))
       val b = sketches.where(col("event_type") === "purchase").select(col("mins").as("mb"))
+      // θ contribution per side, in LONG space (hashes are 60-bit; a
+      // double round-trip would be lossy): K-th hash at capacity, Norm
+      // (2^60 — exactly representable, so th/Norm is later an exact 1.0)
+      // for an exact sub-K set.
+      def thOf(c: Column): Column =
+        when(size(c) < K, lit(1L << 60)).otherwise(element_at(c, -1))
       a.crossJoin(b)
-        .withColumn("th", least(element_at(col("ma"), -1), element_at(col("mb"), -1)))
+        .withColumn("th", least(thOf(col("ma")), thOf(col("mb"))))
         .withColumn("p",
           size(filter(array_intersect(col("ma"), col("mb")), x => x <= col("th"))))
         .withColumn("est_click_users", est(col("ma")))
         .withColumn("est_purchase_users", est(col("mb")))
         .withColumn("est_overlap",
-          when(size(col("ma")) < K && size(col("mb")) < K, col("p").cast("double"))
-            .otherwise(col("p").cast("double") /
-              (col("th").cast("double") / graft.functions.KmvAggregator.Norm)))
+          col("p").cast("double") /
+            (col("th").cast("double") / graft.functions.KmvAggregator.Norm))
         .select(col("est_click_users"), col("est_purchase_users"), col("est_overlap"),
           (col("est_overlap") /
             ((col("est_click_users") + col("est_purchase_users")) - col("est_overlap")))
@@ -349,7 +357,7 @@ object ExtrasPack extends QueryPack {
     // a30: replay both KMV sketches (K smallest distinct hashes per
     // type), then the same theta-intersection arithmetic — same doubles,
     // same division order, down to the parenthesization of the union
-    // denominator, including the both-sub-K exact-set gate.
+    // denominator, including the sub-K exact-set θ clamp to 2^60.
     "a30_sketch_overlap" -> {
       val K = 64
       val norm = "1152921504606846976"
@@ -366,7 +374,8 @@ object ExtrasPack extends QueryPack {
          |  FROM r WHERE rn <= $K GROUP BY event_type),
          |ab AS (
          |  SELECT a.mins AS ma, b.mins AS mb,
-         |    least(a.mins[len(a.mins)], b.mins[len(b.mins)]) AS th
+         |    least(CASE WHEN len(a.mins) < $K THEN $norm ELSE a.mins[len(a.mins)] END,
+         |          CASE WHEN len(b.mins) < $K THEN $norm ELSE b.mins[len(b.mins)] END) AS th
          |  FROM (SELECT mins FROM sk WHERE event_type = 'click') a,
          |       (SELECT mins FROM sk WHERE event_type = 'purchase') b),
          |e AS (
@@ -375,10 +384,8 @@ object ExtrasPack extends QueryPack {
          |         ELSE ${K - 1} / (CAST(ma[len(ma)] AS DOUBLE) / $norm) END AS est_click_users,
          |    CASE WHEN len(mb) < $K THEN CAST(len(mb) AS DOUBLE)
          |         ELSE ${K - 1} / (CAST(mb[len(mb)] AS DOUBLE) / $norm) END AS est_purchase_users,
-         |    CASE WHEN len(ma) < $K AND len(mb) < $K
-         |         THEN CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
-         |         ELSE CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
-         |           / (CAST(th AS DOUBLE) / $norm) END AS est_overlap
+         |    CAST(len(list_filter(list_intersect(ma, mb), x -> x <= th)) AS DOUBLE)
+         |      / (CAST(th AS DOUBLE) / $norm) AS est_overlap
          |  FROM ab)
          |SELECT est_click_users, est_purchase_users, est_overlap,
          |  est_overlap / ((est_click_users + est_purchase_users) - est_overlap) AS est_jaccard

@@ -57,16 +57,48 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Positional (bag) variant of [[ShingleHashes]]: one hash per shingle
+  * occurrence, in document order, no distinct/sort — for consumers with
+  * BAG semantics (t12's bigram frequency model counts every occurrence).
+  * Same compiled O(chars·w) pass, same Horner-mod-prime hash, so the
+  * DuckDB oracle replays it with the shared `polyHashSql` fold.
+  */
+case class ShingleHashesBag(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (_: StringType, IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_bag expects (STRING, literal INT), got ${l.catalogString} / ${r.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any, w: Any): Any =
+    ShingleHashes.bagHashes(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, w) => s"graft.functions.ShingleHashes.bagHashes($s, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "shingle_hashes_bag"
+}
+
 object ShingleHashes {
   import WinnowFingerprints.{Base, Mod}
 
-  /** Sorted distinct polynomial hashes of the w-shingles. A shingle's
-    * hash is the Horner fold over the code points of
+  /** All w-shingle hashes in positional order (bag — duplicates kept).
+    * A shingle's hash is the Horner fold over the code points of
     * "word_i␣word_{i+1}␣…␣word_{i+w-1}" — computed by folding word spans
     * and separator spaces directly, never materializing the joined
     * string.
     */
-  def hashes(text: UTF8String, w: Int): ArrayData = {
+  def bagHashes(text: UTF8String, w: Int): ArrayData = {
     val words = splitWords(text.toString)
     val n = words.length - w + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -89,6 +121,15 @@ object ShingleHashes {
       out(i) = acc
       i += 1
     }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct polynomial hashes of the w-shingles (set form). */
+  def hashes(text: UTF8String, w: Int): ArrayData = {
+    val bag = bagHashes(text, w)
+    val n = bag.numElements()
+    if (n == 0) return bag
+    val out = bag.toLongArray()
     java.util.Arrays.sort(out)
     var cnt = 0
     var j = 0

@@ -57,6 +57,16 @@ package object functions {
       "shingle_hashes", exprs => ShingleHashes(exprs.head, exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes_bag", exprs => ShingleHashesBag(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_in", exprs => CountIn(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count",
+      exprs => BpeTokenCount(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket_codes",
       exprs => LshBucketCodes(exprs.head, exprs(1), exprs(2)),
       "scala_udf")
@@ -129,6 +139,27 @@ package object functions {
     */
   def shingle_hashes(text: Column, w: Int): Column =
     columnOf(ShingleHashes(exprOf(text), exprOf(lit(w))))
+
+  /** Positional (bag) w-shingle hashes — one per occurrence, document
+    * order. For duplicate-counting consumers (t12's bigram frequencies).
+    * See [[ShingleHashesBag]].
+    */
+  def shingle_hashes_bag(text: Column, w: Int): Column =
+    columnOf(ShingleHashesBag(exprOf(text), exprOf(lit(w))))
+
+  /** Compiled bag-count of tokens appearing in a small literal word list
+    * (marker/stopword counting). See [[CountIn]].
+    */
+  def count_in(ws: Column, words: Seq[String]): Column =
+    columnOf(CountIn(exprOf(ws), exprOf(lit(words.toArray))))
+
+  /** Compiled per-document BPE token count under a learned merge table
+    * (priority-ordered (left, right) pairs). See [[BpeTokenCount]].
+    */
+  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
+    columnOf(BpeTokenCount(exprOf(text),
+      exprOf(lit(merges.map(_._1).toArray)),
+      exprOf(lit(merges.map(_._2).toArray))))
 
   /** Cross-engine-stable 64-bit-ish hash: first 15 hex digits of md5 as a
     * positive long. Used where the DuckDB oracle must reproduce the hash

@@ -73,6 +73,19 @@ object DedupPack extends QueryPack {
     * a long-lived driver running many queries must not accumulate one
     * leaked signature cache per call (round-6 advice).
     *
+    * Fault-tolerance trade (applies to every localCheckpoint in this
+    * file and its imitators — candidatePairs, d6, d11, d12, a29,
+    * pipeline3): checkpointing TRUNCATES lineage and the blocks live
+    * unreplicated on executors, so on a multi-executor cluster losing an
+    * executor makes the checkpointed data unrecoverable — the query
+    * fails and must be rerun, where persist() would have recomputed the
+    * lost partitions from lineage. The right production dial: keep
+    * localCheckpoint where rerunning the query is acceptable (these are
+    * batch analytics, and the recompute-from-lineage path costs the same
+    * work anyway), or switch to reliable `checkpoint()` on HDFS/object
+    * storage — same API, durable blocks — where mid-query executor loss
+    * must be survivable.
+    *
     * Skew note for 100 TB: a degenerate (band, minhash) bucket — near-
     * empty or boilerplate documents all sharing a signature — generates
     * df² candidate pairs from one bucket. The production guard is d13's

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, shingle_hashes, tokens, winnow_fingerprints, wordShinglesOf, WinnowFingerprints}
+import graft.functions.{count_in, md5Prefix60, shingle_hashes, shingle_hashes_bag, tokens, winnow_fingerprints, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -29,8 +29,15 @@ object TextPack extends QueryPack {
     "fr" -> Seq("le", "la", "et", "les"),
     "es" -> Seq("el", "los", "y", "las"))
 
+  /** Compiled marker/stopword bag-count ([[graft.functions.CountIn]]).
+    * Was `size(filter(ws, w => w.isin(...)))` through round 7 — but HOF
+    * lambdas evaluate interpreted, outside whole-stage codegen, and the
+    * r7 driver bench showed t13/t2's scoring inflating 7-9× under CPU
+    * contention while every codegen'd query held (the same tax paid off
+    * for t8/d2/t5 in r2). Same semantics, including duplicates counted.
+    */
   private[operators] def countIn(ws: Column, words: Seq[String]): Column =
-    size(filter(ws, w => w.isin(words: _*)))
+    count_in(ws, words)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // t1: token counting (whitespace tokens; the corpus is single-space
@@ -112,8 +119,13 @@ object TextPack extends QueryPack {
         .when(de >= fr && de >= es, "de")
         .when(fr >= es, "fr")
         .otherwise("es")
-      val sorted = array_sort(array(en, de, fr, es))
-      val margin = element_at(sorted, 4) - element_at(sorted, 3)
+      // best − second-best without array_sort (whose default comparator
+      // is itself an interpreted lambda): the second-largest of n values
+      // is the max over all pairwise minima — 9 codegen'd comparisons.
+      val best = greatest(en, de, fr, es)
+      val second = greatest(least(en, de), least(en, fr), least(en, es),
+        least(de, fr), least(de, es), least(fr, es))
+      val margin = best - second
       Tables(s, dir, "documents").select(
         col("doc_id"),
         guess.as("guessed_lang"),
@@ -333,18 +345,23 @@ object TextPack extends QueryPack {
     // one double — mean corpus frequency of the doc's bigrams — is a
     // single IEEE division of those exact operands, so it is bit-identical
     // cross-engine (a log-prob perplexity would hinge on libm ulp
-    // agreement; same reasoning as t9's rarity weight). Scale: bigram
-    // counting is partial+final agg (map-side combine bounds hot bigrams
-    // like "of the"); the counts→occurrences join shuffles on the bigram
-    // key, where probe-side skew is exactly what AQE skew-join splits;
-    // the final per-doc agg shuffles on doc_id. No window, no
-    // single-partition stage.
+    // agreement; same reasoning as t9's rarity weight). Bigrams are keyed
+    // by their compiled ShingleHashes polynomial hash, not gram strings:
+    // the interpreted transform+concat_ws HOF pipeline of r2-r7 inflated
+    // 7-9× under CPU contention (r7 driver bench) exactly like t8's gram
+    // strings once did; the hash join key is also ~8× narrower than a
+    // bigram string at shuffle time. Collisions (≤ n²/2P per corpus,
+    // P = 1e9+7) could only merge two bigram counts, and the oracle
+    // replays the identical hash, so equality is exact (t8's argument).
+    // Scale: bigram counting is partial+final agg (map-side combine
+    // bounds hot bigrams like "of the"); the counts→occurrences join
+    // shuffles on the bigram key, where probe-side skew is exactly what
+    // AQE skew-join splits; the final per-doc agg shuffles on doc_id. No
+    // window, no single-partition stage.
     "t12_bigram_novelty" -> ((s, dir) => {
       val bg = Tables(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
         .select(col("doc_id"),
-          explode(wordShinglesOf(col("toks"), 2, distinct = false)).as("bigram"))
+          explode(shingle_hashes_bag(col("text"), 2)).as("bigram"))
       val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
       bg.join(counts, "bigram")
         .groupBy("doc_id")
@@ -373,7 +390,15 @@ object TextPack extends QueryPack {
     // wrapping (in " a  a  a " the pattern " a  a " matches once).
     // Per-round argmax is a 1-row bounded collect (the blessed e10/IvfIndex
     // residency); ties break (freq DESC, left, right) so the learned
-    // merges are total-ordered in both engines.
+    // merges are total-ordered in both engines. The ceiling this shape
+    // does NOT remove: rounds are sequential driver-scheduled jobs, so a
+    // production vocab (30k merges) means 30k job submissions — there
+    // the known fix is batching rounds (learn the top-N pairs per pass,
+    // keeping only non-conflicting ones — pairs sharing no symbol with a
+    // higher-ranked pick — since a conflicting merge would have changed
+    // the counts the lower pick was chosen by). O(vocab/N) passes, same
+    // artifact; at BpeIters = 3 the batch is the demo itself, so the
+    // per-round form stays as the reference semantics the oracle unrolls.
     "t17_bpe_train" -> ((s, dir) => {
       import s.implicits._
       val learned = learnMerges(s, dir) // training IS the measured work
@@ -388,27 +413,21 @@ object TextPack extends QueryPack {
     // merge table learned by t17 tokenizes every document. Per word the
     // same wrapped-char encoding, then the 3 merges applied in learned
     // priority order as a chain of plain replaces (BPE application IS
-    // priority-ordered merging); token counts fold per doc through HOFs —
-    // a pure per-row projection, zero shuffles after the (bounded)
-    // training collects, so application scales as a map over the corpus,
-    // exactly how a production tokenizer pass runs. The oracle re-learns
-    // the same merges CTE-by-CTE and replays the same replace chain.
+    // priority-ordered merging), all compiled into the one-expression
+    // BpeTokenCount kernel (the aggregate/transform HOF fold of r7 ran
+    // its lambdas interpreted — the t12/t13 contention tax) — a pure
+    // per-row projection, zero shuffles after the (bounded) training
+    // collects, so application scales as a map over the corpus, exactly
+    // how a production tokenizer pass runs. n_words drops its filter
+    // lambda the same way: array_remove(…, '') is the codegen'd
+    // drop-empties. The oracle re-learns the same merges CTE-by-CTE and
+    // replays the same replace chain.
     "t18_bpe_apply" -> ((s, dir) => {
       val merges = cachedMerges(s, dir).map { case (_, l, r, _) => (l, r) }
-      val ws = filter(split(col("text"), " "), w => w =!= "")
-      def bpeTokens(w: Column): Column = {
-        val seq0 = concat(lit(" "),
-          concat_ws("  ", filter(split(w, ""), x => x =!= "")), lit(" "))
-        val mergedSeq = merges.foldLeft(seq0) { case (c, (l, r)) =>
-          replace(c, lit(s" $l  $r "), lit(s" $l$r "))
-        }
-        size(split(mergedSeq, "  "))
-      }
       Tables(s, dir, "documents").select(
           col("doc_id"),
-          size(ws).as("n_words"),
-          aggregate(transform(ws, w => bpeTokens(w)), lit(0), (a, x) => a + x)
-            .as("n_bpe_tokens"))
+          size(array_remove(split(col("text"), " "), "")).as("n_words"),
+          graft.functions.bpe_token_count(col("text"), merges).as("n_bpe_tokens"))
         .orderBy("doc_id")
     })
   )
@@ -652,13 +671,17 @@ object TextPack extends QueryPack {
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // Bigrams via the same list_transform(range(...)) construction as t8's
-    // trigrams; the HUGEINT sum DuckDB produces for sum(BIGINT) is cast
-    // back to BIGINT to match Spark's long.
+    // trigrams, then the ShingleHashes poly-hash replayed per gram
+    // (DedupPack.polyHashSql) — the query keys bigrams by that hash; the
+    // HUGEINT sum DuckDB produces for sum(BIGINT) is cast back to BIGINT
+    // to match Spark's long.
     "t12_bigram_novelty" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (
         |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |    unnest(list_transform(
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+        |      sh -> ${DedupPack.polyHashSql})) AS bigram
         |  FROM w WHERE len(ws) >= 2),
         |c AS (SELECT bigram, count(*) AS c FROM g GROUP BY bigram)
         |SELECT doc_id, count(*) AS n_bigrams,

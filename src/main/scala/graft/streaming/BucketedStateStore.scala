@@ -187,16 +187,44 @@ class BucketedStateStore(
     fs.delete(staging, true)
   }
 
+  /** Newest generation across all buckets; -1 if the store is empty. */
+  def currentMaxGen: Long =
+    allBuckets.flatMap(listGens).foldLeft(-1L)(math.max)
+
+  /** Drop tombstones older than `horizonSeq` (log-compaction analog),
+    * writing the compacted state as generation `currentMaxGen + 1` —
+    * the only gen that supersedes every existing one WITHOUT shadowing
+    * future `merge(batchId)` writes. Returns the gen used (resume the
+    * stream with batchIds above it, or re-key merges past it).
+    */
+  def compact(horizonSeq: Long): Long = {
+    val g = currentMaxGen + 1
+    compact(horizonSeq, g)
+    g
+  }
+
   /** Drop tombstones older than `horizonSeq` (log-compaction analog).
     * A full-state REWRITE of every bucket — deliberately not `merge`,
     * which can only upsert: a merge would resurrect the tombstones from
     * the old generation it unions with.
+    *
+    * `gen` must be strictly newer than every existing generation (readers
+    * serve the newest gen per bucket, so anything else would be a no-op
+    * shadowed by current state) and finite: a sentinel like Long.MaxValue
+    * would permanently shadow every later merge(batchId) — and retention
+    * keeps the top-2 gens, so the wedge would never age out. Prefer the
+    * 1-arg overload, which derives the successor gen itself.
     */
-  def compact(horizonSeq: Long, gen: Long): Unit =
+  def compact(horizonSeq: Long, gen: Long): Unit = {
+    val cur = currentMaxGen
+    require(gen > cur && gen < Long.MaxValue,
+      s"compact gen=$gen must be a finite generation newer than the " +
+        s"current max ($cur); use compact(horizonSeq) to derive it")
     read().foreach { st =>
       val kept = st
         .where(!(col("action") === "deleted" && col(seq) < horizonSeq))
         .withColumn("_bucket", bucketOf(col(key)))
       writeBuckets(kept, allBuckets, gen)
     }
+  }
 }

@@ -250,22 +250,36 @@ object StreamingPack extends QueryPack {
           .coalesce(1).write.mode("append").parquet(s"$tmp/sent")
       }
       writeSentinel(30)
+      writeSentinel(60)
 
-      val ss = tunedChild(s, width = 4)
-      // No maxFilesPerTrigger: the outer-emission guarantee comes from the
-      // watermark + the restart drain, not intra-run batching (cross-batch
-      // buffering is StreamJoinSpec's claim) — one join batch per run.
-      // Each side is a streaming UNION of the events parquet read in place
-      // (no staging copy of the fact table — only the 2-row sentinel files
-      // are ever written) and the sentinel side-channel; the restart drain
-      // works because the second sentinel file is NEW to the checkpoint
-      // while the events file is already committed. One watermark sits on
-      // the merged stream, exactly as it would over a multi-topic source.
+      // noData off: every real outer row flushes inside the second
+      // sentinel's DATA batch (eviction runs under the watermark set by
+      // batch 0), so the trailing no-data batch would be one more full
+      // state-commit round emitting only the filtered-out -1 sentinel.
+      val ss = tunedChild(s, width = 4, noData = false)
+      // Both sentinel files exist up front, and the sentinel side-channel
+      // is rate-limited to ONE file per micro-batch — so a single
+      // AvailableNow run executes ≥2 batches: batch 0 (events + first
+      // sentinel) sets the watermark past every real window, and the
+      // second sentinel's batch is the DATA-BEARING batch state expiry
+      // needs to flush every unmatched outer row. Through round 7 this
+      // flush was a second start() with a restart between (5.09 s — the
+      // suite's #1 query three rounds running, all of it query-start +
+      // state-store reload machinery); the restart-drain behavior itself
+      // is StreamJoinSpec's pinned claim, so the measured query keeps the
+      // cheaper single-start shape. Each side is a streaming UNION of the
+      // events parquet read in place (no staging copy of the fact table —
+      // only the 2-row sentinel files are ever written) and the sentinel
+      // side-channel; one watermark sits on the merged stream, exactly as
+      // it would over a multi-topic source. (Either sentinel order works:
+      // both are far-future, so whichever lands in batch 0 advances the
+      // watermark past all real data and the other's batch flushes.)
       val sentSchema = s.read.parquet(s"$tmp/sent").schema
       def side(tpe: String, u: String, t: String, id: String): DataFrame =
         eventsStream(ss, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
           .unionByName(ss.readStream.schema(sentSchema)
+            .option("maxFilesPerTrigger", "1")
             .option("pathGlobFilter", "*.parquet").parquet(s"$tmp/sent"))
           .where(col("event_type") === tpe)
           .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
@@ -276,20 +290,15 @@ object StreamingPack extends QueryPack {
             col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
             col("c_ts") <= col("p_ts"),
           "left_outer")
-      // File sink, not memory: outer-row flush needs checkpoint recovery
-      // across the restart.
-      def runOnce(): Unit = {
-        val q = joined.writeStream
-          .outputMode("append")
-          .format("parquet").option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/chk")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      runOnce()
-      writeSentinel(60)
-      runOnce()
+      // File sink: the production shape for a drained outer join (and
+      // what the spec's restart variant recovers through).
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
 
       s.read.parquet(s"$tmp/out")
         .where(col("p_id") >= 0)
@@ -576,10 +585,12 @@ object StreamingPack extends QueryPack {
       q.awaitTermination()
       val horizon = DerivedSignalLog.log(s, dir)
         .agg(max(col("seq"))).head().getLong(0) / 2
-      // Compaction generation: strictly newer than any replay batchId so
-      // readers pick it up; the per-bucket 2-generation retention then
+      // Compaction generation derived by the store (currentMaxGen + 1):
+      // strictly newer than any replay batchId so readers pick it up,
+      // but finite — a MaxValue sentinel would permanently shadow every
+      // later merge — and the per-bucket 2-generation retention then
       // ages the pre-compaction state out.
-      proj.store.compact(horizon, gen = Long.MaxValue)
+      proj.store.compact(horizon)
       proj.store.read()
         .getOrElse(sys.error("s13: no state written"))
         .select(col("id"), col("seq"), col("action"), col("title"),
@@ -799,6 +810,14 @@ object StreamingPack extends QueryPack {
     Files.createDirectory(events)
     def stage(half: DataFrame, name: String, mtime: Long): Unit = {
       val stageDir = s"$tmp/stage-$name"
+      // An empty half would surface downstream as the generic "no part
+      // file" (parquet) or a silent one-batch wire (json) — fail here
+      // with the split rule's name so a degenerate fixture (one event-id
+      // parity / doc_id side empty at a tiny or skewed scale) is
+      // diagnosable.
+      require(!half.isEmpty,
+        s"stageSplitWire: the '$name' half of the split is empty — " +
+          "the fixture cannot exercise a two-batch adversarial delivery")
       half.coalesce(1).write.format(format).save(stageDir)
       val part = new java.io.File(stageDir).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(s".$format"))

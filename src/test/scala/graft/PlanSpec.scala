@@ -370,4 +370,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t2/t3/t12/t13 text kernels are fully compiled: zero HOF lambdas anywhere in the plan") {
+    // HOF lambdas evaluate interpreted, outside whole-stage codegen — the
+    // r7 driver bench showed exactly the two lambda-bearing text queries
+    // (t12/t13) inflating 7-9× under CPU contention while every codegen'd
+    // query held. The marker counts now run through CountIn and the
+    // bigrams through ShingleHashesBag; this pin keeps it that way.
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    Seq("t2_quality_score", "t3_langid", "t12_bigram_novelty",
+        "t13_langid_margin", "t18_bpe_apply").foreach { name =>
+      val opt = SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.optimizedPlan
+      val lambdas = opt.collect { case node =>
+        node.expressions.flatMap(_.collect { case l: LambdaFunction => l })
+      }.flatten
+      assert(lambdas.isEmpty,
+        s"$name contains interpreted HOF lambdas: ${lambdas.mkString("; ")}")
+    }
+  }
 }

@@ -81,4 +81,80 @@ class FunctionsSpec extends SparkSuite {
     assert(out.toSet == Set("a b c", "b c d", "c d c", "d c d"))
     assert(out.length == 4)
   }
+
+  test("count_in equals the filter+isin HOF formulation (duplicates counted)") {
+    val markers = Seq("the", "and", "le", "la")
+    val texts = Seq(
+      "the cat and the dog and the bird", // dup markers count each time
+      "no markers here at all",
+      "the", "", "le le le la")
+    val df = texts.toDF("t").select(split($"t", " ").as("ws"))
+    val both = df.select(
+        count_in($"ws", markers).as("compiled"),
+        size(filter($"ws", w => w.isin(markers: _*))).as("hof"))
+      .collect()
+    assert(both.map(_.getInt(0)).toSeq == both.map(_.getInt(1)).toSeq)
+    assert(both.head.getInt(0) == 5) // 3×the + 2×and
+  }
+
+  test("count_in ignores null tokens like isin") {
+    val out = Seq(1).toDF("i")
+      .select(count_in(
+        array(lit("a"), lit(null.asInstanceOf[String]), lit("b"), lit("a")),
+        Seq("a", "b")).as("c"))
+      .collect().head.getInt(0)
+    assert(out == 3)
+  }
+
+  test("bpe_token_count equals the per-word replace-chain HOF formulation") {
+    val merges = Seq("a" -> "b", "ab" -> "c", "d" -> "d")
+    val texts = Seq(
+      "abc abd dd ddd abab",  // merge chains, non-overlap rule on "ddd"
+      "",                      // no words
+      "a",                     // single char word
+      "  double  spaces  ",    // empty splits dropped
+      "xyz unmergeable words",
+      "abcabc dddd")
+    val df = texts.toDF("text")
+    // the exact r7 HOF formulation t18 used, as the executable reference
+    val ws = filter(split($"text", " "), w => w =!= "")
+    def bpeTokensHof(w: org.apache.spark.sql.Column) = {
+      val seq0 = concat(lit(" "),
+        concat_ws("  ", filter(split(w, ""), x => x =!= "")), lit(" "))
+      val mergedSeq = merges.foldLeft(seq0) { case (c, (l, r)) =>
+        replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      size(split(mergedSeq, "  "))
+    }
+    val both = df.select(
+        bpe_token_count($"text", merges).as("compiled"),
+        aggregate(transform(ws, w => bpeTokensHof(w)), lit(0), (a, x) => a + x)
+          .as("hof"))
+      .collect()
+    assert(both.map(_.getInt(0)).toSeq == both.map(_.getInt(1)).toSeq,
+      both.map(r => (r.getInt(0), r.getInt(1))).toSeq.toString)
+    // "abc": a+b→ab, ab+c→abc ⇒ 1 token; "abd": →ab,d ⇒ 2; "dd"→1 ("d d"
+    // merges); "ddd": leftmost non-overlap ⇒ dd+d ⇒ 2; "abab"→ab,ab ⇒ 2
+    assert(both.head.getInt(0) == 1 + 2 + 1 + 2 + 2)
+  }
+
+  test("bpe_token_count agrees with the HOF formulation on real documents") {
+    val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e")
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents").limit(200)
+    val ws = filter(split($"text", " "), w => w =!= "")
+    def bpeTokensHof(w: org.apache.spark.sql.Column) = {
+      val seq0 = concat(lit(" "),
+        concat_ws("  ", filter(split(w, ""), x => x =!= "")), lit(" "))
+      val mergedSeq = merges.foldLeft(seq0) { case (c, (l, r)) =>
+        replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      size(split(mergedSeq, "  "))
+    }
+    val diff = docs.select(
+        bpe_token_count($"text", merges).as("compiled"),
+        aggregate(transform(ws, w => bpeTokensHof(w)), lit(0), (a, x) => a + x)
+          .as("hof"))
+      .where($"compiled" =!= $"hof").count()
+    assert(diff == 0)
+  }
 }

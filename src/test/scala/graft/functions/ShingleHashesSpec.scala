@@ -57,4 +57,46 @@ class ShingleHashesSpec extends SparkSuite {
       assert(a.forall(v => v >= 0 && v < WinnowFingerprints.Mod))
     }
   }
+
+  /** Bag reference: positional, duplicates kept — what t12's bigram
+    * frequency model consumes.
+    */
+  private def bagReference(text: String, w: Int): Seq[Long] = {
+    val words = text.split(" ", -1)
+    (0 to words.length - w).map { i =>
+      words.slice(i, i + w).mkString(" ")
+        .codePoints.toArray.foldLeft(0L)((acc, c) =>
+          (acc * WinnowFingerprints.Base + c) % WinnowFingerprints.Mod)
+    }
+  }
+
+  test("bag variant keeps duplicates in document order") {
+    val texts = Seq(
+      "a b a b a b",          // "a b" ×3 and "b a" ×2, interleaved
+      "one two three",
+      "just",                 // fewer words than w -> empty
+      "x x x x")              // one repeated shingle
+    texts.foreach { t =>
+      val got = ShingleHashes.bagHashes(UTF8String.fromString(t), 2)
+        .toLongArray().toSeq
+      assert(got == bagReference(t, 2), s"mismatch for: $t")
+    }
+    // and the set form is exactly sort+distinct of the bag
+    texts.foreach { t =>
+      assert(
+        ShingleHashes.hashes(UTF8String.fromString(t), 2).toLongArray().toSeq ==
+          bagReference(t, 2).distinct.sorted, s"set/bag drift for: $t")
+    }
+  }
+
+  test("bag codegen query path agrees with interpreted eval") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents").limit(100)
+    val viaQuery = docs
+      .select($"doc_id", shingle_hashes_bag($"text", 2).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .foreach { case (id, t) =>
+        assert(viaQuery(id) == bagReference(t, 2), s"doc $id")
+      }
+  }
 }

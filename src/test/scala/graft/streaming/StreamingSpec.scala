@@ -116,6 +116,31 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(_.getAs[String]("id")).toSeq == Seq("keep"))
   }
 
+  test("compact() derives the successor generation and rejects shadowing gens") {
+    val dir = tmp()
+    val store = new BucketedStateStore(spark, dir, numBuckets = 4)
+    val batch = SignalProjection.latestByKey(SignalProjection.decode(raw(
+      0L -> ev("created", "keep", "t"),
+      1L -> """{"action":"deleted","id":"gone"}""")))
+    store.merge(batch, gen = 7L)
+
+    // Long.MaxValue would permanently shadow every later merge(batchId);
+    // a stale gen would itself be shadowed by current state. Both rejected.
+    intercept[IllegalArgumentException](store.compact(100L, Long.MaxValue))
+    intercept[IllegalArgumentException](store.compact(100L, gen = 7L))
+
+    // 1-arg overload: derives currentMaxGen + 1 and reports it.
+    assert(store.compact(horizonSeq = 100L) == 8L)
+    assert(store.currentMaxGen == 8L)
+    assert(store.read().get.collect().map(_.getAs[String]("id")).toSeq == Seq("keep"))
+
+    // a later merge with a higher batchId is visible, not shadowed
+    store.merge(SignalProjection.latestByKey(SignalProjection.decode(raw(
+      2L -> ev("created", "next", "t2")))), gen = 9L)
+    assert(store.read().get.collect().map(_.getAs[String]("id")).sorted.toSeq
+      == Seq("keep", "next"))
+  }
+
   test("LiveProjection.foldKey keeps the highest-seq event across batches") {
     val e1 = LiveProjection.KeyedEvent(5L, "created", "k", Some("t"), None, None, None, None, None)
     val e2 = LiveProjection.KeyedEvent(3L, "updated", "k", Some("old"), None, None, None, None, None)
