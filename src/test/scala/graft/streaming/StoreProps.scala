@@ -60,4 +60,53 @@ class StoreProps extends SparkSuite {
       assert(streamed == batch, s"seed=$seed cuts=$bounds")
     }
   }
+
+  test("readAt composes with retention and compaction: aged snapshots fail loudly, newer ones serve") {
+    // Three merges age generation 0 out of retention (top-2 kept per
+    // bucket), then compact() rewrites all state at the derived successor
+    // gen — after which every pre-retention snapshot must THROW the
+    // unservable-snapshot error (a silent skip would return a cross-epoch
+    // mix), while still-retained and post-compaction reads serve.
+    import org.apache.spark.sql.functions.col
+    val b0 = Seq(Ev(0, "a", "created"), Ev(1, "b", "created"),
+      Ev(2, "c", "created"), Ev(3, "d", "created"), Ev(4, "e", "created"))
+    val b1 = Seq(Ev(5, "a", "updated"), Ev(6, "b", "updated"),
+      Ev(7, "c", "updated"), Ev(8, "d", "updated"), Ev(9, "e", "deleted"))
+    val b2 = Seq(Ev(10, "a", "updated"), Ev(11, "b", "updated"),
+      Ev(12, "c", "updated"), Ev(13, "d", "updated"))
+
+    val dir = Files.createTempDirectory("graft-prop-").toString
+    val store = new BucketedStateStore(spark, dir, numBuckets = 4)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      store.merge(
+        SignalProjection.latestByKey(SignalProjection.decode(raw(b))), i.toLong)
+    }
+    // gen 0 aged out of some bucket (a-d all touched thrice; ≤4 buckets
+    // means at least one holds such a key) — snapshot 0 is unservable
+    val e0 = intercept[IllegalStateException](store.readAt(0L))
+    assert(e0.getMessage.contains("no longer servable"), e0.getMessage)
+
+    // compact below a horizon that covers e's tombstone (seq 9)
+    val cg = store.compact(horizonSeq = 100L)
+    assert(cg == 3L)
+
+    // gen 2 is still within retention: serves the PRE-compaction state —
+    // e's tombstone included (delete-visibility of the snapshot)
+    val at2 = store.readAt(2L).get
+    assert(at2.where(col("action") === "deleted").collect()
+      .map(_.getAs[String]("id")).toSeq == Seq("e"))
+
+    // gens 0 and 1 are gone (compaction's rewrite pushed 1 out of the
+    // top-2 for the thrice-touched buckets): both fail loudly
+    intercept[IllegalStateException](store.readAt(1L))
+    intercept[IllegalStateException](store.readAt(0L))
+
+    // the compacted snapshot and the open-ended read both serve, without
+    // the dropped tombstone
+    Seq(store.readAt(cg).get, store.readAt(Long.MaxValue).get, store.read().get)
+      .foreach { df =>
+        assert(df.collect().map(_.getAs[String]("id")).sorted.toSeq
+          == Seq("a", "b", "c", "d"))
+      }
+  }
 }
