@@ -21,6 +21,16 @@ final case class ORow(o_custkey: Long, o_orderkey: Long,
   */
 object ExtrasPack extends QueryPack {
 
+  /** a44 count-min geometry: d depth rows × w counters. ~1500 distinct
+    * users over w = 512 counters ⇒ ~3 keys/cell mean collision mass per
+    * row; min over d = 3 rows keeps the visible overestimate small but
+    * nonzero on purpose (the checked output shows est ≥ exact, not
+    * est = exact). Production sizes w ≈ e/ε for additive error ε·N and
+    * d = ln(1/δ) — the grid stays KBs at any N.
+    */
+  private val CmsDepth = 3
+  private val CmsWidth = 512
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // a18: multiset (bag) set ops — INTERSECT ALL / EXCEPT ALL preserve
     // duplicate cardinalities (vs a9's set semantics).
@@ -169,6 +179,45 @@ object ExtrasPack extends QueryPack {
       sampled.select(col("event_type"), size(col("sample")).as("n_sample"),
           estAt(0.5).as("est_p50"), estAt(0.9).as("est_p90"))
         .orderBy("event_type")
+    }),
+
+    // a44: COUNT-MIN sketch — the bounded-memory FREQUENCY sketch,
+    // completing the family (distinct a20b, overlap a30, quantiles a43,
+    // now point frequencies): a d×w counter grid (here 3×512 = 1536
+    // cells) whose size never grows with the stream; each key increments
+    // one cell per depth row (probe positions by the same integer double
+    // hashing as d9's Bloom filter), and a point estimate is the MIN over
+    // its d cells — an overestimate by construction (collisions only add),
+    // never an under. The grid IS a partial+final aggregate: map-side
+    // combine caps every task's contribution at d×w cells, merging grids
+    // is cell-wise addition, so the sketch builds in one narrow shuffle
+    // of ≤ d×w rows per task at ANY scale — the streaming/distributed
+    // heavy-hitter primitive (a29 is its exact, corpus-sized twin). The
+    // probe set (every 7th user) joins the 1536-row grid as a broadcast;
+    // output carries the exact count next to the estimate so the
+    // overestimate invariant est ≥ exact is visible in the checked rows.
+    // All integer arithmetic — the DuckDB oracle replays grid and probes
+    // exactly; collisions reproduce, so this sketch is hash-checked too.
+    "a44_count_min" -> ((s, dir) => {
+      val (d, w) = (CmsDepth, CmsWidth)
+      def cellsOf(h: Column): Column = explode(array((0 until d).map { j =>
+        struct(lit(j).as("j"), ((h % w + (lit(1L) + h % (w - 1)) * j) % w).as("pos"))
+      }: _*))
+      val sketch = Tables(s, dir, "events")
+        .select(graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
+        .select(cellsOf(col("h")).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+        .agg(count(lit(1)).as("n"))
+      val probes = Tables(s, dir, "events")
+        .where(col("user_id") % 7 === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("h", graft.functions.md5Prefix60(col("user_id").cast("string")))
+        .select(col("user_id"), col("n_exact"), cellsOf(col("h")).as("c"))
+        .select(col("user_id"), col("n_exact"), col("c.j").as("j"), col("c.pos").as("pos"))
+      probes.join(broadcast(sketch), Seq("j", "pos"))
+        .groupBy("user_id", "n_exact")
+        .agg(min(col("n")).as("cms_est"))
+        .orderBy("user_id")
     }),
 
     // t6: stable train/val split — hash-based deterministic sharding (the
@@ -418,6 +467,32 @@ object ExtrasPack extends QueryPack {
          |  CAST(xs[CAST(floor(0.5 * (len(xs) - 1)) AS INTEGER) + 1] AS DOUBLE) / 100 AS est_p50,
          |  CAST(xs[CAST(floor(0.9 * (len(xs) - 1)) AS INTEGER) + 1] AS DOUBLE) / 100 AS est_p90
          |FROM sm ORDER BY event_type""".stripMargin
+    },
+
+    // a44: replay the d×w grid and the min-over-cells point query with
+    // the same integer double-hashed positions — collisions (the only
+    // source of overestimate) reproduce exactly.
+    "a44_count_min" -> {
+      val (d, w) = (CmsDepth, CmsWidth)
+      val posSql = s"((h % $w) + (1 + h % ${w - 1}) * j) % $w"
+      s"""WITH ks AS (SELECT unnest([${(0 until d).mkString(", ")}]) AS j),
+         |h AS (
+         |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |cells AS (
+         |  SELECT j, $posSql AS pos, count(*) AS n
+         |  FROM h CROSS JOIN ks GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT user_id, count(*) AS n_exact FROM events
+         |  WHERE user_id % 7 = 0 GROUP BY user_id),
+         |ph AS (
+         |  SELECT user_id, n_exact,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM probes),
+         |pp AS (SELECT user_id, n_exact, j, $posSql AS pos FROM ph CROSS JOIN ks)
+         |SELECT user_id, n_exact, min(n) AS cms_est
+         |FROM pp JOIN cells USING (j, pos)
+         |GROUP BY user_id, n_exact ORDER BY user_id""".stripMargin
     },
 
     "t6_stable_split" ->

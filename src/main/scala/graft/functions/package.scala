@@ -67,6 +67,9 @@ package object functions {
       exprs => BpeTokenCount(exprs.head, exprs(1), exprs(2)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_hits", exprs => BloomHits(exprs.head, exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket_codes",
       exprs => LshBucketCodes(exprs.head, exprs(1), exprs(2)),
       "scala_udf")
@@ -160,6 +163,12 @@ package object functions {
     columnOf(BpeTokenCount(exprOf(text),
       exprOf(lit(merges.map(_._1).toArray)),
       exprOf(lit(merges.map(_._2).toArray))))
+
+  /** Compiled Bloom-filter probe count: how many hashes in the array pass
+    * the k-probe filter carried by the literal bitmap. See [[BloomHits]].
+    */
+  def bloom_hits(hashes: Column, bits: Array[Long], k: Int): Column =
+    columnOf(BloomHits(exprOf(hashes), exprOf(lit(bits)), exprOf(lit(k))))
 
   /** Cross-engine-stable 64-bit-ish hash: first 15 hex digits of md5 as a
     * positive long. Used where the DuckDB oracle must reproduce the hash

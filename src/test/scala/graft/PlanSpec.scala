@@ -371,6 +371,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d9 Bloom probe is a pure map pass: no join, no aggregate, one final sort") {
+    // d8's broadcast join is replaced by an m-bit literal bitmap + the
+    // compiled BloomHits probe: the corpus side must plan as
+    // scan -> project -> filter with NO join operator of any kind and no
+    // aggregation — the only exchange is the output orderBy. That plan
+    // shape (not the constants) is the whole point of the operator.
+    val p = plan("d9_bloom_decontaminate")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(p.contains("bloom_hits"), p)
+  }
+
+  test("a44 count-min probes join the bounded grid as a broadcast") {
+    val p = plan("a44_count_min")
+    // grid side: partial+final agg (map-side combine caps task output at
+    // d*w cells); probe side joins it broadcast — never a sort-merge
+    // exchange of the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t2/t3/t12/t13 text kernels are fully compiled: zero HOF lambdas anywhere in the plan") {
     // HOF lambdas evaluate interpreted, outside whole-stage codegen — the
     // r7 driver bench showed exactly the two lambda-bearing text queries

@@ -138,6 +138,28 @@ class FunctionsSpec extends SparkSuite {
     assert(both.head.getInt(0) == 1 + 2 + 1 + 2 + 2)
   }
 
+  test("bloom_hits: zero false negatives, count matches a positional reference") {
+    val m = 1 << 10
+    val k = 3
+    def positions(h: Long): Seq[Long] =
+      (0 until k).map(i => (h % m + i * (1 + h % (m - 1))) % m)
+    val inSet = Seq(17L, 999999937L, 123456789L, 42L)
+    val bits = BloomHits.bitmap(m, inSet.flatMap(positions))
+    // membership: every inserted hash hits; reference count for mixed arrays
+    def refCount(hs: Seq[Long]): Int = hs.count { h =>
+      positions(h).forall(p => (bits(p.toInt >>> 6) & (1L << (p & 63).toInt)) != 0)
+    }
+    val probes = Seq(
+      inSet,                      // all inserted -> all hit
+      Seq(5L, 6L, 7L, 8L, 9L),    // likely misses (reference decides)
+      inSet ++ Seq(1000003L),     // mixed
+      Seq.empty[Long])
+    val df = probes.toDF("hs")
+      .select(bloom_hits($"hs", bits, k).as("c")).as[Int].collect().toSeq
+    assert(df == probes.map(refCount), s"got $df")
+    assert(df.head == inSet.length) // no false negatives, ever
+  }
+
   test("bpe_token_count agrees with the HOF formulation on real documents") {
     val merges = Seq("e" -> "r", "t" -> "h", "th" -> "e")
     val docs = graft.Tables(spark, sf("sf0.001"), "documents").limit(200)

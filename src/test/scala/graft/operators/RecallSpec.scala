@@ -149,4 +149,41 @@ class RecallSpec extends SparkSuite {
     assert(strongRecall >= 0.8, s"d6 strong-pair recall degraded to $strongRecall")
     assert(allRecall >= 0.6, s"d6 overall pair recall degraded to $allRecall")
   }
+
+  test("d9 Bloom decontamination: superset of exact d8 (no false negatives), bounded FP adds") {
+    // A Bloom filter can only ADD flags: every doc d8 proves contaminated
+    // must appear in d9 with at least as many hits (a missing one would
+    // be a broken filter, not an approximation), and the false-positive
+    // additions must stay within the filter's design rate.
+    val exact = DedupPack.queries("d8_decontaminate")(spark, dir)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    val bloom = DedupPack.queries("d9_bloom_decontaminate")(spark, dir)
+      .select("doc_id", "n_bloom_hits").as[(Long, Int)].collect().toMap
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"d9 MISSED exactly-contaminated doc $id")
+      assert(bloom(id) >= nShared,
+        s"doc $id: bloom hits ${bloom(id)} < exact shared grams $nShared")
+    }
+    val fpDocs = bloom.keySet -- exact.keySet
+    val probed = graft.Tables(spark, dir, "documents")
+      .where($"doc_id" % 97 =!= 0).count()
+    val fpRate = fpDocs.size.toDouble / probed
+    info(s"d9: ${exact.size} exact docs, ${fpDocs.size} FP docs of $probed probed (rate $fpRate)")
+    assert(fpRate <= 0.05, s"d9 doc-level FP rate $fpRate exceeds 5%")
+  }
+
+  test("a44 count-min: est >= exact for every probe, overestimate within 3N/w") {
+    val rows = graft.analytics.ExtrasPack.queries("a44_count_min")(spark, dir)
+      .select("user_id", "n_exact", "cms_est").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = graft.Tables(spark, dir, "events").count()
+    val bound = 3.0 * n / 512 // ~3 expected collision masses at width 512
+    rows.foreach { case (u, exact, est) =>
+      assert(est >= exact, s"user $u: CMS UNDERestimated ($est < $exact) — impossible for a correct sketch")
+      assert(est - exact <= bound,
+        s"user $u: overestimate ${est - exact} exceeds $bound — width/hashing regressed")
+    }
+    val meanOver = rows.map(r => r._3 - r._2).sum.toDouble / rows.length
+    info(f"a44: ${rows.length} probes, mean overestimate $meanOver%.2f (bound $bound%.1f)")
+  }
 }
