@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, winnow_fingerprints, wordShinglesOf}
+import graft.functions.{cosine_similarity, md5Prefix16, shingle_hashes, shingle_hashes_bag, winnow_fingerprints, wordShinglesOf}
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.1-6):
   * exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine near-dup.
@@ -625,6 +626,55 @@ object DedupPack extends QueryPack {
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= MinSharedFps)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // d14: EXACT substring-run dedup — the operator suffix arrays serve
+    // in single-node pipelines (Lee et al.'21, "Deduplicating Training
+    // Data Makes Language Models Better": remove verbatim repeats ≥ L
+    // tokens), re-expressed Spark-first. A suffix array is inherently
+    // sequential and memory-resident; the same ≥L-token shared runs fall
+    // out of relational primitives that scale: (1) every L-token window
+    // gets a positional Horner hash from the compiled ShingleHashesBag
+    // pass (one hash per position, document order — no window strings
+    // materialized); (2) windows shared between two docs equi-join on
+    // the hash — ONE shuffle keyed by window hash, never all-pairs, with
+    // d13's df-cap making hot buckets impossible by construction
+    // (a window in > RunMaxDf docs is boilerplate and is dropped; at
+    // this corpus max df is 4 so the cap never fires — it is the scale
+    // guard); (3) consecutive shared windows merge into maximal runs by
+    // the classic islands trick on the pair's DIAGONAL (pa − pb): within
+    // a diagonal, consecutive pa values share one island id
+    // (pa − row_number), and each island IS a maximal run of
+    // count + L − 1 shared tokens. The islands window partitions by
+    // (doc_a, doc_b, diag) — bounded by the pair's overlap length, never
+    // corpus-sized. Output: every maximal shared run ≥ L tokens with its
+    // start offsets — the spans a curation pipeline would excise, vs
+    // d13's winnowed SAMPLE of spans (probabilistic selection, pair-level
+    // signal only). All integer arithmetic — hash-checked exactly.
+    "d14_substring_runs" -> ((s, dir) => {
+      val L = RunL
+      val win = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(shingle_hashes_bag(col("text"), L)).as(Seq("pos", "h")))
+      // df-cap join is h→h: co-partitioned with its aggregation (d13's
+      // shape) — never a broadcast of a corpus-growing table
+      val keep = win.join(
+        win.groupBy("h").agg(countDistinct("doc_id").as("df"))
+          .where(col("df") <= RunMaxDf), "h")
+      val a = keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      val b = keep.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))
+      val islands = Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      a.join(b, "h")
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("diag", col("pa") - col("pb"))
+        .withColumn("island", col("pa") - row_number().over(islands))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+          (count(lit(1)) + lit(L - 1)).cast("int").as("run_tokens"))
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
     })
   )
 
@@ -633,6 +683,13 @@ object DedupPack extends QueryPack {
     */
   private val MaxFpDf = 20
   private val MinSharedFps = 5
+
+  /** d14 run policy: L-token windows (a shared run is ≥ L verbatim
+    * tokens — Lee et al. use 50 BPE tokens at web scale; 8 fits this
+    * corpus's ~100-token docs), df-cap as d13.
+    */
+  private[operators] val RunL = 8
+  private[operators] val RunMaxDf = 8
 
   /** g1 power iterations (unrolled identically in the oracle). */
   private val PageRankIters = 5
@@ -984,6 +1041,36 @@ object DedupPack extends QueryPack {
            |  GROUP BY 1, 2)
            |WHERE n_shared >= $MinSharedFps
            |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // d14: replay positional window hashes (same Horner fold over the
+    // single-space-joined L-token window), the df-cap, the pair join,
+    // and the diagonal islands-and-gaps merge — all integer, exact.
+    "d14_substring_runs" -> {
+      val L = RunL
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(range(0, len(ws) - $L + 1)) AS pos, ws
+         |  FROM w WHERE len(ws) >= $L),
+         |shs AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(list_slice(ws, pos + 1, pos + $L), ' ') AS sh
+         |  FROM p),
+         |g AS (SELECT doc_id, pos, $polyHashSql AS h FROM shs),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY h),
+         |keep AS (SELECT doc_id, pos, g.h FROM g JOIN dfh USING (h) WHERE df <= $RunMaxDf),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+         |  FROM pairs)
+         |SELECT doc_a, doc_b,
+         |  CAST(min(pa) AS INTEGER) AS start_a, CAST(min(pb) AS INTEGER) AS start_b,
+         |  CAST(count(*) + $L - 1 AS INTEGER) AS run_tokens
+         |FROM runs GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+    },
 
     "d6b_neardup_brute" ->
       """SELECT vec_a, vec_b, cos_sim FROM (

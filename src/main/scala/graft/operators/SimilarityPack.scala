@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_codes, sq8_cosine}
+import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_codes, sq8_cosine, tokens}
 
 /** Similarity search over the `embeddings` table (`ARRAY<FLOAT>` vectors).
   *
@@ -320,8 +321,84 @@ object SimilarityPack extends QueryPack {
       kmeansAssign(emb, trained)
         .select(col("vec_id"), col("cid"), col("dist"))
         .orderBy("vec_id")
+    }),
+
+    // e11: HYBRID retrieval — reciprocal rank fusion (RRF, Cormack et
+    // al.'09: score = Σ 1/(C + rank_i), C = 60) of a DENSE ranking
+    // (brute cosine vs the vec-0 query embedding, e1's one-pass shape)
+    // and a SPARSE ranking (BM25 summed over the same mid-df query
+    // terms t14 selects). This is the retrieval shape every RAG /
+    // training-data search stack runs: two independent rankers, each
+    // scale-safe on its own (dense = one bandwidth-bound corpus pass +
+    // TakeOrderedAndProject; sparse = t14's broadcast-qterms plan), fused
+    // on their bounded top-K lists — the fusion join touches ≤ 2·K rows
+    // no matter the corpus size, so the whole operator's cost is the two
+    // rankers, never the fusion. Determinism: per-term BM25 scores and
+    // cosines quantize to integer micro-units BEFORE any cross-term sum
+    // (float addition is order-sensitive; integer addition is not — the
+    // e9/e10 fixed-point trick), ranks are integer row_numbers on
+    // (score6 desc, doc_id), and the final RRF doubles are one fixed
+    // expression of those integer ranks — bit-identical cross-engine.
+    // The rank windows run AFTER a TakeOrderedAndProject limit, so each
+    // covers exactly HybridK rows (bounded, like t14's qterm frame).
+    "e11_hybrid_rrf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val denseW = Window.orderBy(col("cos6").desc, col("doc_id"))
+      val dense = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_similarity(col("embedding"), col("qe")) * 1e6, 0)
+            .cast("long").as("cos6"))
+        .orderBy(col("cos6").desc, col("doc_id")).limit(HybridK)
+        .withColumn("r_dense", row_number().over(denseW))
+        .select("doc_id", "r_dense")
+      // sparse side: t14's BM25 per (term, doc), micro-unit-quantized,
+      // integer-summed over the ~5 query terms
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
+        .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
+        .where(col("rk") >= 10).select("w", "df")
+      val sparseW = Window.orderBy(col("bm6").desc, col("doc_id"))
+      val sparse = tf.join(broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("tfn",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") /
+                  (col("sum_dl").cast("double") / col("n").cast("double"))))))
+        .withColumn("score6", round(col("idf") * col("tfn") * 1e6, 0).cast("long"))
+        .where(col("doc_id") =!= 0)
+        .groupBy("doc_id").agg(sum(col("score6")).as("bm6"))
+        .orderBy(col("bm6").desc, col("doc_id")).limit(HybridK)
+        .withColumn("r_sparse", row_number().over(sparseW))
+        .select("doc_id", "r_sparse")
+      dense.join(sparse, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_score",
+          coalesce(lit(1.0) / (lit(RrfC) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfC) + col("r_sparse")), lit(0.0)))
+        .select(col("doc_id"), col("r_dense"), col("r_sparse"), col("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(HybridOut)
     })
   )
+
+  /** e11 fusion constants: RRF's canonical C = 60 (Cormack et al.'09 —
+    * large enough that rank-1 doesn't dominate, small enough that depth
+    * still matters), list depth K = 50, fused output 20.
+    */
+  private[operators] val RrfC = 60
+  private[operators] val HybridK = 50
+  private[operators] val HybridOut = 20
 
   /** k for the e10 in-engine training demo. */
   private[operators] val KmeansK = 4
@@ -376,6 +453,47 @@ object SimilarityPack extends QueryPack {
       |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // e11: replay both rankers with the identical arithmetic (micro-unit
+    // quantization before the integer cross-term sum, rank windows over
+    // the bounded top-K), then the same fixed RRF expression of the
+    // integer ranks.
+    "e11_hybrid_rrf" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |dcos AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000, 0) AS BIGINT) AS cos6
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |dense AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos6 DESC, doc_id) AS INTEGER) AS r_dense
+         |  FROM dcos QUALIFY r_dense <= $HybridK),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS INTEGER) AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |qterms AS (
+         |  SELECT w, df FROM dfreq
+         |  QUALIFY row_number() OVER (ORDER BY df DESC, w) BETWEEN 10 AND 14),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round(
+         |      ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * 2.2
+         |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |            * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
+         |      * 1000000, 0) AS BIGINT) AS score6
+         |  FROM tf JOIN qterms USING (w) JOIN dl USING (doc_id), stats
+         |  WHERE tf.doc_id <> 0),
+         |summed AS (SELECT doc_id, sum(score6) AS bm6 FROM scored GROUP BY doc_id),
+         |sparse AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm6 DESC, doc_id) AS INTEGER) AS r_sparse
+         |  FROM summed QUALIFY r_sparse <= $HybridK)
+         |SELECT doc_id, r_dense, r_sparse,
+         |  coalesce(CAST(1 AS DOUBLE) / ($RrfC + r_dense), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / ($RrfC + r_sparse), CAST(0 AS DOUBLE)) AS rrf_score
+         |FROM dense FULL OUTER JOIN sparse USING (doc_id)
+         |ORDER BY rrf_score DESC, doc_id LIMIT $HybridOut""".stripMargin,
+
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
 

