@@ -21,15 +21,28 @@ final case class ORow(o_custkey: Long, o_orderkey: Long,
   */
 object ExtrasPack extends QueryPack {
 
-  /** a44 count-min geometry: d depth rows × w counters. ~1500 distinct
-    * users over w = 512 counters ⇒ ~3 keys/cell mean collision mass per
-    * row; min over d = 3 rows keeps the visible overestimate small but
-    * nonzero on purpose (the checked output shows est ≥ exact, not
-    * est = exact). Production sizes w ≈ e/ε for additive error ε·N and
-    * d = ln(1/δ) — the grid stays KBs at any N.
+  /** a44 count-min geometry (shared with the typed aggregate and s18's
+    * streaming form via [[graft.functions.CountMinAggregator]]): d depth
+    * rows × w counters. ~1500 distinct users over w = 512 counters ⇒ ~3
+    * keys/cell mean collision mass per row; min over d = 3 rows keeps
+    * the visible overestimate small but nonzero on purpose (the checked
+    * output shows est ≥ exact, not est = exact). Production sizes
+    * w ≈ e/ε for additive error ε·N and d = ln(1/δ) — the grid stays
+    * KBs at any N.
     */
-  private val CmsDepth = 3
-  private val CmsWidth = 512
+  private val CmsDepth = graft.functions.CountMinAggregator.Depth
+  private val CmsWidth = graft.functions.CountMinAggregator.Width
+
+  /** One (j, pos) cell struct per depth row for hash h — the Column
+    * replay of [[graft.functions.CountMinAggregator.position]], shared
+    * by a44's grid/probes and s18's streamed-grid probes.
+    */
+  private[graft] def cmsCells(h: Column): Column = {
+    val (d, w) = (CmsDepth, CmsWidth)
+    explode(array((0 until d).map { j =>
+      struct(lit(j).as("j"), ((h % w + (lit(1L) + h % (w - 1)) * j) % w).as("pos"))
+    }: _*))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // a18: multiset (bag) set ops — INTERSECT ALL / EXCEPT ALL preserve
@@ -199,20 +212,16 @@ object ExtrasPack extends QueryPack {
     // All integer arithmetic — the DuckDB oracle replays grid and probes
     // exactly; collisions reproduce, so this sketch is hash-checked too.
     "a44_count_min" -> ((s, dir) => {
-      val (d, w) = (CmsDepth, CmsWidth)
-      def cellsOf(h: Column): Column = explode(array((0 until d).map { j =>
-        struct(lit(j).as("j"), ((h % w + (lit(1L) + h % (w - 1)) * j) % w).as("pos"))
-      }: _*))
       val sketch = Tables(s, dir, "events")
         .select(graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
-        .select(cellsOf(col("h")).as("c"))
+        .select(cmsCells(col("h")).as("c"))
         .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
         .agg(count(lit(1)).as("n"))
       val probes = Tables(s, dir, "events")
         .where(col("user_id") % 7 === 0)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
         .withColumn("h", graft.functions.md5Prefix60(col("user_id").cast("string")))
-        .select(col("user_id"), col("n_exact"), cellsOf(col("h")).as("c"))
+        .select(col("user_id"), col("n_exact"), cmsCells(col("h")).as("c"))
         .select(col("user_id"), col("n_exact"), col("c.j").as("j"), col("c.pos").as("pos"))
       probes.join(broadcast(sketch), Seq("j", "pos"))
         .groupBy("user_id", "n_exact")

@@ -210,6 +210,40 @@ object SamplingPack extends QueryPack {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(1), col("n_copies"))).as("copy"))
         .orderBy("doc_id", "copy")
+    }),
+
+    // x6: TEMPERATURE (α) re-weighting — the multilingual-mixture staple
+    // (XLM-R/mT5: sample language l with p ∝ n_l^α, α < 1, so dominant
+    // languages stop drowning small ones). Where x1 applies FIXED
+    // per-domain rates and x5 fixed upsampling epochs, x6 DERIVES the
+    // rates from the corpus itself: keep-rate_l = (n_min/n_l)^(1−α),
+    // normalized so the smallest language is kept whole and every larger
+    // one is downsampled toward the flattened distribution. α = 1/2
+    // makes the rate ONE IEEE sqrt of ONE division — both correctly
+    // rounded, so the integer thresholds replay bit-exactly in any
+    // engine, and membership is x1's deterministic hash-threshold
+    // discipline (salted md5, no RNG): the same docs survive at any
+    // partitioning, any cluster size, any rerun. Scale: the rate table
+    // is one tiny two-phase count (≤ languages rows) broadcast back —
+    // the corpus itself is scan → broadcast-join → filter, one pass, no
+    // shuffle, trivially 100 TB-safe.
+    "x6_temperature_sample" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val minN = counts.agg(min(col("n_lang")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .withColumn("thr",
+          floor(lit(1000000.0) *
+            sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
+            .cast("long"))
+        .select("lang", "n_lang", "thr")
+      Tables(s, dir, "documents")
+        .join(broadcast(rates), "lang")
+        .where(pmod(
+          md5Prefix60(concat(lit("temp:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_lang"), col("thr"))
+        .orderBy("doc_id")
     })
   )
 
@@ -230,6 +264,22 @@ object SamplingPack extends QueryPack {
          |  FROM documents)
          |SELECT doc_id, source, bucket, CAST(1000 AS DOUBLE) / permille AS weight
          |FROM p WHERE bucket < permille ORDER BY doc_id""".stripMargin,
+
+    // x6: same rate derivation (one division, one sqrt, one floor — all
+    // correctly-rounded IEEE ops) and the same salted hash-threshold
+    // membership, replayed end to end.
+    "x6_temperature_sample" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_lang) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT lang, n_lang,
+        |    CAST(floor(1000000.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT) AS thr
+        |  FROM counts, mn)
+        |SELECT doc_id, lang, n_lang, thr
+        |FROM documents JOIN rates USING (lang)
+        |WHERE CAST(concat('0x', substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 1000000 < thr
+        |ORDER BY doc_id""".stripMargin,
 
     "x2_pack_sequences" ->
       s"""WITH t AS (

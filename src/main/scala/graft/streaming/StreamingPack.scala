@@ -776,6 +776,65 @@ object StreamingPack extends QueryPack {
           col("r._1").as("event_id"),
           (col("r._2").cast("double") / 100).as("value"))
         .orderBy("event_type", "rank")
+    }),
+
+    // s18: STREAMING count-min — the FOURTH bounded aggregate
+    // streaming-ified (KMV set sketch → s10, hash-sample → s16, bounded
+    // heap → s17, counter grid → here): live key-frequency state that
+    // never grows, d·w longs forever. Counting is NOT
+    // redelivery-idempotent (a duplicate row increments twice), so the
+    // delivery is the parity SPLIT (s17's discipline, each row exactly
+    // once): odd event-ids in batch 0, even in batch 1. Cell-wise
+    // integer addition is associative AND commutative, so the
+    // cross-batch merged grid equals a44's single-pass batch grid
+    // EXACTLY — the streamed point estimates replay a44's DuckDB oracle
+    // verbatim, the strongest form of streaming-equals-batch this suite
+    // uses. Probing stays batch-side (the serving read): the ≤ d·w-cell
+    // grid broadcasts against the probe keys like a44's.
+    "s18_stream_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratch("graft-s18-")
+      val wire = stagedUserSplit(s, dir)
+      val ss = tunedChild(s, width = 4, noData = false)
+      val (d, w) =
+        (graft.functions.CountMinAggregator.Depth, graft.functions.CountMinAggregator.Width)
+      val cms = new graft.functions.CountMinAggregator(d, w)
+      val q = ss.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("event_id", "long").add("user_id", "long"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(wire)
+        .select(graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
+        .as[Long]
+        .groupByKey(_ => 0)
+        .agg(cms.toColumn.name("grid"))
+        .toDF("k", "grid")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_s18_cms")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // streamed grid → (j, pos, n) cells (zero cells dropped to mirror
+      // a44's data-built grid), then a44's probe join, verbatim
+      val grid = ss.table("graft_s18_cms")
+        .select(posexplode(col("grid")).as(Seq("idx", "n")))
+        .where(col("n") > 0)
+        .select((col("idx") / w).cast("int").as("j"),
+          pmod(col("idx"), lit(w)).cast("long").as("pos"), col("n"))
+      val probes = Tables(ss, dir, "events")
+        .where(col("user_id") % 7 === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("h", graft.functions.md5Prefix60(col("user_id").cast("string")))
+        .select(col("user_id"), col("n_exact"),
+          graft.analytics.ExtrasPack.cmsCells(col("h")).as("c"))
+        .select(col("user_id"), col("n_exact"),
+          col("c.j").as("j"), col("c.pos").as("pos"))
+      probes.join(broadcast(grid), Seq("j", "pos"))
+        .groupBy("user_id", "n_exact")
+        .agg(min(col("n")).as("cms_est"))
+        .orderBy("user_id")
     })
   )
 
@@ -876,6 +935,20 @@ object StreamingPack extends QueryPack {
     stagedEventSplits.computeIfAbsent(dir, { d =>
       val ev = Tables(s, d, "events").select(col("event_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("xc"))
+      stageSplitWire(
+        (ev.where(col("event_id") % 2 === 1), "odd"),
+        (ev.where(col("event_id") % 2 === 0), "even"), "parquet")
+    })
+
+  /** s18's delivery, staged once per process: the (event_id, user_id)
+    * projection split by event-id parity — a SPLIT, not the symlink
+    * double, because counting is not redelivery-idempotent.
+    */
+  private val stagedUserWires =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedUserSplit(s: SparkSession, dir: String): String =
+    stagedUserWires.computeIfAbsent(dir, { d =>
+      val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"))
       stageSplitWire(
         (ev.where(col("event_id") % 2 === 1), "odd"),
         (ev.where(col("event_id") % 2 === 0), "even"), "parquet")
@@ -1096,6 +1169,12 @@ object StreamingPack extends QueryPack {
     // row set (redelivery is a no-op): a43's oracle verbatim.
     "s16_stream_quantiles" ->
       graft.analytics.ExtrasPack.oracles("a43_sketch_quantiles"),
+
+    // The split-delivered, cross-batch-merged counter grid equals the
+    // single-pass batch grid exactly (cell-wise integer addition is
+    // associative + commutative): a44's oracle verbatim.
+    "s18_stream_count_min" ->
+      graft.analytics.ExtrasPack.oracles("a44_count_min"),
 
     // The batch leaderboard: rank by (value-cents DESC, event_id) ≤ 5 —
     // the bounded heap's (ord DESC, tie ASC) contract as a window.

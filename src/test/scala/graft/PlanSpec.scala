@@ -406,6 +406,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("LambdaFunction"), p)
   }
 
+  test("x6 temperature sampling: derived rate table broadcasts back, corpus is one filtered pass") {
+    val p = plan("x6_temperature_sample")
+    // the ≤languages-row rate table (two-phase count + 1-row min side)
+    // broadcasts back onto the corpus scan — the corpus itself never
+    // shuffles for a sampling decision
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a44 count-min probes join the bounded grid as a broadcast") {
     val p = plan("a44_count_min")
     // grid side: partial+final agg (map-side combine caps task output at
