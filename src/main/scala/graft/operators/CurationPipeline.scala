@@ -134,6 +134,46 @@ object CurationPipeline extends QueryPack {
         .withColumn("keep",
           (col("sem_canonical") === 1 && col("quality_ok") === 1).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    // pipeline4 (decontaminated mix): the SAFETY pipeline every
+    // pretraining run executes before assembly, composed from this
+    // round's operators — (1) Bloom decontamination gate (d9's bitmap
+    // probe: docs sharing grams with the eval set are dirty; false
+    // positives discard a good doc, never leak an eval answer),
+    // (2) verbatim-overlap canonicality (d14's maximal shared runs over
+    // the corpus subset: of every run pair, the lower doc_id survives —
+    // the greedy deterministic excision policy), (3) temperature (α)
+    // re-weighting DERIVED FROM THE SURVIVORS (x6's rate table over
+    // what's left after both gates — rates must reflect the corpus you
+    // actually train on, not the raw one). One decision row per corpus
+    // doc. Scale: stage 1 is a map pass (no join at all), stage 2 is
+    // d14's one hash-keyed shuffle, stage 3 is a ≤languages-row
+    // broadcast — composing the gates adds NO new corpus-sized shuffle
+    // beyond d14's own.
+    "pipeline4_decontam" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "documents")
+        .where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val dirty = DedupPack.bloomHitCounts(s, dir)
+        .select(col("doc_id"), lit(0).as("bloom_clean"))
+      val dropped = DedupPack.substringRuns(corpus.select(col("doc_id"), col("text")))
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("run_canonical", lit(0))
+      val base = corpus.select(col("doc_id"), col("lang"))
+        .join(dirty, Seq("doc_id"), "left")
+        .join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("bloom_clean"), lit(1)).as("bloom_clean"),
+          coalesce(col("run_canonical"), lit(1)).as("run_canonical"))
+      val rates = SamplingPack.temperatureRates(
+        base.where(col("bloom_clean") === 1 && col("run_canonical") === 1))
+      base.join(broadcast(rates), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("bloom_clean"), col("run_canonical"),
+          (col("bloom_clean") === 1 && col("run_canonical") === 1 &&
+            SamplingPack.temperatureDraw(col("doc_id")) < col("thr"))
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -226,6 +266,63 @@ object CurationPipeline extends QueryPack {
            |  CAST(s.sem_canonical = 1
            |       AND q.stop_ratio >= $StopRatioMin AND q.stop_ratio <= $StopRatioMax AS INTEGER) AS keep
            |FROM sem s JOIN q USING (doc_id)
-           |ORDER BY doc_id""".stripMargin)
+           |ORDER BY doc_id""".stripMargin),
+
+    // pipeline4: replay the three gates end to end — the Bloom bitmap
+    // and k-probe membership (d9's arithmetic), the doc-level
+    // shared-window drop (a doc_b is non-canonical iff it shares ANY
+    // df-capped window with a lower doc — run structure only matters for
+    // span excision, membership in ≥1 run is the doc-level decision,
+    // identical on both sides), and the survivor-derived temperature
+    // thresholds. FALSE AND NULL = FALSE keeps `keep` non-null even for
+    // a language with zero survivors (no rate row) in both engines.
+    "pipeline4_decontam" -> {
+      val m = DedupPack.BloomM
+      val k = DedupPack.BloomK
+      val L = DedupPack.RunL
+      val posSql = s"((g % $m) + i * (1 + g % ${m - 1})) % $m"
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |sh3 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+         |  FROM w WHERE len(ws) >= 3),
+         |g3 AS (SELECT DISTINCT doc_id, ${DedupPack.polyHashSql} AS g FROM sh3),
+         |ks AS (SELECT unnest([${(0 until k).mkString(", ")}]) AS i),
+         |bits AS (SELECT DISTINCT $posSql AS pos FROM g3 CROSS JOIN ks WHERE doc_id % 97 = 0),
+         |bdirty AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, g FROM (
+         |      SELECT doc_id, g, $posSql AS pos FROM g3 CROSS JOIN ks WHERE doc_id % 97 <> 0) pr
+         |    JOIN bits USING (pos) GROUP BY doc_id, g HAVING count(*) = $k) hg),
+         |cp AS (SELECT doc_id, unnest(range(0, len(ws) - $L + 1)) AS pos, ws
+         |       FROM w WHERE doc_id % 97 <> 0 AND len(ws) >= $L),
+         |sh8 AS (SELECT doc_id, pos,
+         |          array_to_string(list_slice(ws, pos + 1, pos + $L), ' ') AS sh
+         |        FROM cp),
+         |g8 AS (SELECT doc_id, pos, ${DedupPack.polyHashSql} AS h FROM sh8),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM g8 GROUP BY h),
+         |keep8 AS (SELECT doc_id, g8.h FROM g8 JOIN dfh USING (h) WHERE df <= ${DedupPack.RunMaxDf}),
+         |rdrop AS (SELECT DISTINCT b.doc_id
+         |          FROM keep8 a JOIN keep8 b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(doc_id NOT IN (SELECT doc_id FROM bdirty) AS INTEGER) AS bloom_clean,
+         |    CAST(doc_id NOT IN (SELECT doc_id FROM rdrop) AS INTEGER) AS run_canonical
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |counts AS (SELECT lang, count(*) AS n_lang FROM base
+         |           WHERE bloom_clean = 1 AND run_canonical = 1 GROUP BY lang),
+         |mn AS (SELECT min(n_lang) AS n_min FROM counts),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor(1000000.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))) AS BIGINT) AS thr
+         |  FROM counts, mn)
+         |SELECT b.doc_id, b.lang, b.bloom_clean, b.run_canonical,
+         |  CAST(b.bloom_clean = 1 AND b.run_canonical = 1
+         |       AND CAST(concat('0x', substr(md5('temp:' || CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |             % 1000000 < r.thr AS INTEGER) AS keep
+         |FROM base b LEFT JOIN rates r USING (lang)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -395,26 +395,8 @@ object DedupPack extends QueryPack {
     // driver pull (≤ m/64 longs, config-sized — the e5/IvfIndex
     // pretrained-artifact residency), in production a one-time artifact
     // shipped like the eval suites themselves.
-    "d9_bloom_decontaminate" -> ((s, dir) => {
-      val m = BloomM
-      val grams = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("g"))
-      def positions(g: Column): Seq[Column] = (0 until BloomK).map { i =>
-        (g % m + (lit(1L) + g % (m - 1)) * i) % m
-      }
-      // eval-side bitmap: distinct probe positions of bench grams; the
-      // collect is bounded by m bits regardless of eval-set size
-      val setBits = grams.where(col("doc_id") % 97 === 0)
-        .select(explode(array(positions(col("g")): _*)).as("pos"))
-        .distinct().collect().map(_.getLong(0))
-      val bitmap = graft.functions.BloomHits.bitmap(m, setBits)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.bloom_hits(
-            shingle_hashes(col("text"), 3), bitmap, BloomK).as("n_bloom_hits"))
-        .where(col("doc_id") % 97 =!= 0 && col("n_bloom_hits") > 0)
-        .orderBy("doc_id")
-    }),
+    "d9_bloom_decontaminate" -> ((s, dir) =>
+      bloomHitCounts(s, dir).orderBy("doc_id")),
 
     // d5: SimHash — 16-bit signature from per-bit majorities of token
     // hashes. Bit-twiddling kept cross-engine (md5-prefix hash, shift/and).
@@ -651,32 +633,65 @@ object DedupPack extends QueryPack {
     // start offsets — the spans a curation pipeline would excise, vs
     // d13's winnowed SAMPLE of spans (probabilistic selection, pair-level
     // signal only). All integer arithmetic — hash-checked exactly.
-    "d14_substring_runs" -> ((s, dir) => {
-      val L = RunL
-      val win = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(shingle_hashes_bag(col("text"), L)).as(Seq("pos", "h")))
-      // df-cap join is h→h: co-partitioned with its aggregation (d13's
-      // shape) — never a broadcast of a corpus-growing table
-      val keep = win.join(
-        win.groupBy("h").agg(countDistinct("doc_id").as("df"))
-          .where(col("df") <= RunMaxDf), "h")
-      val a = keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      val b = keep.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))
-      val islands = Window
-        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("pa"))
-      a.join(b, "h")
-        .where(col("doc_a") < col("doc_b"))
-        .withColumn("diag", col("pa") - col("pb"))
-        .withColumn("island", col("pa") - row_number().over(islands))
-        .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-          (count(lit(1)) + lit(L - 1)).cast("int").as("run_tokens"))
-        .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")
-    })
+    "d14_substring_runs" -> ((s, dir) =>
+      substringRuns(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b"))
   )
+
+  /** The d9 Bloom-gate dataflow over `dir`'s documents (see the d9 entry
+    * comment above for the full design): corpus docs (doc_id % 97 ≠ 0)
+    * whose 3-gram hashes pass the eval-set (% 97 = 0) bitmap, with their
+    * probe-hit counts. Shared verbatim by d9 and pipeline4's
+    * decontamination gate.
+    */
+  private[graft] def bloomHitCounts(s: SparkSession, dir: String): DataFrame = {
+    val m = BloomM
+    val grams = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("g"))
+    def positions(g: Column): Seq[Column] = (0 until BloomK).map { i =>
+      (g % m + (lit(1L) + g % (m - 1)) * i) % m
+    }
+    // eval-side bitmap: distinct probe positions of bench grams; the
+    // collect is bounded by m bits regardless of eval-set size
+    val setBits = grams.where(col("doc_id") % 97 === 0)
+      .select(explode(array(positions(col("g")): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = graft.functions.BloomHits.bitmap(m, setBits)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.bloom_hits(
+          shingle_hashes(col("text"), 3), bitmap, BloomK).as("n_bloom_hits"))
+      .where(col("doc_id") % 97 =!= 0 && col("n_bloom_hits") > 0)
+  }
+
+  /** The d14 maximal-shared-run dataflow over any (doc_id, text) frame
+    * (see the d14 entry comment above for the full design). Parameterized
+    * on the doc frame so d14 runs it over the whole table while
+    * pipeline4 runs it over the corpus subset.
+    */
+  private[graft] def substringRuns(docs: DataFrame): DataFrame = {
+    val L = RunL
+    val win = docs.select(col("doc_id"),
+      posexplode(shingle_hashes_bag(col("text"), L)).as(Seq("pos", "h")))
+    // df-cap join is h→h: co-partitioned with its aggregation (d13's
+    // shape) — never a broadcast of a corpus-growing table
+    val keep = win.join(
+      win.groupBy("h").agg(countDistinct("doc_id").as("df"))
+        .where(col("df") <= RunMaxDf), "h")
+    val a = keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+    val b = keep.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val islands = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    a.join(b, "h")
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(islands))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(L - 1)).cast("int").as("run_tokens"))
+      .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+  }
 
   /** d13 span-dup policy: ignore fingerprints shared by more than MaxFpDf
     * docs (boilerplate + skew cap); flag pairs sharing ≥ MinSharedFps.

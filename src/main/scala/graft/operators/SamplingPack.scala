@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -228,24 +228,36 @@ object SamplingPack extends QueryPack {
     // the corpus itself is scan → broadcast-join → filter, one pass, no
     // shuffle, trivially 100 TB-safe.
     "x6_temperature_sample" -> ((s, dir) => {
-      val counts = Tables(s, dir, "documents")
-        .groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      val minN = counts.agg(min(col("n_lang")).as("n_min"))
-      val rates = counts.crossJoin(broadcast(minN))
-        .withColumn("thr",
-          floor(lit(1000000.0) *
-            sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
-            .cast("long"))
-        .select("lang", "n_lang", "thr")
-      Tables(s, dir, "documents")
-        .join(broadcast(rates), "lang")
-        .where(pmod(
-          md5Prefix60(concat(lit("temp:"), col("doc_id").cast("string"))),
-          lit(1000000L)) < col("thr"))
+      val docs = Tables(s, dir, "documents")
+      docs.join(broadcast(temperatureRates(docs)), "lang")
+        .where(temperatureDraw(col("doc_id")) < col("thr"))
         .select(col("doc_id"), col("lang"), col("n_lang"), col("thr"))
         .orderBy("doc_id")
     })
   )
+
+  /** x6's per-language keep-rate table, derived from whatever doc frame
+    * it is given (the whole table for x6; pipeline4 passes only its
+    * survivors): thr = ⌊10^6 · (n_min/n_lang)^(1−α)⌋ at α = 1/2 — one
+    * IEEE division and one sqrt, both correctly rounded, so the integer
+    * thresholds replay bit-exactly in the oracle. ≤ languages rows.
+    */
+  private[graft] def temperatureRates(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("n_min"))
+    counts.crossJoin(broadcast(minN))
+      .withColumn("thr",
+        floor(lit(1000000.0) *
+          sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
+          .cast("long"))
+      .select("lang", "n_lang", "thr")
+  }
+
+  /** x6's deterministic membership draw: salted md5 of the doc id in
+    * [0, 10^6) — x1's no-RNG discipline.
+    */
+  private[graft] def temperatureDraw(docId: Column): Column =
+    pmod(md5Prefix60(concat(lit("temp:"), docId.cast("string"))), lit(1000000L))
 
   /** Oracle fragments shared with pipeline2 (CurationPipeline). */
   private[operators] val sampleCaseSql: String = {

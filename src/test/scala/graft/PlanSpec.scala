@@ -406,6 +406,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("LambdaFunction"), p)
   }
 
+  test("pipeline4: composing the gates adds no corpus-sized join beyond d14's own") {
+    val p = plan("pipeline4_decontam")
+    // the Bloom gate is a map pass (bloom_hits, no join of its own), the
+    // run-drop set and rate table join back small — nothing plans as a
+    // cartesian, and the temperature rates broadcast
+    assert(p.contains("bloom_hits"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x6 temperature sampling: derived rate table broadcasts back, corpus is one filtered pass") {
     val p = plan("x6_temperature_sample")
     // the ≤languages-row rate table (two-phase count + 1-row min side)
