@@ -64,8 +64,13 @@ object BloomHits {
     var i = 0
     while (i < n) {
       val h = hashes.getLong(i)
-      val h1 = h % m
-      val h2 = 1L + h % (m - 1L)
+      // floorMod keeps the kernel total over the full Long domain: the
+      // d9 path only feeds non-negative md5-prefix hashes (where
+      // floorMod ≡ %, so the DuckDB oracle's plain % replays it
+      // exactly), but a negative hash from a future caller must probe a
+      // valid bit, not index out of the bitmap.
+      val h1 = java.lang.Math.floorMod(h, m)
+      val h2 = 1L + java.lang.Math.floorMod(h, m - 1L)
       var hit = true
       var j = 0
       while (j < k && hit) {
