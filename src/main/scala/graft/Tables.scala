@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated star schema
   * (see TESTDATA.md / FIXTURES.md §4).
@@ -12,27 +12,71 @@ import org.apache.spark.sql.types.LongType
   * same call splits into `spark.sql.files.maxPartitionBytes`-sized tasks,
   * so nothing here is local-mode-specific.
   *
-  * Nanosecond timestamps: `events.ts` is parquet TIMESTAMP(NANOS), which
-  * Spark's reader rejects. We read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros
-  * (`ts div 1000` — exact integer division; a double roundtrip would lose
-  * precision above 2^53). Oracle SQL mirrors this with
-  * `CAST(ts AS TIMESTAMP)` (TIMESTAMP_NS → micros truncation in DuckDB).
+  * == Timestamp-encoding robustness ==
+  *
+  * A real lake contains parquet written by many writers with every
+  * timestamp flavor: INT96, TIMESTAMP(MILLIS/MICROS/NANOS), adjusted-to-UTC
+  * ("instant" semantics → Spark TIMESTAMP_LTZ) and naive
+  * (isAdjustedToUTC=false → Spark TIMESTAMP_NTZ), plus raw int64 epoch
+  * columns. The engine must not care which one a given writer chose — the
+  * reference applies the same philosophy to its text input, parsing
+  * RFC3339 defensively with a 0-fallback
+  * (data-plane/internal/projection/signal.go:147-153) so odd encodings
+  * degrade instead of failing.
+  *
+  * So normalization here dispatches on the type the reader actually
+  * produced, not on an assumed encoding:
+  *
+  *   - `LongType`           — TIMESTAMP(NANOS) read via the
+  *     `spark.sql.legacy.parquet.nanosAsLong` flag (Spark's vectorized
+  *     reader otherwise rejects nanos). Truncate to micros with exact
+  *     integer division (`div 1000` — a double roundtrip would lose
+  *     precision above 2^53).
+  *   - `TimestampNTZType`   — naive micros/millis. Cast to session-tz
+  *     TIMESTAMP; with `spark.sql.session.timeZone=UTC` (every entrypoint
+  *     pins it) this is a pure reinterpretation of the same micros value.
+  *   - `TimestampType`      — tz-adjusted micros/millis or INT96:
+  *     already the normal form, passthrough.
+  *   - `DateType`           — midnight-UTC cast, for completeness.
+  *
+  * The DuckDB oracles read the same file as naive-UTC
+  * (`CAST(ts AS TIMESTAMP)` / `epoch_us`), so all flavors hash identically
+  * downstream. EncodingContractSpec pins all three write-paths end-to-end.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val nanoCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  /** Timestamp columns to normalize, per table. */
+  private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Raw read: `ts` keeps whatever type the writer's encoding dictates
+    * (LongType under the nanos legacy flag, TIMESTAMP_NTZ for naive
+    * micros, TIMESTAMP for tz-adjusted). Streaming reuses this schema so
+    * batch and stream agree on the file's physical encoding.
+    */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanoCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
-    }
+    spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The normalization expression for one column of a given source type —
+    * shared by batch and streaming so the two paths cannot drift.
+    */
+  def normalizeTsExpr(c: String, dt: DataType): Column = dt match {
+    case LongType          => expr(s"timestamp_micros($c div 1000)")
+    case TimestampNTZType  => col(c).cast(TimestampType)
+    case TimestampType     => col(c)
+    case DateType          => col(c).cast(TimestampType)
+    case other => throw new IllegalArgumentException(
+      s"column $c: unsupported timestamp encoding $other")
+  }
+
+  /** Normalize one timestamp column to session-tz TimestampType. */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, normalizeTsExpr(c, df.schema(c).dataType))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    tsCols.getOrElse(name, Nil).foldLeft(raw(spark, dir, name))(normalizeTs)
 }

@@ -1000,21 +1000,21 @@ object StreamingPack extends QueryPack {
     ss
   }
 
-  /** The events table as a streaming frame: nanos read as longs (the
-    * streaming reader has the same TIMESTAMP(NANOS) limitation as batch),
-    * truncated to micros exactly like graft.Tables.
+  /** The events table as a streaming frame. The streaming reader needs an
+    * explicit schema; instead of assuming one physical encoding for `ts`
+    * (r8 lesson: the fixture flipped from TIMESTAMP(NANOS) to naive
+    * TIMESTAMP(MICROS) and the hardcoded nanos divisor silently shrank
+    * every timestamp 1000×), take the schema a batch read of the same file
+    * actually produces, then apply the SAME normalization as graft.Tables —
+    * one shared expression, so batch and stream cannot drift.
     */
   private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      graft.Tables(ss, dir, "events").schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
-    ss.readStream.schema(rawSchema)
+    val rawSchema = graft.Tables.raw(ss, dir, "events").schema
+    val stream = ss.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    stream.withColumn("ts",
+      graft.Tables.normalizeTsExpr("ts", rawSchema("ts").dataType))
   }
 
   // Streaming replay must converge to exactly the batch fold: same oracle

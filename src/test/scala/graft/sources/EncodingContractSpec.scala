@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** The ingestion encoding contract: `events.ts` must be accepted in every
+  * timestamp flavor a real lake contains — int64 nanos (read as long via
+  * the legacy flag), naive TIMESTAMP(MICROS) (Spark TIMESTAMP_NTZ),
+  * UTC-adjusted TIMESTAMP(MICROS) (Spark TIMESTAMP), and INT96 — and every
+  * flavor must produce BIT-IDENTICAL query results. This is the
+  * reference's defensive-parse philosophy
+  * (data-plane/internal/projection/signal.go:147-153: RFC3339 parse with
+  * 0-fallback so odd inputs degrade instead of failing) applied to
+  * parquet.
+  *
+  * Round-8 regression this pins: the driver regenerated fixtures from
+  * TIMESTAMP(NANOS) to naive TIMESTAMP(MICROS); a LongType-only shim let
+  * NTZ pass through un-normalized (24 queries crashed at analysis) and the
+  * streaming reader's hardcoded nanos divisor shrank every timestamp
+  * 1000× (3 silent wrong answers). This spec fails if either fix is
+  * reverted: the NTZ variant crashes `unix_micros(ts)` under the old
+  * Tables, and the long-nanos variant breaks s2's window count under a
+  * unit-blind eventsStream.
+  */
+class EncodingContractSpec extends SparkSuite {
+
+  private val srcDir = "/root/testdata/sf0.001"
+
+  /** Write as a single FILE named events.parquet (like the driver fixture)
+    * — the streaming source's pathGlobFilter matches file names, so a
+    * directory-shaped events.parquet would stream zero rows.
+    */
+  private def writeVariant(df: DataFrame, dir: String): Unit = {
+    val staging = s"$dir/.staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file written under $staging"))
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(staging).listFiles().foreach(_.delete())
+    Files.deleteIfExists(java.nio.file.Paths.get(staging))
+  }
+
+  /** tmp dirs, one per encoding, each holding just events.parquet. */
+  private lazy val variants: Map[String, String] = {
+    val base = Tables(spark, srcDir, "events")  // normalized: ts is LTZ micros
+    val root = Files.createTempDirectory("graft-enc-").toFile.getAbsolutePath
+
+    // int64 nanos-as-long: what TIMESTAMP(NANOS) reads back as under
+    // spark.sql.legacy.parquet.nanosAsLong (Spark cannot WRITE nanos, so
+    // the raw-long column reproduces the read-side type exactly).
+    writeVariant(
+      base.withColumn("ts", expr("unix_micros(ts) * 1000L")),
+      s"$root/nanos_long")
+
+    // naive micros → parquet TIMESTAMP(isAdjustedToUTC=false, MICROS),
+    // reads back TIMESTAMP_NTZ. Session tz is UTC, so the NTZ wall-clock
+    // carries the same micros value.
+    writeVariant(
+      base.withColumn("ts", col("ts").cast(TimestampNTZType)),
+      s"$root/micros_ntz")
+
+    // UTC-adjusted micros → TIMESTAMP(isAdjustedToUTC=true, MICROS),
+    // reads back TIMESTAMP (LTZ): the normal form, passthrough branch.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    writeVariant(base, s"$root/micros_utc")
+
+    // INT96: the legacy Hive/Impala encoding still common in old lakes.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    writeVariant(base, s"$root/int96")
+    spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    Map(
+      "nanos_long" -> s"$root/nanos_long",
+      "micros_ntz" -> s"$root/micros_ntz",
+      "micros_utc" -> s"$root/micros_utc",
+      "int96"      -> s"$root/int96")
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("Tables normalizes every encoding to the same TimestampType frame") {
+    val frames = variants.map { case (enc, dir) =>
+      val t = Tables(spark, dir, "events")
+      assert(t.schema("ts").dataType === TimestampType,
+        s"$enc: ts must normalize to TIMESTAMP, got ${t.schema("ts").dataType}")
+      enc -> canon(t.select("event_id", "ts", "user_id", "event_type", "value"))
+    }
+    val baseline = frames("micros_utc")
+    frames.foreach { case (enc, rows) =>
+      assert(rows === baseline, s"$enc: normalized rows differ from micros_utc")
+    }
+  }
+
+  test("batch queries are encoding-invariant (a12 window, q1 top-k)") {
+    for (q <- Seq("a12_tumbling_window", "q1_topk_by_time")) {
+      val fn = SparkEntry.queries(q)
+      val expect = canon(fn(spark, srcDir))
+      assert(expect.nonEmpty, s"$q: baseline produced no rows")
+      variants.foreach { case (enc, dir) =>
+        assert(canon(fn(spark, dir)) === expect, s"$q over $enc encoding")
+      }
+    }
+  }
+
+  test("streaming window (s2) is encoding-invariant") {
+    // The streaming reader takes an explicit schema, so it is the most
+    // encoding-fragile path — pin the two flavors that differ physically
+    // (int64-nanos vs micros-NTZ) against the batch truth.
+    val fn = SparkEntry.queries("s2_stream_window")
+    val expect = canon(fn(spark, srcDir))
+    assert(expect.nonEmpty, "s2 baseline produced no rows")
+    for (enc <- Seq("nanos_long", "micros_ntz")) {
+      assert(canon(fn(spark, variants(enc))) === expect, s"s2 over $enc encoding")
+    }
+  }
+}

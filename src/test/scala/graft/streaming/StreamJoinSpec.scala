@@ -16,17 +16,13 @@ import graft.{SparkSuite, Tables}
 class StreamJoinSpec extends SparkSuite {
 
   private def eventStream(dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      Tables(spark, dir, "events").schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
+    // Encoding-agnostic: batch-read schema + the shared normalization
+    // expression (EncodingContractSpec pins the flavors).
+    val rawSchema = Tables.raw(spark, dir, "events").schema
     spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", Tables.normalizeTsExpr("ts", rawSchema("ts").dataType))
   }
 
   test("stream-stream interval join equals the batch join") {

@@ -15,21 +15,15 @@ class WindowedStreamSpec extends SparkSuite {
 
   test("streaming tumbling-window agg equals the batch result") {
     val dir = sf("sf0.001")
-    // raw parquet schema: ts is TIMESTAMP(NANOS) -> read as long
-    // (nanosAsLong, set by Tables) and truncate to micros, exactly like
-    // the batch loader does.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      Tables(spark, dir, "events").schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
+    // Encoding-agnostic: take the schema a batch read actually produces
+    // and normalize with the same shared expression as graft.Tables
+    // (EncodingContractSpec pins the flavors).
+    val rawSchema = Tables.raw(spark, dir, "events").schema
 
     val streamed = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", Tables.normalizeTsExpr("ts", rawSchema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
