@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{DataType, DateType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated star schema
   * (see TESTDATA.md / FIXTURES.md §4).
@@ -77,6 +77,29 @@ object Tables {
   def normalizeTs(df: DataFrame, c: String): DataFrame =
     df.withColumn(c, normalizeTsExpr(c, df.schema(c).dataType))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    tsCols.getOrElse(name, Nil).foldLeft(raw(spark, dir, name))(normalizeTs)
+  /** Embedding columns to normalize, per table — same insurance as ts but
+    * for the vector element type. The fixture stores float32 today; a
+    * regeneration with pandas' float64 default would flip the column to
+    * `array<double>` and every similarity kernel bound to
+    * `ArrayType(FloatType)` would crash at analysis, exactly like the r8
+    * ts flip. Canonical internal type is float32 (what the kernels
+    * compile for; vectors never appear in query OUTPUT columns, so the
+    * cast cannot cause an oracle dtype mismatch — verified over all 137
+    * verify dumps).
+    */
+  private val vecCols: Map[String, Seq[String]] = Map("embeddings" -> Seq("embedding"))
+
+  /** Normalize one vector column to `array<float>`. */
+  def normalizeVec(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case ArrayType(FloatType, _)  => df
+      case ArrayType(DoubleType, _) => df.withColumn(c, col(c).cast(ArrayType(FloatType)))
+      case other => throw new IllegalArgumentException(
+        s"column $c: unsupported embedding encoding $other")
+    }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val withTs = tsCols.getOrElse(name, Nil).foldLeft(raw(spark, dir, name))(normalizeTs)
+    vecCols.getOrElse(name, Nil).foldLeft(withTs)(normalizeVec)
+  }
 }

@@ -111,6 +111,33 @@ class EncodingContractSpec extends SparkSuite {
     }
   }
 
+  test("embedding element type is normalized: float64 file, identical ANN results") {
+    // Same insurance as ts, for vectors: a pandas-float64 regeneration
+    // flips embedding to array<double>; Tables must hand the kernels the
+    // canonical array<float>. Values here are widened f32 → f64, so the
+    // truncation back is lossless and results must be BIT-identical.
+    val root = Files.createTempDirectory("graft-encv-").toFile.getAbsolutePath
+    val base = Tables(spark, srcDir, "embeddings")
+    assert(base.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    base.withColumn("embedding",
+        col("embedding").cast("array<double>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+    val part = new java.io.File(s"$root/stage").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$root/embeddings.parquet"))
+
+    val norm = Tables(spark, root, "embeddings")
+    assert(norm.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+    for (q <- Seq("e1_knn_brute", "e5_ivf_knn")) {
+      val fn = SparkEntry.queries(q)
+      val expect = canon(fn(spark, srcDir))
+      assert(expect.nonEmpty, s"$q: baseline produced no rows")
+      assert(canon(fn(spark, root)) === expect, s"$q over float64-encoded embeddings")
+    }
+  }
+
   test("streaming window (s2) is encoding-invariant") {
     // The streaming reader takes an explicit schema, so it is the most
     // encoding-fragile path — pin the two flavors that differ physically
