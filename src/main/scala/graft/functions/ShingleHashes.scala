@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct polynomial hashes of the word w-shingles of a document, as
@@ -89,6 +89,42 @@ case class ShingleHashesBag(left: Expression, right: Expression)
   override def prettyName: String = "shingle_hashes_bag"
 }
 
+/** One compiled pass producing, per bigram occurrence in document order,
+  * the struct `(uh, bh)`: the polynomial hash of the LEFT word (the LM
+  * context) and of the full bigram. t19's add-one bigram model needs both
+  * keys per transition; two separate bag passes + a `zip_with` lambda
+  * would re-hash every word AND run interpreted (LambdaFunction escapes
+  * whole-stage codegen — the r8 no-lambda invariant). Here `uh` is the
+  * Horner-fold PREFIX of `bh`, so the bigram hash resumes from the
+  * context hash: O(chars) total, not O(2·chars).
+  */
+case class BigramContextHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_context_hashes expects STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("uh", LongType, nullable = false),
+      StructField("bh", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleHashes.bigramContextHashes(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.ShingleHashes.bigramContextHashes($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bigram_context_hashes"
+}
+
 object ShingleHashes {
   import WinnowFingerprints.{Base, Mod}
 
@@ -138,6 +174,36 @@ object ShingleHashes {
       j += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** Per-transition (context-hash, bigram-hash) structs in document
+    * order: `uh(i) = fold(word_i)`, `bh(i)` resumes that fold over
+    * `' ' + word_{i+1}` — exactly the hash of "word_i word_{i+1}", at
+    * O(chars) total. See [[BigramContextHashes]].
+    */
+  def bigramContextHashes(text: UTF8String): ArrayData = {
+    val words = splitWords(text.toString)
+    val n = words.length - 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    def wordHash(from: Long, word: String): Long = {
+      var acc = from
+      var j = 0
+      while (j < word.length) {
+        val cp = word.codePointAt(j)
+        acc = (acc * Base + cp) % Mod
+        j += Character.charCount(cp)
+      }
+      acc
+    }
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val uh = wordHash(0L, words(i))
+      val bh = wordHash((uh * Base + ' ') % Mod, words(i + 1))
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(uh, bh)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Split on single spaces, preserving empty tokens — the exact

@@ -150,6 +150,13 @@ package object functions {
   def shingle_hashes_bag(text: Column, w: Int): Column =
     columnOf(ShingleHashesBag(exprOf(text), exprOf(lit(w))))
 
+  /** Per-transition (context-hash, bigram-hash) structs in document
+    * order — one compiled pass for bigram-LM consumers (t19). See
+    * [[BigramContextHashes]].
+    */
+  def bigram_context_hashes(text: Column): Column =
+    columnOf(BigramContextHashes(exprOf(text)))
+
   /** Compiled bag-count of tokens appearing in a small literal word list
     * (marker/stopword counting). See [[CountIn]].
     */

@@ -323,6 +323,64 @@ object SimilarityPack extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // e12: ANN index-quality evaluation — recall@K of the IVF probe path
+    // against the exact brute-force truth, the metric every real ANN
+    // deployment tracks before trusting an index (FAISS's own benchmark
+    // protocol). nprobe=2 (vs e5's serving 6) so the measured recall is
+    // non-trivial on this near-random corpus and the number actually
+    // exercises the metric. Shape: probes are a BOUNDED eval sample
+    // (RecallProbes×Dim floats pulled to the driver — e5's blessed
+    // bounded-pull contract), both rankings use e9's TopKAggregator
+    // (map-side K-bounded partials — shuffle volume K·probes, never
+    // corpus-sized; a window over the ×probes-multiplied corpus would
+    // sort it in full), and the recall join touches ≤ K·probes rows. At
+    // 100 TB the truth side is deliberately one exact corpus pass per
+    // eval — that is what "measuring recall" means; you bound it by
+    // bounding the probe sample, which is the knob this operator
+    // exposes. Determinism: integer micro-unit cosines (e9's fixed
+    // point), ties to lowest vec_id, first-min centroid assignment —
+    // the oracle replays all three exactly.
+    "e12_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[KnnScore]] =
+        org.apache.spark.sql.Encoders.kryo[Seq[KnnScore]]
+      val emb = Tables(s, dir, "embeddings")
+      val centroids = IvfIndex.Pretrained
+      val pvs = emb.where(col("vec_id") < RecallProbes)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val probes = pvs.toSeq
+        .map { case (id, v) =>
+          (id, v.toSeq, IvfIndex.probeCids(centroids, v, RecallNprobe)) }
+        .toDF("q_id", "qe", "cids")
+      val topk = new graft.functions.TopKAggregator[KnnScore](
+        RecallK, _.cos6, _.vec_id)
+      def topIds(scored: org.apache.spark.sql.Dataset[KnnScore]): DataFrame =
+        scored.groupByKey(_.q_id).agg(topk.toColumn.name("top"))
+          .map { case (q, rows) => (q, rows.map(_.vec_id)) }
+          .toDF("probe_id", "ids")
+      val scored = IvfIndex.assign(emb, centroids)
+        .where(col("vec_id") >= RecallProbes)
+        .crossJoin(broadcast(probes))
+        .select(col("q_id"), col("vec_id"), col("cid"), col("cids"),
+          round(cosine_similarity(col("embedding"), col("qe")) * 1e6, 0)
+            .cast("long").as("cos6"))
+      val truth = topIds(scored.select("q_id", "vec_id", "cos6").as[KnnScore])
+      val approx = topIds(
+        scored.where(array_contains(col("cids"), col("cid")))
+          .select("q_id", "vec_id", "cos6").as[KnnScore])
+        .withColumnRenamed("ids", "aids")
+      // both sides are ≤RecallProbes rows post-aggregation, but the typed
+      // agg output carries no stats — hint it or this 8×8 join sorts.
+      truth.join(broadcast(approx), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          size(array_intersect(col("ids"),
+            coalesce(col("aids"), array()))).cast("long").as("hits"))
+        .select(col("probe_id"), col("hits"),
+          (col("hits").cast("double") / lit(RecallK.toDouble)).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // e11: HYBRID retrieval — reciprocal rank fusion (RRF, Cormack et
     // al.'09: score = Σ 1/(C + rank_i), C = 60) of a DENSE ranking
     // (brute cosine vs the vec-0 query embedding, e1's one-pass shape)
@@ -427,6 +485,10 @@ object SimilarityPack extends QueryPack {
   private val BatchQueries = 8
   private val BatchK = 20
 
+  private[operators] val RecallProbes = 8
+  private[operators] val RecallK = 10
+  private[operators] val RecallNprobe = 2
+
   /** DuckDB replay of [[lshBuckets]]: per-table bucket codes b0..b{n-1}
     * over the SAME hyperplane constants (sign(list_dot_product) ==
     * sign(cosine) — the positive norms can't flip it). Shared by the d6
@@ -496,6 +558,52 @@ object SimilarityPack extends QueryPack {
 
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+
+    // e12: replay probes (first-RecallProbes vectors), per-probe nearest
+    // RecallNprobe centroids (same distance list + (d, cid) tie rule as
+    // e5), first-min assignment, micro-unit cosines, per-probe ranks on
+    // (cos6 DESC, vec_id), then count the truth∩approx overlap.
+    "e12_ann_recall" -> {
+      val distP = IvfIndex.distListSql(IvfIndex.Pretrained, "p.pe")
+      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM emb WHERE vec_id < $RecallProbes),
+         |pd AS (SELECT probe_id, $distP AS d FROM probes p),
+         |pc AS (
+         |  SELECT probe_id, cid FROM (
+         |    SELECT probe_id, CAST(i AS INTEGER) - 1 AS cid,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY d[CAST(i AS INTEGER)], i) AS rn
+         |    FROM pd, range(1, ${IvfIndex.Pretrained.length + 1}) t(i))
+         |  WHERE rn <= $RecallNprobe),
+         |asg AS (
+         |  SELECT vec_id, e,
+         |    CAST(list_position(d2, list_min(d2)) - 1 AS INTEGER) AS cid
+         |  FROM (SELECT vec_id, e, $distE AS d2 FROM emb WHERE vec_id >= $RecallProbes)),
+         |scored AS (
+         |  SELECT p.probe_id, a.vec_id, a.cid,
+         |    CAST(round(list_cosine_similarity(a.e, p.pe) * 1000000, 0) AS BIGINT) AS cos6
+         |  FROM asg a, probes p),
+         |truth AS (
+         |  SELECT probe_id, vec_id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos6 DESC, vec_id) <= $RecallK),
+         |approx AS (
+         |  SELECT s.probe_id, s.vec_id FROM scored s
+         |  JOIN pc ON s.probe_id = pc.probe_id AND s.cid = pc.cid
+         |  QUALIFY row_number() OVER (PARTITION BY s.probe_id
+         |    ORDER BY cos6 DESC, s.vec_id) <= $RecallK),
+         |overlap AS (
+         |  SELECT t.probe_id, count(*) AS h
+         |  FROM truth t JOIN approx a
+         |    ON t.probe_id = a.probe_id AND t.vec_id = a.vec_id
+         |  GROUP BY t.probe_id)
+         |SELECT p.probe_id,
+         |  CAST(coalesce(o.h, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(o.h, 0) AS DOUBLE) / $RecallK.0 AS recall
+         |FROM probes p LEFT JOIN overlap o USING (probe_id)
+         |ORDER BY probe_id""".stripMargin
+    },
 
     // Replays the two Lloyd iterations CTE by CTE: assignment =
     // first-min over rounded distances (ORDER BY d, cid ≡ lowest-index

@@ -429,6 +429,50 @@ object TextPack extends QueryPack {
           size(array_remove(split(col("text"), " "), "")).as("n_words"),
           graft.functions.bpe_token_count(col("text"), merges).as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // t19: bigram language-model fluency scoring — the CCNet/Gopher-class
+    // quality filter: train an add-one-smoothed bigram model ON the
+    // corpus, score each doc by its mean (and worst) transition
+    // probability. p(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V), where ctx(w1)
+    // counts w1 as a bigram LEFT context (transitions out of w1) and
+    // V = |distinct contexts| — the model self-normalizes over exactly
+    // the events it scores. Dataflow at 100 TB: everything is keyed by
+    // the compiled 8-byte polynomial hashes (t12's narrow-shuffle-key
+    // trick — never gram strings): bigram instances come from ONE
+    // compiled pass per doc (the BigramContextHashes kernel emits each
+    // transition's (context, bigram) hash pair, the bigram fold resuming
+    // from the context prefix), the model is two hash-keyed count aggregates
+    // (partial-agg shuffles, vocab-bounded like t9's df table), scoring
+    // is two hash equi-joins + one per-doc fold. Determinism: each
+    // transition's probability quantizes to integer micro-units BEFORE
+    // the per-doc sum (the e9/e11 fixed-point discipline — float-sum
+    // order sensitivity never exists, and no transcendental whose last
+    // ulp could differ cross-engine); the mean is one terminal IEEE
+    // division.
+    "t19_bigram_lm_score" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.bigram_context_hashes(col("text"))).as("t"))
+        .select(col("doc_id"), col("t.uh"), col("t.bh"))
+      val ctx = pairs.groupBy("uh").agg(count(lit(1)).as("uc"))
+      val big = pairs.groupBy("bh").agg(count(lit(1)).as("bc"))
+      val vocab = pairs.select(countDistinct(col("uh")).as("v"))
+      pairs
+        .join(ctx, "uh").join(big, "bh").crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(lit(1000000.0) *
+            ((col("bc") + lit(1)).cast("double") /
+             (col("uc") + col("v")).cast("double")), 0)
+            .cast("long").as("p6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trans"),
+          min(col("p6")).as("min_p6"),
+          sum(col("p6")).as("sum_p6"))
+        .select(col("doc_id"), col("n_trans"), col("min_p6"),
+          (col("sum_p6").cast("double") / col("n_trans").cast("double"))
+            .as("avg_p6"))
+        .orderBy("doc_id")
     })
   )
 
@@ -741,7 +785,33 @@ object TextPack extends QueryPack {
          |    w -> len(string_split($chain, '  ')))), 0) AS INTEGER) AS n_bpe_tokens
          |FROM dw, mm
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // t19: left-context and bigram hash lists built in LOCKSTEP (two
+    // parallel unnests zip positionally, the same trick as the BPE pair
+    // CTE), each hashed by the shared polyHashSql fold; then the same
+    // add-one model, micro-unit quantization before the per-doc sum.
+    "t19_bigram_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(list_transform(range(1, len(ws)), i -> ws[i]),
+        |      sh -> ${DedupPack.polyHashSql}) AS uhs,
+        |    list_transform(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+        |      sh -> ${DedupPack.polyHashSql}) AS bhs
+        |  FROM w WHERE len(ws) >= 2),
+        |p AS (SELECT doc_id, unnest(uhs) AS uh, unnest(bhs) AS bh FROM g),
+        |ctx AS (SELECT uh, count(*) AS uc FROM p GROUP BY uh),
+        |big AS (SELECT bh, count(*) AS bc FROM p GROUP BY bh),
+        |v AS (SELECT count(DISTINCT uh) AS v FROM p),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(round(1000000.0 *
+        |      (CAST(bc + 1 AS DOUBLE) / CAST(uc + v AS DOUBLE)), 0) AS BIGINT) AS p6
+        |  FROM p JOIN ctx USING (uh) JOIN big USING (bh), v)
+        |SELECT doc_id, count(*) AS n_trans, min(p6) AS min_p6,
+        |  CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_p6
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

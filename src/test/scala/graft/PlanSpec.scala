@@ -444,7 +444,7 @@ class PlanSpec extends SparkSuite {
     // bigrams through ShingleHashesBag; this pin keeps it that way.
     import org.apache.spark.sql.catalyst.expressions.LambdaFunction
     Seq("t2_quality_score", "t3_langid", "t12_bigram_novelty",
-        "t13_langid_margin", "t18_bpe_apply").foreach { name =>
+        "t13_langid_margin", "t18_bpe_apply", "t19_bigram_lm_score").foreach { name =>
       val opt = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.optimizedPlan
       val lambdas = opt.collect { case node =>

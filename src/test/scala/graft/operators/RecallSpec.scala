@@ -73,6 +73,38 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.9, s"e8 recall@20 degraded to $recall")
   }
 
+  test("e12 recall evaluation: agrees with an independent recomputation") {
+    // e12 IS the metric the other gates here hand-compute — so gate it
+    // against an independent formulation: per-probe recall must equal
+    // |truth ∩ approx|/K where truth = exact brute top-K and approx =
+    // IVF(nprobe=2) top-K, recomputed with plain collect-side code.
+    import org.apache.spark.sql.functions._
+    val got = SimilarityPack.queries("e12_ann_recall")(spark, dir)
+      .select("probe_id", "hits").as[(Long, Long)].collect().toMap
+    assert(got.size === SimilarityPack.RecallProbes)
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val centroids = IvfIndex.Pretrained
+    val corpus = emb.where(col("vec_id") >= SimilarityPack.RecallProbes)
+    val probes = emb.where(col("vec_id") < SimilarityPack.RecallProbes)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    probes.foreach { case (pid, pv) =>
+      val assigned = IvfIndex.assign(corpus, centroids)
+        .select(col("vec_id"), col("cid"),
+          round(graft.functions.cosine_similarity(
+            col("embedding"), typedLit(pv.toSeq)) * 1e6, 0).cast("long").as("cos6"))
+        .as[(Long, Int, Long)].collect()
+      def topK(rows: Seq[(Long, Int, Long)]): Set[Long] =
+        rows.sortBy { case (id, _, c) => (-c, id) }
+          .take(SimilarityPack.RecallK).map(_._1).toSet
+      val truth = topK(assigned.toSeq)
+      val cids = IvfIndex.probeCids(centroids, pv, SimilarityPack.RecallNprobe).toSet
+      val approx = topK(assigned.toSeq.filter(r => cids(r._2)))
+      assert(got(pid) === (truth & approx).size.toLong,
+        s"probe $pid: e12 hits ${got(pid)} != independent ${(truth & approx).size}")
+    }
+  }
+
   test("a20 HLL approx distinct: relative error vs exact a11 within 5%") {
     import spark.implicits._
     val exactCounts = graft.SparkEntry.queries("a11_distinct_agg")(spark, dir)
