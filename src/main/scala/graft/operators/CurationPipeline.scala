@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
@@ -174,8 +175,73 @@ object CurationPipeline extends QueryPack {
             SamplingPack.temperatureDraw(col("doc_id")) < col("thr"))
             .cast("int").as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // pipeline5: LM-gated CURRICULUM assembly — the ordering problem
+    // downstream of every gate above: train on predictable text first,
+    // hardest last (curriculum learning), without ever globally sorting
+    // the corpus. Composition: t19's bigram-LM scores → fluency gate
+    // (drop docs below half the corpus mean probability — a
+    // corpus-relative policy, one 1-row broadcast) → exact curriculum
+    // quartiles over the survivors via the a34 two-level rank (band
+    // partition + broadcast cumulative offsets ≡ a global (avg_p6 DESC,
+    // doc_id) row_number, NO single-partition window) → x4's salted-hash
+    // epoch shuffle WITHIN (phase, shard), so a loader streams phases in
+    // order and each phase's shards in parallel. One decision row per
+    // scored doc; dropped docs carry phase 0 / shard -1 / pos 0 (typed
+    // sentinels, not NULLs — integer columns stay integers in both
+    // engines). The only corpus-sized shuffles are t19's own two
+    // hash-keyed model aggregates and the (phase, shard) position
+    // windows; phase/offset state is bands+1 broadcast rows.
+    "pipeline5_curriculum" -> ((s, dir) => {
+      val scores = TextPack.bigramLmScores(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("avg_p6"))
+      val gate = scores.agg(
+        (sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
+      val flagged = scores.crossJoin(broadcast(gate))
+        .select(col("doc_id"), col("avg_p6"),
+          (col("avg_p6") >= col("mean_p6") / 2).cast("int").as("fluent"))
+      val kept = flagged.where(col("fluent") === 1)
+        .withColumn("band", floor(col("avg_p6") / 10000.0).cast("long"))
+      val wb = Window.partitionBy("band")
+        .orderBy(col("avg_p6").desc, col("doc_id"))
+      val woff = Window.orderBy(col("band").desc)
+      val offs = kept.groupBy("band").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(woff.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n_kept", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val phased = kept.withColumn("rn", row_number().over(wb))
+        .join(broadcast(offs), "band")
+        .withColumn("rank", col("off") + col("rn"))
+        .withColumn("q", expr("n_kept DIV 4"))
+        .withColumn("r", col("n_kept") % 4)
+        .withColumn("phase",
+          when(col("rank") <= col("r") * (col("q") + 1),
+            expr("(rank - 1) DIV (q + 1)") + 1)
+            .otherwise(col("r") + expr("(rank - 1 - r * (q + 1)) DIV q") + 1)
+            .cast("int"))
+        .withColumn("shard", pmod(
+          md5Prefix60(concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(CurriculumShards)))
+        .withColumn("hkey",
+          md5(concat(lit("cur:"), col("doc_id").cast("string")).cast("binary")))
+      val wp = Window.partitionBy("phase", "shard")
+        .orderBy(col("hkey"), col("doc_id"))
+      flagged.join(
+          phased.withColumn("pos", row_number().over(wp))
+            .select(col("doc_id"), col("phase"), col("shard"), col("pos")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fluent"),
+          coalesce(col("phase"), lit(0)).as("phase"),
+          coalesce(col("shard"), lit(-1L)).as("shard"),
+          coalesce(col("pos"), lit(0)).as("pos"))
+        .orderBy("doc_id")
     })
   )
+
+  private val CurriculumShards = 8
 
   /** The curation CTE chain up to `lab` (one decision row per doc) —
     * shared by both pipeline oracles.
@@ -323,6 +389,47 @@ object CurationPipeline extends QueryPack {
          |             % 1000000 < r.thr AS INTEGER) AS keep
          |FROM base b LEFT JOIN rates r USING (lang)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // pipeline5: t19's CTE chain (shared), then the plain global
+    // formulation of what the Spark side computes with the two-level
+    // band rank — the a34 equivalence makes them identical. Sentinels
+    // (0 / -1 / 0) keep every output column integer-typed.
+    "pipeline5_curriculum" ->
+      s"""${TextPack.bigramLmCtes},
+         |mean AS (SELECT sum(avg_p6) / count(*) AS mean_p6 FROM sc),
+         |fl AS (
+         |  SELECT doc_id, avg_p6,
+         |    CAST(avg_p6 >= mean_p6 / 2 AS INTEGER) AS fluent
+         |  FROM sc, mean),
+         |kept AS (SELECT doc_id, avg_p6 FROM fl WHERE fluent = 1),
+         |st AS (SELECT count(*) AS n_kept FROM kept),
+         |rk AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY avg_p6 DESC, doc_id) AS rank
+         |  FROM kept),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN rank <= (n_kept % 4) * (n_kept // 4 + 1)
+         |      THEN (rank - 1) // (n_kept // 4 + 1) + 1
+         |      ELSE (n_kept % 4) + (rank - 1 - (n_kept % 4) * (n_kept // 4 + 1)) // (n_kept // 4) + 1
+         |      END AS INTEGER) AS phase
+         |  FROM rk, st),
+         |sh AS (
+         |  SELECT doc_id, phase,
+         |    CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $CurriculumShards AS shard,
+         |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS hkey
+         |  FROM ph),
+         |pos AS (
+         |  SELECT doc_id, phase, shard,
+         |    CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY hkey, doc_id) AS INTEGER) AS pos
+         |  FROM sh)
+         |SELECT f.doc_id, f.fluent,
+         |  coalesce(p.phase, 0) AS phase,
+         |  coalesce(p.shard, -1) AS shard,
+         |  coalesce(p.pos, 0) AS pos
+         |FROM fl f LEFT JOIN pos p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

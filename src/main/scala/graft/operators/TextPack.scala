@@ -450,31 +450,63 @@ object TextPack extends QueryPack {
     // order sensitivity never exists, and no transcendental whose last
     // ulp could differ cross-engine); the mean is one terminal IEEE
     // division.
-    "t19_bigram_lm_score" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.bigram_context_hashes(col("text"))).as("t"))
-        .select(col("doc_id"), col("t.uh"), col("t.bh"))
-      val ctx = pairs.groupBy("uh").agg(count(lit(1)).as("uc"))
-      val big = pairs.groupBy("bh").agg(count(lit(1)).as("bc"))
-      val vocab = pairs.select(countDistinct(col("uh")).as("v"))
-      pairs
-        .join(ctx, "uh").join(big, "bh").crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          round(lit(1000000.0) *
-            ((col("bc") + lit(1)).cast("double") /
-             (col("uc") + col("v")).cast("double")), 0)
-            .cast("long").as("p6"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_trans"),
-          min(col("p6")).as("min_p6"),
-          sum(col("p6")).as("sum_p6"))
-        .select(col("doc_id"), col("n_trans"), col("min_p6"),
-          (col("sum_p6").cast("double") / col("n_trans").cast("double"))
-            .as("avg_p6"))
-        .orderBy("doc_id")
-    })
+    "t19_bigram_lm_score" -> ((s, dir) =>
+      bigramLmScores(Tables(s, dir, "documents")).orderBy("doc_id"))
   )
+
+  /** t19's scorer as a frame-in/frame-out stage (pipeline5 composes it):
+    * (doc_id, n_trans, min_p6, avg_p6) per doc with ≥ 1 transition. See
+    * the t19 entry's scaladoc for the model + dataflow reasoning.
+    */
+  private[graft] def bigramLmScores(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(graft.functions.bigram_context_hashes(col("text"))).as("t"))
+      .select(col("doc_id"), col("t.uh"), col("t.bh"))
+    val ctx = pairs.groupBy("uh").agg(count(lit(1)).as("uc"))
+    val big = pairs.groupBy("bh").agg(count(lit(1)).as("bc"))
+    val vocab = pairs.select(countDistinct(col("uh")).as("v"))
+    pairs
+      .join(ctx, "uh").join(big, "bh").crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(lit(1000000.0) *
+          ((col("bc") + lit(1)).cast("double") /
+           (col("uc") + col("v")).cast("double")), 0)
+          .cast("long").as("p6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"),
+        min(col("p6")).as("min_p6"),
+        sum(col("p6")).as("sum_p6"))
+      .select(col("doc_id"), col("n_trans"), col("min_p6"),
+        (col("sum_p6").cast("double") / col("n_trans").cast("double"))
+          .as("avg_p6"))
+  }
+
+  /** t19's oracle CTE chain up to `sc` = (doc_id, n_trans, min_p6,
+    * avg_p6) — shared with pipeline5's oracle.
+    */
+  private[graft] val bigramLmCtes: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(list_transform(range(1, len(ws)), i -> ws[i]),
+      |      sh -> ${DedupPack.polyHashSql}) AS uhs,
+      |    list_transform(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+      |      sh -> ${DedupPack.polyHashSql}) AS bhs
+      |  FROM w WHERE len(ws) >= 2),
+      |p AS (SELECT doc_id, unnest(uhs) AS uh, unnest(bhs) AS bh FROM g),
+      |ctx AS (SELECT uh, count(*) AS uc FROM p GROUP BY uh),
+      |big AS (SELECT bh, count(*) AS bc FROM p GROUP BY bh),
+      |v AS (SELECT count(DISTINCT uh) AS v FROM p),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(round(1000000.0 *
+      |      (CAST(bc + 1 AS DOUBLE) / CAST(uc + v AS DOUBLE)), 0) AS BIGINT) AS p6
+      |  FROM p JOIN ctx USING (uh) JOIN big USING (bh), v),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_trans, min(p6) AS min_p6,
+      |    CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_p6
+      |  FROM q GROUP BY doc_id)""".stripMargin
 
   /** BPE merge rounds for the t17/t18 training demo (unrolled identically
     * in the oracles).
@@ -792,26 +824,9 @@ object TextPack extends QueryPack {
     // CTE), each hashed by the shared polyHashSql fold; then the same
     // add-one model, micro-unit quantization before the per-doc sum.
     "t19_bigram_lm_score" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_transform(list_transform(range(1, len(ws)), i -> ws[i]),
-        |      sh -> ${DedupPack.polyHashSql}) AS uhs,
-        |    list_transform(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
-        |      sh -> ${DedupPack.polyHashSql}) AS bhs
-        |  FROM w WHERE len(ws) >= 2),
-        |p AS (SELECT doc_id, unnest(uhs) AS uh, unnest(bhs) AS bh FROM g),
-        |ctx AS (SELECT uh, count(*) AS uc FROM p GROUP BY uh),
-        |big AS (SELECT bh, count(*) AS bc FROM p GROUP BY bh),
-        |v AS (SELECT count(DISTINCT uh) AS v FROM p),
-        |q AS (
-        |  SELECT doc_id,
-        |    CAST(round(1000000.0 *
-        |      (CAST(bc + 1 AS DOUBLE) / CAST(uc + v AS DOUBLE)), 0) AS BIGINT) AS p6
-        |  FROM p JOIN ctx USING (uh) JOIN big USING (bh), v)
-        |SELECT doc_id, count(*) AS n_trans, min(p6) AS min_p6,
-        |  CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_p6
-        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""$bigramLmCtes
+        |SELECT doc_id, n_trans, min_p6, avg_p6
+        |FROM sc ORDER BY doc_id""".stripMargin
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

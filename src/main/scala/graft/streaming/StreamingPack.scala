@@ -835,6 +835,83 @@ object StreamingPack extends QueryPack {
         .groupBy("user_id", "n_exact")
         .agg(min(col("n")).as("cms_est"))
         .orderBy("user_id")
+    }),
+
+    // s19: STREAMING quality gate with a BATCH-trained language model —
+    // the train-once/serve-stream split (e5/e7/t18's doctrine) applied to
+    // t19: the bigram model (context counts, bigram counts, vocab, gate
+    // mean) is trained in batch and written as a model ARTIFACT; the
+    // document stream is then scored per micro-batch via foreachBatch —
+    // Spark's production pattern for stream-static scoring with
+    // per-batch aggregates (a per-doc streaming aggregation would park
+    // every doc's transitions in watermark state for no reason; a doc's
+    // rows are atomic within a batch, so per-batch scoring is exact).
+    // Model joins BROADCAST (the artifact is vocab-sized — the thing
+    // that makes LM serving scale-free); delivery is 2 micro-batches
+    // split by doc parity, so the result proves batch-composition
+    // invariance: scores depend only on the frozen model, never on how
+    // the stream was batched. Output ≡ batch t19 + pipeline5's gate, so
+    // the oracle is the shared CTE chain.
+    "s19_stream_lm_gate" -> ((s, dir) => {
+      val tmp = scratch("graft-s19-")
+      // ---- train time (batch): model artifact + gate constant
+      val corpus = Tables(s, dir, "documents")
+      val pairsB = corpus.select(col("doc_id"),
+          explode(graft.functions.bigram_context_hashes(col("text"))).as("t"))
+        .select(col("doc_id"), col("t.uh"), col("t.bh"))
+      pairsB.groupBy("uh").agg(count(lit(1)).as("uc"))
+        .write.parquet(s"$tmp/model/ctx")
+      pairsB.groupBy("bh").agg(count(lit(1)).as("bc"))
+        .write.parquet(s"$tmp/model/big")
+      graft.operators.TextPack.bigramLmScores(corpus)
+        .agg((sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
+        .crossJoin(pairsB.select(countDistinct(col("uh")).as("v")))
+        .write.parquet(s"$tmp/model/cons")
+      // ---- serve time (stream): 2 parity-split deliveries
+      val docs = corpus.select("doc_id", "text")
+      docs.where(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      docs.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      val ss = tunedChild(s, width = 4, noData = false)
+      val q = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sb = batch.sparkSession
+          val ctx = sb.read.parquet(s"$tmp/model/ctx")
+          val big = sb.read.parquet(s"$tmp/model/big")
+          val cons = sb.read.parquet(s"$tmp/model/cons")
+          batch.select(col("doc_id"),
+              explode(graft.functions.bigram_context_hashes(col("text"))).as("t"))
+            .select(col("doc_id"), col("t.uh"), col("t.bh"))
+            .join(broadcast(ctx), Seq("uh"), "left")
+            .join(broadcast(big), Seq("bh"), "left")
+            .crossJoin(broadcast(cons))
+            .select(col("doc_id"), col("mean_p6"),
+              round(lit(1000000.0) *
+                ((coalesce(col("bc"), lit(0L)) + lit(1)).cast("double") /
+                 (coalesce(col("uc"), lit(0L)) + col("v")).cast("double")), 0)
+                .cast("long").as("p6"))
+            .groupBy("doc_id", "mean_p6")
+            .agg(count(lit(1)).as("n_trans"), sum(col("p6")).as("sum_p6"))
+            .select(col("doc_id"), col("n_trans"),
+              (col("sum_p6").cast("double") / col("n_trans").cast("double"))
+                .as("avg_p6"), col("mean_p6"))
+            .withColumn("fluent",
+              (col("avg_p6") >= col("mean_p6") / 2).cast("int"))
+            .drop("mean_p6")
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
     })
   )
 
@@ -1188,7 +1265,17 @@ object StreamingPack extends QueryPack {
         |  FROM x)
         |SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id,
         |  CAST(xc AS DOUBLE) / 100 AS value
-        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+
+    // s19 ≡ batch t19 + the half-mean gate: stream-static scoring
+    // against the frozen model must be invariant to batching, so the
+    // oracle is the shared batch CTE chain.
+    "s19_stream_lm_gate" ->
+      s"""${graft.operators.TextPack.bigramLmCtes},
+         |mean AS (SELECT sum(avg_p6) / count(*) AS mean_p6 FROM sc)
+         |SELECT doc_id, n_trans, avg_p6,
+         |  CAST(avg_p6 >= mean_p6 / 2 AS INTEGER) AS fluent
+         |FROM sc, mean ORDER BY doc_id""".stripMargin
   )
 
   private implicit class MapOps(m: Map[String, String]) {

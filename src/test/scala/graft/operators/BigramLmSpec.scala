@@ -79,4 +79,55 @@ class BigramLmSpec extends SparkSuite {
     assert(scored(9001L) > scored(9002L) * 1.5,
       s"repeated-text doc (${scored(9001L)}) must outscore novel doc (${scored(9002L)})")
   }
+
+  test("pipeline5 curriculum: gate drops gibberish, phases are quality-ordered quartiles") {
+    // The fixture corpus is uniform enough that nothing falls below the
+    // half-mean gate — append gibberish so the fluent=0 path is real.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-p5-").toString
+    val docs = graft.Tables(spark, dir, "documents")
+    // Worst-case text for a bigram LM: novel continuations out of the
+    // corpus's MOST FREQUENT context word — p(novel | frequent) has a
+    // huge denominator, so the score lands far below the smoothing
+    // floor a plain gibberish doc bottoms out at.
+    val topWord = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).head().getString(0)
+    val novel = (1 to 60).map(i => s"$topWord qqzx${i}blurb${i * 7919}x").mkString(" ")
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq((9002L, novel, "xx", "synthetic", novel.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val out = CurationPipeline.queries("pipeline5_curriculum")(spark, tmp)
+      .select("doc_id", "fluent", "phase", "shard", "pos")
+      .as[(Long, Int, Int, Long, Int)].collect()
+
+    val dropped = out.filter(_._2 == 0)
+    assert(dropped.map(_._1).contains(9002L), "gibberish doc must fail the fluency gate")
+    dropped.foreach { case (id, _, phase, shard, pos) =>
+      assert((phase, shard, pos) === ((0, -1L, 0)), s"doc $id: dropped rows carry sentinels")
+    }
+
+    val kept = out.filter(_._2 == 1)
+    val byPhase = kept.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byPhase.keySet === Set(1, 2, 3, 4))
+    // NTILE law: phase sizes differ by at most 1
+    assert(byPhase.values.max - byPhase.values.min <= 1, s"phase sizes $byPhase")
+
+    // quality ordering across phases: every phase-1 doc scores >= every
+    // phase-4 doc (ranks are by avg_p6 DESC)
+    val scores = TextPack.queries("t19_bigram_lm_score")(spark, tmp)
+      .select("doc_id", "avg_p6").as[(Long, Double)].collect().toMap
+    val p1Min = kept.filter(_._3 == 1).map(r => scores(r._1)).min
+    val p4Max = kept.filter(_._3 == 4).map(r => scores(r._1)).max
+    assert(p1Min >= p4Max, s"phase 1 min $p1Min < phase 4 max $p4Max")
+
+    // positions are contiguous 1..n within each (phase, shard)
+    kept.groupBy(r => (r._3, r._4)).foreach { case ((ph, sh), rows) =>
+      val ps = rows.map(_._5).sorted
+      assert(ps.toSeq === (1 to rows.length).toSeq, s"phase $ph shard $sh: $ps")
+    }
+  }
 }

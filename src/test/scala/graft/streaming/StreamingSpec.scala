@@ -102,6 +102,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("s19 stream-static LM gate equals batch t19 scores + the half-mean gate") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val streamed = graft.SparkEntry.queries("s19_stream_lm_gate")(spark, dir)
+    // every doc scored exactly once despite the 2-batch parity split
+    assert(streamed.count() === 500)
+    assert(streamed.select("doc_id").distinct().count() === 500)
+    val scores = graft.operators.TextPack.bigramLmScores(
+      graft.Tables(spark, dir, "documents"))
+    val mean = scores.agg((sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
+    val batch = scores.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_trans"), col("avg_p6"),
+        (col("avg_p6") >= col("mean_p6") / 2).cast("int").as("fluent"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("compact() drops old tombstones but keeps state intact") {
     val dir = tmp()
     val store = new BucketedStateStore(spark, dir, numBuckets = 4)
