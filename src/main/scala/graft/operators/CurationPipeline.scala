@@ -194,8 +194,16 @@ object CurationPipeline extends QueryPack {
     // hash-keyed model aggregates and the (phase, shard) position
     // windows; phase/offset state is bands+1 broadcast rows.
     "pipeline5_curriculum" -> ((s, dir) => {
+      // Stage boundary (pipeline2's precedent): the LM-scoring subtree —
+      // two corpus-sized model aggregates — is consumed by THREE branches
+      // (gate mean, flag projection, rank input). Measured neutral at
+      // sf0.1 (2.8 s either way — exchange reuse already dedupes the
+      // shared shuffles here), but reuse is an optimizer COURTESY, not a
+      // contract: the cut guarantees one model build at any scale, and at
+      // 100 TB it is the persisted score table between pipeline stages.
       val scores = TextPack.bigramLmScores(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("avg_p6"))
+        .localCheckpoint(true)
       val gate = scores.agg(
         (sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
       val flagged = scores.crossJoin(broadcast(gate))
