@@ -381,6 +381,38 @@ object SimilarityPack extends QueryPack {
         .orderBy("probe_id")
     }),
 
+    // e13: truncated-dimension two-stage ANN — the Matryoshka (MRL,
+    // Kusupati et al.'22) serving pattern: embeddings trained so every
+    // prefix is itself a usable embedding let the first pass score only
+    // the first MrlPrefixDim dims (¼ of the multiply-adds; with a
+    // prefix-dim column layout, ¼ of the bytes), keep a bounded
+    // shortlist, and re-rank it with full-dimension cosine. Same
+    // shortlist+rerank shape as e7's ADC path — both stages are
+    // TakeOrderedAndProject over one scan, no joins, no shuffle. The
+    // fixture's dims carry no MRL training, so this measures the
+    // MACHINERY (RecallSpec gates what prefix-16 of 64 i.i.d. dims can
+    // deliver); on real MRL embeddings the prefix IS the trained
+    // summary and recall approaches full-dim. Shortlist ranking
+    // quantizes to integer micro-units (e9's fixed point), ties to
+    // lowest vec_id — the oracle replays both stages exactly.
+    "e13_mrl_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(cosine_similarity(
+            slice(col("embedding"), 1, MrlPrefixDim),
+            typedLit(q.take(MrlPrefixDim).toSeq)) * 1e6, 0)
+            .cast("long").as("pre6"))
+        .orderBy(desc("pre6"), col("vec_id")).limit(MrlShortlist)
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), typedLit(q.toSeq)), 6)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
     // e11: HYBRID retrieval — reciprocal rank fusion (RRF, Cormack et
     // al.'09: score = Σ 1/(C + rank_i), C = 60) of a DENSE ranking
     // (brute cosine vs the vec-0 query embedding, e1's one-pass shape)
@@ -489,6 +521,9 @@ object SimilarityPack extends QueryPack {
   private[operators] val RecallK = 10
   private[operators] val RecallNprobe = 2
 
+  private[operators] val MrlPrefixDim = 16
+  private[operators] val MrlShortlist = 200
+
   /** DuckDB replay of [[lshBuckets]]: per-table bucket codes b0..b{n-1}
     * over the SAME hyperplane constants (sign(list_dot_product) ==
     * sign(cosine) — the positive norms can't flip it). Shared by the d6
@@ -558,6 +593,25 @@ object SimilarityPack extends QueryPack {
 
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+
+    // e13: both stages replayed — micro-unit prefix ranking over
+    // e[1:MrlPrefixDim] with (pre6 DESC, vec_id) ties, then full-dim
+    // rescore of the bounded shortlist.
+    "e13_mrl_knn" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |short AS (
+         |  SELECT vec_id, e FROM (
+         |    SELECT e.vec_id, e.e,
+         |      CAST(round(list_cosine_similarity(e.e[1:$MrlPrefixDim], q.qe[1:$MrlPrefixDim])
+         |        * 1000000, 0) AS BIGINT) AS pre6
+         |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |          FROM embeddings WHERE vec_id <> 0) e, q)
+         |  QUALIFY row_number() OVER (ORDER BY pre6 DESC, vec_id) <= $MrlShortlist)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT s.vec_id,
+         |    round(list_cosine_similarity(s.e, q.qe), 6) AS cos_sim
+         |  FROM short s, q)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // e12: replay probes (first-RecallProbes vectors), per-probe nearest
     // RecallNprobe centroids (same distance list + (d, cid) tie rule as

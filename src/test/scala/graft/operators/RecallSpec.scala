@@ -63,6 +63,19 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.8, s"e7 recall@20 degraded to $recall")
   }
 
+  test("e13 MRL two-stage KNN: recall@20 vs exact e1 >= 0.6 (untrained prefix)") {
+    // Prefix-16 of 64 i.i.d. dims keeps only 1/4 of the signal and the
+    // fixture carries no Matryoshka training, yet a 200-of-5000 (4%)
+    // shortlist recovers 0.75 of the true top-20 (measured) — gate the
+    // floor below that. On real MRL embeddings the prefix is the trained
+    // summary and this approaches full-dim recall.
+    val exact = topIds("e1_knn_brute")
+    val mrl = topIds("e13_mrl_knn")
+    val recall = (exact & mrl).size.toDouble / exact.size
+    info(s"e13 recall@20 = $recall")
+    assert(recall >= 0.6, s"e13 recall@20 degraded to $recall")
+  }
+
   test("e8 SQ8 KNN: recall@20 vs exact e1 >= 0.9 (finest quantizer)") {
     val exact = topIds("e1_knn_brute")
     val sq = topIds("e8_sq_knn")
