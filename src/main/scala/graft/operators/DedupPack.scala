@@ -132,6 +132,22 @@ object DedupPack extends QueryPack {
     */
   private val UnionFindMaxEdges = 4L << 20
 
+  /** Connected-component labels over the LSH near-dup graph,
+    * size-adaptive (single-task union-find under [[UnionFindMaxEdges]]
+    * edges, iterative label propagation above) — the shared first stage
+    * of d7 / d10 / x7. Returns (doc_id, label) for docs that appear in
+    * any candidate pair; callers left-join and coalesce to doc_id.
+    */
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val labels =
+      if (pairs.count() <= UnionFindMaxEdges) unionFindComponents(s, pairs)
+      else propagateComponents(s, pairs)
+    pairs.unpersist()
+    labels
+  }
+
   /** Bounded-graph components: ship the (narrow) edge list to ONE
     * executor task and run union-find with path compression, always
     * attaching the larger root under the smaller — so each tree's root
@@ -276,12 +292,7 @@ object DedupPack extends QueryPack {
     //     jumping, O(log n) rounds (see propagateComponents).
     // Oracle: the same components via a DuckDB recursive closure.
     "d7_dedup_clusters" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
-      val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val labels =
-        if (pairs.count() <= UnionFindMaxEdges) unionFindComponents(s, pairs)
-        else propagateComponents(s, pairs)
-      pairs.unpersist()
+      val labels = clusterLabels(s, dir)
       Tables(s, dir, "documents").select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -301,12 +312,7 @@ object DedupPack extends QueryPack {
     // row_number window would sort the whole cluster in one task. The
     // join back on cluster is AQE-skew-splittable.
     "d10_cluster_keep_best" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
-      val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val labels =
-        if (pairs.count() <= UnionFindMaxEdges) unionFindComponents(s, pairs)
-        else propagateComponents(s, pairs)
-      pairs.unpersist()
+      val labels = clusterLabels(s, dir)
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
         .join(labels, Seq("doc_id"), "left")

@@ -233,6 +233,34 @@ object SamplingPack extends QueryPack {
         .where(temperatureDraw(col("doc_id")) < col("thr"))
         .select(col("doc_id"), col("lang"), col("n_lang"), col("thr"))
         .orderBy("doc_id")
+    }),
+
+    // x7: SOFT dedup sampling — d7 picks one hard canonical per near-dup
+    // cluster; real mixtures often keep duplicates FRACTIONALLY instead
+    // (duplication correlates with quality — Biderman et al.'22 —
+    // so deleting all-but-one over-corrects): each doc survives with
+    // probability 1/|cluster|, making the EXPECTED kept copies per
+    // cluster exactly 1 while preserving intra-cluster diversity across
+    // epochs. The draw is x1's salted-hash discipline stated
+    // integer-only: keep ⟺ h·|cluster| < 10^6 with h = hash mod 10^6 —
+    // no division, no doubles, replays bit-exactly. Dataflow: d7's
+    // shared component stage (size-adaptive union-find / propagation),
+    // one cluster-size aggregate, a size join back (AQE-skew-splittable
+    // like d10's), then a pure per-row keep flag. One decision row per
+    // doc.
+    "x7_soft_dedup_sample" -> ((s, dir) => {
+      val clustered = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(DedupPack.clusterLabels(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+      val sizes = clustered.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      clustered.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (pmod(md5Prefix60(concat(lit("soft:"), col("doc_id").cast("string"))),
+            lit(1000000L)) * col("cluster_size") < lit(1000000L))
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -292,6 +320,33 @@ object SamplingPack extends QueryPack {
         |WHERE CAST(concat('0x', substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |        % 1000000 < thr
         |ORDER BY doc_id""".stripMargin,
+
+    // x7: d7's recursive component CTEs (shared via shinglesCte), then
+    // cluster sizes and the integer keep draw h·size < 10^6.
+    "x7_soft_dedup_sample" ->
+      (DedupPack.shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sig a JOIN sig b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM cand
+          |  UNION SELECT doc_b, doc_a FROM cand),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+          |cl AS (
+          |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+          |sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster)
+          |SELECT cl.doc_id, cl.cluster, sz.cluster_size,
+          |  CAST(CAST(concat('0x', substr(md5('soft:' || CAST(cl.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |         % 1000000 * sz.cluster_size < 1000000 AS INTEGER) AS keep
+          |FROM cl JOIN sz USING (cluster)
+          |ORDER BY cl.doc_id""".stripMargin),
 
     "x2_pack_sequences" ->
       s"""WITH t AS (

@@ -120,6 +120,41 @@ class SamplingSpec extends SparkSuite {
       q("x3_stratified_exact").collect().toSeq, "hash order must be replay-stable")
   }
 
+  test("x7 soft dedup: singletons always survive, keep flag is the integer draw, clusters match d7") {
+    import spark.implicits._
+    val rows = q("x7_soft_dedup_sample")
+      .select("doc_id", "cluster", "cluster_size", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.length === 500)
+    // a singleton's draw h·1 < 10^6 is always true — hard dedup of
+    // unique content would be a bug, soft dedup must never drop it
+    rows.filter(_._3 == 1L).foreach { case (id, _, _, keep) =>
+      assert(keep === 1, s"singleton doc $id dropped")
+    }
+    // keep ⟺ the salted integer draw, recomputed independently
+    val draws = q("x7_soft_dedup_sample")
+      .select(col("doc_id"),
+        pmod(graft.functions.md5Prefix60(
+          concat(lit("soft:"), col("doc_id").cast("string"))), lit(1000000L)).as("h"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, _, size, keep) =>
+      assert(keep === (if (draws(id) * size < 1000000L) 1 else 0), s"doc $id")
+    }
+    // cluster assignment is exactly d7's (same shared component stage)
+    val d7 = q("d7_dedup_clusters")
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cluster, _, _) =>
+      assert(cluster === d7(id), s"doc $id: x7 cluster $cluster != d7 ${d7(id)}")
+    }
+    // expected survivors per cluster is 1; with ~150 clusters the total
+    // kept count concentrates — a loose 3σ-style band catches a broken
+    // draw (all-keep ≈ 500, all-drop = 0) without flaking
+    val clusters = rows.map(_._2).distinct.length
+    val kept = rows.count(_._4 == 1)
+    assert(kept > clusters / 2 && kept < clusters * 2,
+      s"kept $kept far from expected ≈ $clusters")
+  }
+
   test("t12 novelty stats are self-consistent with token counts") {
     import spark.implicits._
     val stats = q("t12_bigram_novelty").collect()
