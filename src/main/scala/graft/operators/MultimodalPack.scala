@@ -111,11 +111,51 @@ object MultimodalPack extends QueryPack {
         .select(col("doc_id"), col("n_text_tokens"), col("n_media_tokens"),
           col("shard_id"), col("offset_in_shard"))
         .orderBy("doc_id")
+    }),
+
+    // m5: media near-dup by frame-fingerprint overlap — video-level
+    // dedup the way production pipelines do it (shared frame hashes →
+    // candidate pairs → overlap threshold), on m2's sampled frames. Two
+    // media items are near-dups when they share ≥ half of the smaller
+    // item's sampled frames. The frame join is df-capped exactly like
+    // d13's winnowing buckets: a fingerprint appearing in > FrameDfCap
+    // docs (intro cards, black frames — the video analog of stop-words)
+    // is dropped BEFORE the self-join, so per-fingerprint work is
+    // bounded at df² by construction and a hot frame can never explode
+    // the shuffle. All counting is exact integers; the oracle replays
+    // frames, cap, join, and threshold verbatim.
+    "m5_media_neardup" -> ((s, dir) => {
+      val frames = Tables(s, dir, "documents")
+        .where(col("n_chars") >= 64)
+        .select(col("doc_id"),
+          (col("n_chars") / lit(64)).cast("int").as("n_frames"), col("text"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"),
+          col("text"))
+        .select(col("doc_id"), col("n_frames"),
+          md5(expr("substring(text, frame_idx * 64 + 1, 64)")).as("frame_fp"))
+      val dfreq = frames.groupBy("frame_fp")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val rare = frames.join(dfreq.where(col("df") <= FrameDfCap), "frame_fp")
+      rare.as("a").join(rare.as("b"),
+          col("a.frame_fp") === col("b.frame_fp") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_frames").as("n_frames_a"), col("b.n_frames").as("n_frames_b"))
+        .agg(countDistinct(col("a.frame_fp")).as("shared_frames"))
+        .where(col("shared_frames") * 2 >=
+          least(col("n_frames_a"), col("n_frames_b")))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
   /** Image-patch budget per media-bearing document (m4). */
   private val MediaTokens = 16
+
+  /** m5's stop-frame cap: fingerprints in more docs than this are
+    * dropped before the pair join (bounds per-fingerprint work at df²).
+    */
+  private val FrameDfCap = 20
 
   override def oracles: Map[String, String] = Map(
     "m1_media_meta" ->
@@ -133,6 +173,28 @@ object MultimodalPack extends QueryPack {
         |SELECT doc_id, n_frames, CAST(fi AS INTEGER) AS frame_idx,
         |  md5(substr(text, CAST(fi AS INTEGER) * 64 + 1, 64)) AS frame_fp
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m5: m2's frame CTE, then the df cap, pair join, and half-overlap
+    // threshold replayed with exact integer counting.
+    "m5_media_neardup" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, CAST(n_chars // 64 AS INTEGER) AS n_frames
+        |  FROM documents WHERE n_chars >= 64),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    md5(substr(text, CAST(fi AS INTEGER) * 64 + 1, 64)) AS frame_fp
+        |  FROM (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS fi FROM d)),
+        |dfreq AS (SELECT frame_fp, count(DISTINCT doc_id) AS df FROM f GROUP BY frame_fp),
+        |r AS (SELECT f.* FROM f JOIN dfreq USING (frame_fp) WHERE df <= $FrameDfCap),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n_frames AS n_frames_a, b.n_frames AS n_frames_b,
+        |    count(DISTINCT a.frame_fp) AS shared_frames
+        |  FROM r a JOIN r b ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, n_frames_a, n_frames_b, shared_frames
+        |FROM p WHERE shared_frames * 2 >= least(n_frames_a, n_frames_b)
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same 60-bit md5 prefix construction as the t6 oracle, per component.
     "m3_media_embed" ->
