@@ -100,6 +100,19 @@ class EncodingContractSpec extends SparkSuite {
     }
   }
 
+  test("normalized ts has the LTZ external type (java.sql.Timestamp) under every encoding") {
+    // The r8 NTZ passthrough crashed typed-row consumers with
+    // `java.time.LocalDateTime cannot be cast to java.sql.Timestamp`
+    // (s5/s8) — schema equality alone does not pin the EXTERNAL type
+    // Row.get hands back, so assert it directly on every flavor.
+    variants.foreach { case (enc, dir) =>
+      val v = Tables(spark, dir, "events")
+        .select("ts").na.drop().head().get(0)
+      assert(v.isInstanceOf[java.sql.Timestamp],
+        s"$enc: external ts type is ${v.getClass.getName}, not java.sql.Timestamp")
+    }
+  }
+
   test("batch queries are encoding-invariant (a12 window, q1 top-k)") {
     for (q <- Seq("a12_tumbling_window", "q1_topk_by_time")) {
       val fn = SparkEntry.queries(q)
