@@ -75,6 +75,22 @@ object HttpServe {
     val store = new SignalStore(view)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+    // Serving-plan memo: the listing surface has a handful of distinct
+    // plans (default newest-first + one per priority value), so each is
+    // analyzed/optimized/planned ONCE — a Dataset's QueryExecution is a
+    // lazy val, and collect() on the same object only re-executes the
+    // cached physical plan. Without this every request re-ran the full
+    // Catalyst pipeline for an identical query. Point lookups stay
+    // per-request (unbounded id space; a memo there would leak).
+    val listingMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    def listing(priority: Option[String]): DataFrame =
+      listingMemo.computeIfAbsent(priority.getOrElse(""), _ =>
+        readModel(priority match {
+          case Some(p) => store.listByPriority(p)
+          case None => store.listByCreatedAt()
+        }))
+
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -102,11 +118,7 @@ object HttpServe {
             .flatMap(_.split("&").collectFirst {
               case kv if kv.startsWith("priority=") => kv.stripPrefix("priority=")
             })
-          val df = priority match {
-            case Some(p) => store.listByPriority(p)
-            case None => store.listByCreatedAt()
-          }
-          val body = readModel(df).collect().map(rowJson).mkString("[", ",", "]")
+          val body = listing(priority).collect().map(rowJson).mkString("[", ",", "]")
           respond(ex, 200, body)
         }
       } catch {

@@ -184,7 +184,7 @@ object CurationPipeline extends QueryPack {
     // (drop docs below half the corpus mean probability — a
     // corpus-relative policy, one 1-row broadcast) → exact curriculum
     // quartiles over the survivors via the a34 two-level rank (band
-    // partition + broadcast cumulative offsets ≡ a global (avg_p6 DESC,
+    // partition + broadcast cumulative offsets ≡ a global (avgq DESC,
     // doc_id) row_number, NO single-partition window) → x4's salted-hash
     // epoch shuffle WITHIN (phase, shard), so a loader streams phases in
     // order and each phase's shards in parallel. One decision row per
@@ -201,18 +201,29 @@ object CurationPipeline extends QueryPack {
       // shared shuffles here), but reuse is an optimizer COURTESY, not a
       // contract: the cut guarantees one model build at any scale, and at
       // 100 TB it is the persisted score table between pipeline stages.
+      // Fluency gate on EXACT integers end-to-end: per-doc score `avgq`
+      // is a long (quantized before any corpus-wide aggregation), the
+      // corpus total is a decimal(38,0) sum of longs (exact, overflow-
+      // safe at any corpus size), and the gate avg >= mean/2 is cross-
+      // multiplied to 2·N·avgq >= Σavgq — no double ever crosses a
+      // partial-aggregation merge, so the gate cannot flip in ulps
+      // between runs or engines (the t19 fixed-point discipline applied
+      // to the corpus level, not just the doc level).
       val scores = TextPack.bigramLmScores(Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("avg_p6"))
+        .select(col("doc_id"), col("avgq"))
         .localCheckpoint(true)
       val gate = scores.agg(
-        (sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
+        sum(col("avgq").cast("decimal(38,0)")).as("tot_q"),
+        count(lit(1)).as("n_docs"))
       val flagged = scores.crossJoin(broadcast(gate))
-        .select(col("doc_id"), col("avg_p6"),
-          (col("avg_p6") >= col("mean_p6") / 2).cast("int").as("fluent"))
+        .select(col("doc_id"), col("avgq"),
+          (col("avgq").cast("decimal(38,0)") * 2 * col("n_docs") >= col("tot_q"))
+            .cast("int").as("fluent"))
       val kept = flagged.where(col("fluent") === 1)
-        .withColumn("band", floor(col("avg_p6") / 10000.0).cast("long"))
+        // band width 10000 p6-units = 10^10 in avgq's micro-p6 units
+        .withColumn("band", expr("avgq div 10000000000L"))
       val wb = Window.partitionBy("band")
-        .orderBy(col("avg_p6").desc, col("doc_id"))
+        .orderBy(col("avgq").desc, col("doc_id"))
       val woff = Window.orderBy(col("band").desc)
       val offs = kept.groupBy("band").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(
@@ -405,16 +416,16 @@ object CurationPipeline extends QueryPack {
     // (0 / -1 / 0) keep every output column integer-typed.
     "pipeline5_curriculum" ->
       s"""${TextPack.bigramLmCtes},
-         |mean AS (SELECT sum(avg_p6) / count(*) AS mean_p6 FROM sc),
+         |mean AS (SELECT CAST(sum(avgq) AS HUGEINT) AS tot_q, count(*) AS n_docs FROM sc),
          |fl AS (
-         |  SELECT doc_id, avg_p6,
-         |    CAST(avg_p6 >= mean_p6 / 2 AS INTEGER) AS fluent
+         |  SELECT doc_id, avgq,
+         |    CAST(CAST(avgq AS HUGEINT) * 2 * n_docs >= tot_q AS INTEGER) AS fluent
          |  FROM sc, mean),
-         |kept AS (SELECT doc_id, avg_p6 FROM fl WHERE fluent = 1),
+         |kept AS (SELECT doc_id, avgq FROM fl WHERE fluent = 1),
          |st AS (SELECT count(*) AS n_kept FROM kept),
          |rk AS (
          |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY avg_p6 DESC, doc_id) AS rank
+         |    row_number() OVER (ORDER BY avgq DESC, doc_id) AS rank
          |  FROM kept),
          |ph AS (
          |  SELECT doc_id,

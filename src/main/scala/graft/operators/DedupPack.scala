@@ -129,8 +129,14 @@ object DedupPack extends QueryPack {
   /** Edge-count bound for the single-task union-find path: 4M edges is
     * ~64 MB of packed longs in one task — far below executor memory, far
     * above any plausible candidate graph for corpora that fit this bench.
+    * Operational knob `graft.components.maxUnionFindEdges` overrides it
+    * (smaller executors lower it; the scaling-curve bench sets 0 to
+    * drive the at-scale propagation path on real data — see SCALING.md).
     */
   private val UnionFindMaxEdges = 4L << 20
+  private def unionFindMaxEdges(s: SparkSession): Long =
+    s.conf.getOption("graft.components.maxUnionFindEdges")
+      .map(_.toLong).getOrElse(UnionFindMaxEdges)
 
   /** Connected-component labels over the LSH near-dup graph,
     * size-adaptive (single-task union-find under [[UnionFindMaxEdges]]
@@ -142,7 +148,7 @@ object DedupPack extends QueryPack {
     import org.apache.spark.storage.StorageLevel
     val pairs = lshPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val labels =
-      if (pairs.count() <= UnionFindMaxEdges) unionFindComponents(s, pairs)
+      if (pairs.count() <= unionFindMaxEdges(s)) unionFindComponents(s, pairs)
       else propagateComponents(s, pairs)
     pairs.unpersist()
     labels

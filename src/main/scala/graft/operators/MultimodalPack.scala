@@ -117,7 +117,13 @@ object MultimodalPack extends QueryPack {
     // dedup the way production pipelines do it (shared frame hashes →
     // candidate pairs → overlap threshold), on m2's sampled frames. Two
     // media items are near-dups when they share ≥ half of the smaller
-    // item's sampled frames. The frame join is df-capped exactly like
+    // item's SAMPLED frames — the threshold denominator is the per-doc
+    // sampled-frame count (floor((n_frames-1)/4)+1, the size of the
+    // stride-4 sample), NOT the total frame count: comparing a stride-4
+    // sample against the full frame count would make the predicate
+    // unsatisfiable for any doc with ≥3 frames (shared ≤ ceil(n/4) <
+    // n/2), even for byte-identical videos.
+    // The frame join is df-capped exactly like
     // d13's winnowing buckets: a fingerprint appearing in > FrameDfCap
     // docs (intro cards, black frames — the video analog of stop-words)
     // is dropped BEFORE the self-join, so per-fingerprint work is
@@ -129,10 +135,13 @@ object MultimodalPack extends QueryPack {
         .where(col("n_chars") >= 64)
         .select(col("doc_id"),
           (col("n_chars") / lit(64)).cast("int").as("n_frames"), col("text"))
-        .select(col("doc_id"), col("n_frames"),
+        // stride-4 sample size: floor((n_frames-1)/4)+1 exploded rows
+        .withColumn("n_sampled",
+          (floor((col("n_frames") - 1) / lit(4)) + 1).cast("int"))
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"),
           col("text"))
-        .select(col("doc_id"), col("n_frames"),
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
           md5(expr("substring(text, frame_idx * 64 + 1, 64)")).as("frame_fp"))
       val dfreq = frames.groupBy("frame_fp")
         .agg(countDistinct(col("doc_id")).as("df"))
@@ -141,10 +150,13 @@ object MultimodalPack extends QueryPack {
           col("a.frame_fp") === col("b.frame_fp") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n_frames").as("n_frames_a"), col("b.n_frames").as("n_frames_b"))
+          col("a.n_frames").as("n_frames_a"), col("b.n_frames").as("n_frames_b"),
+          col("a.n_sampled").as("n_sampled_a"), col("b.n_sampled").as("n_sampled_b"))
         .agg(countDistinct(col("a.frame_fp")).as("shared_frames"))
         .where(col("shared_frames") * 2 >=
-          least(col("n_frames_a"), col("n_frames_b")))
+          least(col("n_sampled_a"), col("n_sampled_b")))
+        .select(col("doc_a"), col("doc_b"), col("n_frames_a"),
+          col("n_frames_b"), col("shared_frames"))
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -175,25 +187,29 @@ object MultimodalPack extends QueryPack {
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // m5: m2's frame CTE, then the df cap, pair join, and half-overlap
-    // threshold replayed with exact integer counting.
+    // threshold replayed with exact integer counting. The threshold
+    // denominator is the per-doc SAMPLED-frame count (stride-4 sample
+    // size), matching the Spark query.
     "m5_media_neardup" ->
       s"""WITH d AS (
-        |  SELECT doc_id, text, CAST(n_chars // 64 AS INTEGER) AS n_frames
+        |  SELECT doc_id, text, CAST(n_chars // 64 AS INTEGER) AS n_frames,
+        |    CAST((n_chars // 64 - 1) // 4 + 1 AS INTEGER) AS n_sampled
         |  FROM documents WHERE n_chars >= 64),
         |f AS (
-        |  SELECT doc_id, n_frames,
+        |  SELECT doc_id, n_frames, n_sampled,
         |    md5(substr(text, CAST(fi AS INTEGER) * 64 + 1, 64)) AS frame_fp
-        |  FROM (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS fi FROM d)),
+        |  FROM (SELECT doc_id, text, n_frames, n_sampled, unnest(range(0, n_frames, 4)) AS fi FROM d)),
         |dfreq AS (SELECT frame_fp, count(DISTINCT doc_id) AS df FROM f GROUP BY frame_fp),
         |r AS (SELECT f.* FROM f JOIN dfreq USING (frame_fp) WHERE df <= $FrameDfCap),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.n_frames AS n_frames_a, b.n_frames AS n_frames_b,
+        |    a.n_sampled AS n_sampled_a, b.n_sampled AS n_sampled_b,
         |    count(DISTINCT a.frame_fp) AS shared_frames
         |  FROM r a JOIN r b ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
         |SELECT doc_a, doc_b, n_frames_a, n_frames_b, shared_frames
-        |FROM p WHERE shared_frames * 2 >= least(n_frames_a, n_frames_b)
+        |FROM p WHERE shared_frames * 2 >= least(n_sampled_a, n_sampled_b)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same 60-bit md5 prefix construction as the t6 oracle, per component.

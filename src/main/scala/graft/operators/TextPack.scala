@@ -451,12 +451,23 @@ object TextPack extends QueryPack {
     // ulp could differ cross-engine); the mean is one terminal IEEE
     // division.
     "t19_bigram_lm_score" -> ((s, dir) =>
-      bigramLmScores(Tables(s, dir, "documents")).orderBy("doc_id"))
+      bigramLmScores(Tables(s, dir, "documents"))
+        .select("doc_id", "n_trans", "min_p6", "avg_p6")
+        .orderBy("doc_id"))
   )
 
   /** t19's scorer as a frame-in/frame-out stage (pipeline5 composes it):
-    * (doc_id, n_trans, min_p6, avg_p6) per doc with ≥ 1 transition. See
-    * the t19 entry's scaladoc for the model + dataflow reasoning.
+    * (doc_id, n_trans, min_p6, avg_p6, avgq) per doc with ≥ 1 transition.
+    * See the t19 entry's scaladoc for the model + dataflow reasoning.
+    *
+    * `avgq` is the per-doc average as an exact long —
+    * `(sum_p6 * 1000000) div n_trans` — so that CONSUMERS that aggregate
+    * averages across the corpus (pipeline5's fluency gate, s19's staged
+    * model) sum longs, not doubles: a double corpus-sum depends on
+    * partial-aggregation merge order and can differ in ulps between runs
+    * and engines, flipping a gate for a doc that lands within ulps of the
+    * threshold. `avg_p6` (one terminal IEEE division of exact ints,
+    * deterministic) remains the human-facing t19 output column.
     */
   private[graft] def bigramLmScores(docs: DataFrame): DataFrame = {
     val pairs = docs
@@ -479,7 +490,8 @@ object TextPack extends QueryPack {
         sum(col("p6")).as("sum_p6"))
       .select(col("doc_id"), col("n_trans"), col("min_p6"),
         (col("sum_p6").cast("double") / col("n_trans").cast("double"))
-          .as("avg_p6"))
+          .as("avg_p6"),
+        expr("(sum_p6 * 1000000L) div n_trans").as("avgq"))
   }
 
   /** t19's oracle CTE chain up to `sc` = (doc_id, n_trans, min_p6,
@@ -505,7 +517,8 @@ object TextPack extends QueryPack {
       |  FROM p JOIN ctx USING (uh) JOIN big USING (bh), v),
       |sc AS (
       |  SELECT doc_id, count(*) AS n_trans, min(p6) AS min_p6,
-      |    CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_p6
+      |    CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_p6,
+      |    CAST(sum(p6) * 1000000 AS BIGINT) // count(*) AS avgq
       |  FROM q GROUP BY doc_id)""".stripMargin
 
   /** BPE merge rounds for the t17/t18 training demo (unrolled identically

@@ -57,8 +57,15 @@ class SignalStore(view: DataFrame) {
 
   /** Q5: health probe — a trivial action proving the view is servable
     * (reference: Redis PING, projection/signal.go:111-113).
+    *
+    * CONSTANT-PLAN: the probe Dataset is built once, so its
+    * QueryExecution (analysis + optimization + physical planning) is the
+    * lazily-cached one-time cost; each probe only re-EXECUTES the cached
+    * physical plan — a hot serving loop never replans a PING.
     */
-  def health: Boolean = Try(view.limit(1).count()).isSuccess
+  private lazy val probe = view.limit(1)
+  def health: Boolean =
+    Try(probe.queryExecution.executedPlan.executeTake(1)).isSuccess
 }
 
 object SignalStore {

@@ -192,21 +192,31 @@ class BucketedStateStore(
     allBuckets.flatMap(listGens).foldLeft(-1L)(math.max)
 
   /** Drop tombstones older than `horizonSeq` (log-compaction analog),
-    * writing the compacted state as generation `currentMaxGen + 1` —
+    * writing the compacted buckets as generation `currentMaxGen + 1` —
     * the only gen that supersedes every existing one WITHOUT shadowing
-    * future `merge(batchId)` writes. Returns the gen used (resume the
-    * stream with batchIds above it, or re-key merges past it).
+    * future `merge(batchId)` writes. Returns the gen readers should
+    * treat as current (resume the stream with batchIds above it): the
+    * new gen if any bucket was rewritten, else the unchanged max (a
+    * tombstone-free store compacts to a no-op — no empty generation
+    * churn).
     */
   def compact(horizonSeq: Long): Long = {
     val g = currentMaxGen + 1
-    compact(horizonSeq, g)
-    g
+    if (compact(horizonSeq, g).nonEmpty) g else g - 1
   }
 
   /** Drop tombstones older than `horizonSeq` (log-compaction analog).
-    * A full-state REWRITE of every bucket — deliberately not `merge`,
-    * which can only upsert: a merge would resurrect the tombstones from
-    * the old generation it unions with.
+    * BUCKET-SELECTIVE: only buckets that actually hold a pre-horizon
+    * tombstone are read and rewritten — untouched buckets keep their
+    * current generation files verbatim (readers always take the newest
+    * generation per bucket, so serving mixed generations is the normal
+    * read path — the same property `readAt` proves). At 100× state size
+    * a compaction epoch therefore costs O(buckets-with-old-tombstones),
+    * not O(total state). Returns the rewritten bucket ids.
+    *
+    * The rewrite is deliberately not `merge`, which can only upsert: a
+    * merge would resurrect the tombstones from the old generation it
+    * unions with.
     *
     * `gen` must be strictly newer than every existing generation (readers
     * serve the newest gen per bucket, so anything else would be a no-op
@@ -215,16 +225,29 @@ class BucketedStateStore(
     * keeps the top-2 gens, so the wedge would never age out. Prefer the
     * 1-arg overload, which derives the successor gen itself.
     */
-  def compact(horizonSeq: Long, gen: Long): Unit = {
+  def compact(horizonSeq: Long, gen: Long): Seq[Long] = {
     val cur = currentMaxGen
     require(gen > cur && gen < Long.MaxValue,
       s"compact gen=$gen must be a finite generation newer than the " +
         s"current max ($cur); use compact(horizonSeq) to derive it")
-    read().foreach { st =>
-      val kept = st
-        .where(!(col("action") === "deleted" && col(seq) < horizonSeq))
-        .withColumn("_bucket", bucketOf(col(key)))
-      writeBuckets(kept, allBuckets, gen)
+    read() match {
+      case None => Seq.empty
+      case Some(st) =>
+        // Which buckets hold a pre-horizon tombstone? One filtered scan
+        // (the action/seq predicates push down to the parquet readers),
+        // then a driver collect bounded by numBuckets longs — config-
+        // bounded like merge()'s, never a data collect.
+        val affected = st
+          .where(col("action") === "deleted" && col(seq) < horizonSeq)
+          .select(bucketOf(col(key)).as("_bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (affected.nonEmpty) {
+          val kept = readBuckets(affected).get
+            .where(!(col("action") === "deleted" && col(seq) < horizonSeq))
+            .withColumn("_bucket", bucketOf(col(key)))
+          writeBuckets(kept, affected, gen)
+        }
+        affected
     }
   }
 }

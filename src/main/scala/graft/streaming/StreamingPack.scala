@@ -881,19 +881,22 @@ object StreamingPack extends QueryPack {
             .join(broadcast(ctx), Seq("uh"), "left")
             .join(broadcast(big), Seq("bh"), "left")
             .crossJoin(broadcast(cons))
-            .select(col("doc_id"), col("mean_p6"),
+            .select(col("doc_id"), col("tot_q"), col("n_docs"),
               round(lit(1000000.0) *
                 ((coalesce(col("bc"), lit(0L)) + lit(1)).cast("double") /
                  (coalesce(col("uc"), lit(0L)) + col("v")).cast("double")), 0)
                 .cast("long").as("p6"))
-            .groupBy("doc_id", "mean_p6")
+            .groupBy("doc_id", "tot_q", "n_docs")
             .agg(count(lit(1)).as("n_trans"), sum(col("p6")).as("sum_p6"))
+            // gate on exact integers (pipeline5's fixed-point discipline):
+            // avgq is a quantized long, the threshold is cross-multiplied
+            // decimal arithmetic — no double corpus-sum anywhere.
+            .withColumn("avgq", expr("(sum_p6 * 1000000L) div n_trans"))
             .select(col("doc_id"), col("n_trans"),
               (col("sum_p6").cast("double") / col("n_trans").cast("double"))
-                .as("avg_p6"), col("mean_p6"))
-            .withColumn("fluent",
-              (col("avg_p6") >= col("mean_p6") / 2).cast("int"))
-            .drop("mean_p6")
+                .as("avg_p6"),
+              (col("avgq").cast("decimal(38,0)") * 2 * col("n_docs") >=
+                col("tot_q")).cast("int").as("fluent"))
             .write.mode("append").parquet(s"$tmp/out")
           ()
         }
@@ -920,7 +923,7 @@ object StreamingPack extends QueryPack {
     })
 
   /** s19's bigram-LM model artifact (context counts, bigram counts, one
-    * (mean_p6, v) constants row), staged ONCE per process and per dir:
+    * (tot_q, n_docs, v) constants row), staged ONCE per process and per dir:
     * the model is a pure, deterministic function of the documents table —
     * like [[stagedEventLog]] it is the train-time ARTIFACT the serving
     * query deploys against (t18's cachedMerges precedent), so re-training
@@ -939,8 +942,12 @@ object StreamingPack extends QueryPack {
         .write.parquet(s"$out/ctx")
       pairsB.groupBy("bh").agg(count(lit(1)).as("bc"))
         .write.parquet(s"$out/big")
+      // gate constants as EXACT integers: a decimal sum of the quantized
+      // per-doc longs + the doc count (the double mean it replaces was
+      // merge-order-sensitive in its last ulps — pipeline5's discipline).
       graft.operators.TextPack.bigramLmScores(corpus)
-        .agg((sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
+        .agg(sum(col("avgq").cast("decimal(38,0)")).as("tot_q"),
+          count(lit(1)).as("n_docs"))
         .crossJoin(pairsB.select(countDistinct(col("uh")).as("v")))
         .write.parquet(s"$out/cons")
       out
@@ -1287,9 +1294,9 @@ object StreamingPack extends QueryPack {
     // oracle is the shared batch CTE chain.
     "s19_stream_lm_gate" ->
       s"""${graft.operators.TextPack.bigramLmCtes},
-         |mean AS (SELECT sum(avg_p6) / count(*) AS mean_p6 FROM sc)
+         |mean AS (SELECT CAST(sum(avgq) AS HUGEINT) AS tot_q, count(*) AS n_docs FROM sc)
          |SELECT doc_id, n_trans, avg_p6,
-         |  CAST(avg_p6 >= mean_p6 / 2 AS INTEGER) AS fluent
+         |  CAST(CAST(avgq AS HUGEINT) * 2 * n_docs >= tot_q AS INTEGER) AS fluent
          |FROM sc, mean ORDER BY doc_id""".stripMargin
   )
 

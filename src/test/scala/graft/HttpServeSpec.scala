@@ -58,6 +58,35 @@ class HttpServeSpec extends SparkSuite {
     assert(r.body() == """{"status":"ok"}""")
   }
 
+  test("request loop reuses one serving plan per route (no re-analysis per request)") {
+    // A Dataset's QueryExecution is a lazy val; the serving memo hands the
+    // SAME Dataset back for every request to a given listing route, so
+    // Catalyst analysis/optimization/planning runs once. Assert it from
+    // the outside: a QueryExecutionListener sees one QueryExecution
+    // IDENTITY across repeated collect()s of the same route.
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.QueryExecution]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        if (funcName == "collect") seen.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      (1 to 3).foreach { _ => assert(get("/signals?priority=High").statusCode() == 200) }
+      // listener delivery is async — poll until the 3 collects arrive
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.size() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      val qes = seen.toArray(Array.empty[org.apache.spark.sql.execution.QueryExecution])
+      assert(qes.length >= 3, s"listener saw ${qes.length} collects")
+      val last3 = qes.takeRight(3)
+      assert(last3.forall(_ eq last3.head),
+        "each request re-planned the identical priority listing instead of reusing the memoized plan")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("priority route caps the response at MaxPageSize rows") {
     import spark.implicits._
     // A hot priority bigger than the cap: 1200 rows, all "High". The

@@ -15,6 +15,28 @@ class PlanSpec extends SparkSuite {
     assert(plan("q1_topk_by_time").contains("TakeOrderedAndProject"))
   }
 
+  test("q2 priority listing: capped top-K (TakeOrderedAndProject), filter before the fold output, no global sort") {
+    // The serving-edge scale argument (SignalStore.listByPriority): the
+    // MaxPageSize'd orderBy(id).limit must plan as TakeOrderedAndProject —
+    // each partition keeps a local top-K, the driver merges — never a
+    // global Sort of the priority set; and the LWW fold underneath stays
+    // a two-phase (map-side partial) aggregate even with the filter and
+    // limit stacked on top.
+    val p = plan("q2_filter_by_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the SortAggregate fold's intra-partition sorts are global=false;
+    // what must never appear is a global (true) Sort of the priority set
+    assert(!"""Arguments: \[[^\]]*\], true,""".r.findFirstIn(p).isDefined,
+      s"q2 must not plan a global sort:\n$p")
+    assert("(?s)partial_max_by|HashAggregate.*max_by.*HashAggregate.*max_by".r
+      .findFirstIn(p).isDefined, p)
+    // the equality filter runs as a Filter over the folded rows (priority
+    // is derived post-fold, so scan-level pushdown is impossible by
+    // construction — the pin is that it still precedes the top-K, i.e.
+    // the limit never sees non-matching rows)
+    assert("(?s)TakeOrderedAndProject.*Filter".r.findFirstIn(p).isDefined, p)
+  }
+
   test("a4 filters are pushed down to the parquet scan") {
     val p = plan("a4_filter_sum")
     assert(p.contains("PushedFilters: ["))

@@ -151,6 +151,61 @@ class EncodingContractSpec extends SparkSuite {
     }
   }
 
+  test("type scan absorbs odd encodings on NEW columns of ANY table with no code change") {
+    // The r8 failure mode, generalized: normalization used to be a
+    // per-table column map ("events" -> "ts"), so a regeneration that
+    // added a timestamp or vector column to ANOTHER table bypassed it
+    // entirely. Now normalization is a schema type scan — a documents
+    // table that grows an NTZ timestamp AND a float64 vector column (a
+    // table/columns Tables has never heard of) must come back normalized.
+    val root = Files.createTempDirectory("graft-encg-").toFile.getAbsolutePath
+    val docs = Tables(spark, srcDir, "documents")
+      .withColumn("crawled_at",
+        expr("timestamp_micros(doc_id * 1000000L)").cast(TimestampNTZType))
+      .withColumn("doc_vec",
+        array(col("doc_id").cast("double"), (col("doc_id") * 2).cast("double")))
+    writeVariant(docs, root) // writes $root/events.parquet — rename below
+    Files.move(java.nio.file.Paths.get(s"$root/events.parquet"),
+      java.nio.file.Paths.get(s"$root/documents.parquet"))
+
+    val norm = Tables(spark, root, "documents")
+    assert(norm.schema("crawled_at").dataType === TimestampType,
+      "new NTZ column on a non-events table must normalize to TIMESTAMP")
+    assert(norm.schema("doc_vec").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true),
+      "new float64 vector column must normalize to array<float>")
+    // and the values are the same instants / same numbers
+    val row = norm.where(col("doc_id") === 7)
+      .select(expr("unix_micros(crawled_at)"), col("doc_vec")).head()
+    assert(row.getLong(0) === 7000000L)
+    assert(row.getSeq[Float](1) === Seq(7.0f, 14.0f))
+  }
+
+  test("ambiguous long magnitude fails loudly instead of silently shrinking 1000x") {
+    // A raw int64 epoch-MICROS column (~1e15 for modern dates) reads back
+    // as LongType exactly like TIMESTAMP(NANOS) under the legacy flag; a
+    // unit-blind `div 1000` would silently shrink it 1000× — the r8 bug
+    // class. The nanos carve-out refuses values below the 1e17 nanos
+    // plausibility floor.
+    val root = Files.createTempDirectory("graft-encm-").toFile.getAbsolutePath
+    val base = Tables(spark, srcDir, "events")
+    writeVariant(
+      base.withColumn("ts", expr("unix_micros(ts)")), // micros-as-long: ambiguous
+      s"$root/micros_long")
+    val e = intercept[Exception] {
+      Tables(spark, s"$root/micros_long", "events").select("ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("too small for epoch-nanos")),
+      s"expected the magnitude-guard message, got: ${messages(e).mkString(" | ")}")
+    // the 0-fallback (reference signal.go:147-153) still passes through
+    val zeros = base.withColumn("ts", lit(0L))
+    writeVariant(zeros, s"$root/zeros")
+    val z = Tables(spark, s"$root/zeros", "events").select("ts").na.drop().head()
+    assert(z.getTimestamp(0).getTime === 0L)
+  }
+
   test("streaming window (s2) is encoding-invariant") {
     // The streaming reader takes an explicit schema, so it is the most
     // encoding-fragile path — pin the two flavors that differ physically

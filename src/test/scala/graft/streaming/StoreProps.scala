@@ -61,6 +61,61 @@ class StoreProps extends SparkSuite {
     }
   }
 
+  test("selective compact equals the full filtered fold on read, and leaves tombstone-free buckets' files untouched") {
+    // The 100×-state property: compact(horizon) rewrites ONLY buckets
+    // holding a pre-horizon tombstone. Equivalence — the post-compaction
+    // read must equal the batch fold with pre-horizon tombstones dropped
+    // (exactly what a full-state rewrite would serve) — and the
+    // untouched buckets' parquet files must be the SAME files (path,
+    // length, mtime), not byte-equal rewrites.
+    import org.apache.spark.sql.functions.col
+    (1L to 5L).foreach { seed =>
+      val log = genLog(Gen.Parameters.default, Seed(seed * 101)).get
+      val dir = Files.createTempDirectory("graft-selc-").toString
+      val store = new BucketedStateStore(spark, dir, numBuckets = 8)
+      // two merges so every bucket has real files before compaction
+      val (h1, h2) = log.splitAt(log.length / 2)
+      Seq(h1, h2).zipWithIndex.foreach { case (b, i) =>
+        store.merge(
+          SignalProjection.latestByKey(SignalProjection.decode(raw(b))), i.toLong)
+      }
+      val horizon = 12L
+      val folded = SignalProjection.latestByKey(SignalProjection.decode(raw(log)))
+        .where(!(col("action") === "deleted" && col("seq") < horizon))
+        .collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("seq"))).toSet
+
+      def fileSnap(): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      }
+      val before = fileSnap()
+      val rewritten = store.compact(horizonSeq = horizon, gen = 2L).toSet
+      val after = fileSnap()
+
+      val got = store.read().get
+        .collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("seq"))).toSet
+      assert(got == folded, s"seed=$seed: selective compact read != filtered fold")
+
+      val untouchedFiles = before.keys.filterNot { p =>
+        rewritten.exists(b => p.contains(s"bucket=$b/") || p.contains(s"bucket=$b${java.io.File.separator}"))
+      }
+      untouchedFiles.foreach { p =>
+        assert(after.contains(p) && after(p) == before(p),
+          s"seed=$seed: untouched bucket file was rewritten: $p")
+      }
+      // and the rewritten set is exactly the buckets that held a
+      // pre-horizon tombstone (possibly empty if the log has none)
+      val expect = SignalProjection.latestByKey(SignalProjection.decode(raw(log)))
+        .where(col("action") === "deleted" && col("seq") < horizon)
+        .select(store.bucketOf(col("id")).as("b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(rewritten == expect, s"seed=$seed: rewrote $rewritten, expected $expect")
+    }
+  }
+
   test("readAt composes with retention and compaction: aged snapshots fail loudly, newer ones serve") {
     // Three merges age generation 0 out of retention (top-2 kept per
     // bucket), then compact() rewrites all state at the derived successor

@@ -111,10 +111,13 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.select("doc_id").distinct().count() === 500)
     val scores = graft.operators.TextPack.bigramLmScores(
       graft.Tables(spark, dir, "documents"))
-    val mean = scores.agg((sum(col("avg_p6")) / count(lit(1))).as("mean_p6"))
+    val mean = scores.agg(
+      sum(col("avgq").cast("decimal(38,0)")).as("tot_q"),
+      count(lit(1)).as("n_docs"))
     val batch = scores.crossJoin(broadcast(mean))
       .select(col("doc_id"), col("n_trans"), col("avg_p6"),
-        (col("avg_p6") >= col("mean_p6") / 2).cast("int").as("fluent"))
+        (col("avgq").cast("decimal(38,0)") * 2 * col("n_docs") >= col("tot_q"))
+          .cast("int").as("fluent"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
