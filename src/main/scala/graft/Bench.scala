@@ -18,6 +18,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-loop conf injection: SPARK_GRAFT_CONF=k=v,k=v applies runtime
+    // confs before any query runs — the scaling capture uses it to force
+    // operator path selection (e.g. graft.components.maxUnionFindEdges=0
+    // drives d7's at-scale propagation path on real data). The driver
+    // never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     // warmup: touch every table once (schema + a tiny codegen'd action)
     Tables.all.foreach { t =>
       try Tables(spark, sfDir, t).limit(1).count()

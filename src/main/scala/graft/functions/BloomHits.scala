@@ -55,10 +55,15 @@ case class BloomHits(first: Expression, second: Expression, third: Expression)
 }
 
 object BloomHits {
-  /** Count of hashes whose k double-hashed probe bits are all set. */
+  /** Count of hashes whose k double-hashed probe bits are all set.
+    * The bitmap is indexed IN PLACE via `ArrayData.getLong` — O(1) on
+    * the unsafe array the literal arrives as. (`toLongArray()` here was
+    * a per-ROW copy of the whole bitmap: invisible at m=2^16, but 128 KB
+    * per document at the m=2^20 an x30-scaled eval set needs — measured
+    * 3× the whole query's cost in the SCALING.md capture.)
+    */
   def count(hashes: ArrayData, bits: ArrayData, k: Int): Int = {
-    val words = bits.toLongArray()
-    val m = words.length.toLong * 64L
+    val m = bits.numElements().toLong * 64L
     val n = hashes.numElements()
     var c = 0
     var i = 0
@@ -75,7 +80,7 @@ object BloomHits {
       var j = 0
       while (j < k && hit) {
         val pos = (h1 + j * h2) % m
-        hit = (words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) != 0L
+        hit = (bits.getLong((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) != 0L
         j += 1
       }
       if (hit) c += 1

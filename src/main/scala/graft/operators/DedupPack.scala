@@ -96,24 +96,53 @@ object DedupPack extends QueryPack {
     * storage — same API, durable blocks — where mid-query executor loss
     * must be survivable.
     *
-    * Skew note for 100 TB: a degenerate (band, minhash) bucket — near-
+    * Skew guard for 100 TB: a degenerate (band, minhash) bucket — near-
     * empty or boilerplate documents all sharing a signature — generates
-    * df² candidate pairs from one bucket. The production guard is d13's
-    * df cap applied here identically (drop buckets with more than N
-    * claimants before the self-join; such buckets are boilerplate by
-    * definition and their members still pair via their other bands). Not
-    * applied at bench scale so the d3/d7/g1/g2/d11 oracles stay the
-    * uncapped ground truth; AQE skew-join splitting is the runtime
-    * backstop either way.
+    * df² candidate pairs from one bucket, and the SCALING.md measurement
+    * proved it: uncapped, the candidate graph grew 101× for 10× docs
+    * (repetitive/boilerplate documents keep their signatures under the
+    * fixture scaler's word shuffle, so every replica lands in the same
+    * bucket — exactly how template boilerplate behaves on the open web).
+    * So the cap is ON, same policy as d13's fingerprint df cap: a bucket
+    * claimed by more than [[MaxBandDf]] docs is boilerplate by definition
+    * and is dropped BEFORE the self-join; its members still pair via
+    * their other (discriminative) bands. The cap is replayed in every
+    * pair-building oracle (the `sigk` CTE in [[shinglesCte]]), so
+    * correctness stays hash-checked whatever the df distribution. Per-
+    * bucket join work is bounded at MaxBandDf² — hot-key skew impossible
+    * by construction; AQE skew splitting remains the runtime backstop
+    * for the aggregation stages.
     */
-  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir).localCheckpoint(true)
-    val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
-    val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsOf(signatures(s, dir).localCheckpoint(true))
+
+  /** [[lshPairs]] over an already-materialized signature matrix (d11
+    * shares its matrix between candidate generation and the agreement
+    * count, so signatures are computed exactly once).
+    */
+  private def lshPairsOf(sig: DataFrame): DataFrame = {
+    // df filter joins on (band, minhash): co-partitioned with the
+    // aggregation that produced it — never a broadcast of a corpus-
+    // growing table.
+    val keep = sig.join(
+      sig.groupBy("band", "minhash").agg(count(lit(1)).as("df"))
+        .where(col("df") <= MaxBandDf)
+        .select("band", "minhash"), Seq("band", "minhash"))
+    val a = keep.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
+    val b = keep.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "minhash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** LSH bucket df cap (see [[lshPairs]]): sized to the largest
+    * legitimate template family a curator wants fully linked (the bench
+    * corpus's densest real cluster claims 21 docs in one bucket;
+    * production sizes it the same way). Everything larger is boilerplate
+    * whose all-pairs linkage carries no information d7's components
+    * don't already get from the capped buckets.
+    */
+  private[operators] val MaxBandDf = 24
 
   /** The LSH candidate graph, MATERIALIZED on the given session — so the
     * corpus-sized build (signature aggregation + banded self-join) runs
@@ -266,11 +295,10 @@ object DedupPack extends QueryPack {
     // GC-owned blocks, see lshPairs).
     "d11_minhash_estimate" -> ((s, dir) => {
       val sig = signatures(s, dir).localCheckpoint(true)
-      val a = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
-      val b = sig.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
-      val cand = a.join(b, Seq("band", "minhash"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      // the capped candidate builder (lshPairsOf) — NOT a private
+      // re-derivation: an uncapped inline copy here once grew 5.3× per
+      // 3× data at x30 while d3 stayed sub-linear (SCALING.md)
+      val cand = lshPairsOf(sig)
       val x = sig.select(col("doc_id").as("doc_a"), col("band"),
         col("minhash").as("ma"))
       val y = sig.select(col("doc_id").as("doc_b"), col("band"),
@@ -657,7 +685,17 @@ object DedupPack extends QueryPack {
     * decontamination gate.
     */
   private[graft] def bloomHitCounts(s: SparkSession, dir: String): DataFrame = {
-    val m = BloomM
+    // m is config (`graft.bloom.m`, power of two), defaulting to the
+    // bench constant the oracle replays. Production sizes m to the
+    // EVAL-set gram count (m ≈ 10·k·n keeps the false-positive rate
+    // sub-percent) — an operating decision, not a dataflow change: the
+    // SCALING.md capture grows the eval set 30× with the corpus (a
+    // fixture-scaler artifact; real benchmark suites don't grow with
+    // training data), saturating a fixed m=2^16 bitmap to ~99 % FP rate
+    // so the hit-gate stops filtering; re-sized (2^20) the pass is flat
+    // per-doc again. The bitmap stays a driver-broadcast array of m/64
+    // longs — 2 MB at m=2^24, still broadcast-cheap.
+    val m = s.conf.getOption("graft.bloom.m").map(_.toInt).getOrElse(BloomM)
     val grams = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("g"))
     def positions(g: Column): Seq[Column] = (0 until BloomK).map { i =>
@@ -724,12 +762,65 @@ object DedupPack extends QueryPack {
   /** Cosine threshold for semantic (embedding-cluster) dedup. */
   private[operators] val SemTau = 0.35
 
+  /** d12/pipeline3 cluster-size target: within-cluster pairwise work is
+    * O(Σ cᵢ²) ≈ n·c̄, so holding the MEAN cluster size at a constant while
+    * k grows with the corpus is what makes SemDeDup linear-in-n (the
+    * SCALING.md x10 capture measured the fixed-k=16 alternative at ~n²:
+    * 6.6× cost for 3.3× data). c̄ = 512 keeps the k=16 pretrained path —
+    * and therefore the hash-checked oracle — exactly as-is below 8 192
+    * vectors, the same auto-switch design as [[unionFindMaxEdges]].
+    * Override knob: `graft.semdedup.targetClusterSize`.
+    */
+  private val SemTargetClusterSize = 512
+  private def semTargetClusterSize(s: SparkSession): Int =
+    s.conf.getOption("graft.semdedup.targetClusterSize")
+      .map(_.toInt).getOrElse(SemTargetClusterSize)
+
   /** IVF cluster assignment of the embeddings table — the clustering that
     * bounds d12/pipeline3 pairwise scoring to within-cluster pairs.
+    * Size-adaptive: below k·target vectors the committed k=16 pretrained
+    * quantizer serves (deterministic constants, replayed by the oracle);
+    * above it, k = ⌈n/target⌉ centroids are trained by the same
+    * deterministic fixed-seed Lloyd's iteration the e10 surface exposes
+    * ([[IvfIndex.kmeans]]: init = first k by vec_id, lowest-index argmin
+    * ties), so the scaled path is equally deterministic — SemScaleSpec
+    * pins that any co-assignment-preserving refinement still drops every
+    * junior exact-duplicate (identical vectors co-assign under ANY
+    * centroid set). More centroids = FEWER cross-pair comparisons, the
+    * knob SemDeDup itself scales with corpus size (k ≈ √n in the paper;
+    * linear-in-n here keeps c̄ constant because the comparison stage, not
+    * assignment, is the scale cost).
     */
-  private[operators] def semAssign(s: SparkSession, dir: String): DataFrame =
-    IvfIndex.assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
+  private[operators] def semAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val base = IvfIndex.Pretrained
+    val target = semTargetClusterSize(s)
+    val n = emb.count()
+    val cents =
+      if (n <= base.length.toLong * target) base
+      else {
+        val k = math.ceil(n.toDouble / target).toInt
+        // Train on a bounded deterministic sample (hash-gated, same
+        // salted-draw machinery as x1/x6): Lloyd's cost is k·|train|·dim
+        // per iteration, so an unbounded train set makes TRAINING the
+        // quadratic term (k ∝ n ⇒ k·n; measured 1.33× over linear at
+        // x30 before this gate). Sampled, training is k·S·dim — linear
+        // in n. Full-corpus ASSIGNMENT (k·n·dim, one compiled pass)
+        // remains the n²/target term; it overtakes the pairwise stage
+        // only when k outgrows dim·target ≈ 32 k centroids (≈ 16 M
+        // vectors at target 512) — the scale where production swaps in a
+        // two-level coarse quantizer (assign to ⌈√k⌉ centroid groups,
+        // then within the group: 2√k·n) with everything else unchanged.
+        val sampleTarget = math.max(16384L, 8L * k)
+        val train =
+          if (n <= sampleTarget) emb
+          else emb.where(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+            lit(math.ceil(1000000.0 * sampleTarget / n).toLong))
+        IvfIndex.kmeans(s, train, k, iters = 3)
+      }
+    IvfIndex.assign(emb, cents)
       .select(col("vec_id"), col("cid"), col("embedding"))
+  }
 
   /** The SemDeDup drop set: every vec_id with a more-senior (lower-id)
     * within-cluster near-duplicate. Same score→filter→dedup staging as
@@ -799,7 +890,11 @@ object DedupPack extends QueryPack {
        |    $minsSql
        |  FROM hashed GROUP BY doc_id),
        |sig AS (
-       |  $unpivot)
+       |  $unpivot),
+       |sigk AS (
+       |  SELECT sig.* FROM sig JOIN (
+       |    SELECT band, minhash FROM sig GROUP BY band, minhash
+       |    HAVING count(*) <= $MaxBandDf) ok USING (band, minhash))
        |""".stripMargin
   }
 
@@ -814,7 +909,7 @@ object DedupPack extends QueryPack {
     "d3_lsh_pairs" ->
       (shinglesCte +
         """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM sig a JOIN sig b
+          |FROM sigk a JOIN sigk b
           |  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
           |ORDER BY doc_a, doc_b""".stripMargin),
 
@@ -822,7 +917,7 @@ object DedupPack extends QueryPack {
       (shinglesCte +
         s""", cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sig a JOIN sig b
+          |  FROM sigk a JOIN sigk b
           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id)
           |SELECT c.doc_a, c.doc_b, count(*) AS n_agree,
           |  CAST(count(*) AS DOUBLE) / CAST($NumBands AS DOUBLE) AS est_jaccard
@@ -839,7 +934,7 @@ object DedupPack extends QueryPack {
       (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sig a JOIN sig b
+          |  FROM sigk a JOIN sigk b
           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
           |edges AS (
           |  SELECT doc_a AS a, doc_b AS b FROM cand
@@ -862,7 +957,7 @@ object DedupPack extends QueryPack {
       (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sig a JOIN sig b
+          |  FROM sigk a JOIN sigk b
           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
           |edges AS (
           |  SELECT doc_a AS a, doc_b AS b FROM cand
@@ -1019,7 +1114,7 @@ object DedupPack extends QueryPack {
         s""",
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sig a JOIN sig b
+           |  FROM sigk a JOIN sigk b
            |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
            |edges AS (
            |  SELECT doc_a AS src, doc_b AS dst FROM cand
@@ -1038,7 +1133,7 @@ object DedupPack extends QueryPack {
         """,
           |cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sig a JOIN sig b
+          |  FROM sigk a JOIN sigk b
           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
           |tri AS (
           |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c

@@ -59,8 +59,12 @@ object IvfIndex {
     * centroid table as a driver-side array (cid = index).
     */
   def kmeans(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = emb.where(col("vec_id") < k)
-      .orderBy("vec_id").select("embedding")
+    // init = the k most-senior vectors (TakeOrdered, no full sort). On a
+    // dense-id frame this is exactly the `vec_id < k` prefix the e10
+    // oracle replays; on a sampled frame (semAssign's bounded train set)
+    // it is the sample's seniority prefix — deterministic either way.
+    var centroids: Array[Array[Float]] = emb
+      .orderBy("vec_id").select("embedding").limit(k)
       .collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
       // One job per iteration: compiled assignment projection (no

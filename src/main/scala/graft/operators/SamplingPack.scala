@@ -327,7 +327,7 @@ object SamplingPack extends QueryPack {
       (DedupPack.shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sig a JOIN sig b
+          |  FROM sigk a JOIN sigk b
           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
           |edges AS (
           |  SELECT doc_a AS a, doc_b AS b FROM cand
