@@ -796,21 +796,18 @@ object DedupPack extends QueryPack {
     val base = IvfIndex.Pretrained
     val target = semTargetClusterSize(s)
     val n = emb.count()
-    val cents =
-      if (n <= base.length.toLong * target) base
-      else {
+    if (n <= base.length.toLong * target)
+      IvfIndex.assign(emb, base)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+    else {
+      val cents = {
         val k = math.ceil(n.toDouble / target).toInt
         // Train on a bounded deterministic sample (hash-gated, same
         // salted-draw machinery as x1/x6): Lloyd's cost is k·|train|·dim
         // per iteration, so an unbounded train set makes TRAINING the
         // quadratic term (k ∝ n ⇒ k·n; measured 1.33× over linear at
         // x30 before this gate). Sampled, training is k·S·dim — linear
-        // in n. Full-corpus ASSIGNMENT (k·n·dim, one compiled pass)
-        // remains the n²/target term; it overtakes the pairwise stage
-        // only when k outgrows dim·target ≈ 32 k centroids (≈ 16 M
-        // vectors at target 512) — the scale where production swaps in a
-        // two-level coarse quantizer (assign to ⌈√k⌉ centroid groups,
-        // then within the group: 2√k·n) with everything else unchanged.
+        // in n.
         val sampleTarget = math.max(16384L, 8L * k)
         val train =
           if (n <= sampleTarget) emb
@@ -818,9 +815,34 @@ object DedupPack extends QueryPack {
             lit(math.ceil(1000000.0 * sampleTarget / n).toLong))
         IvfIndex.kmeans(s, train, k, iters = 3)
       }
-    IvfIndex.assign(emb, cents)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+      // Assignment: flat k·dim per row while k is small; past
+      // SemTwoLevelK centroids, the e14 two-level coarse tier (nearest
+      // of ⌈√k⌉ centroid GROUPS, then nearest member within — ~2√k·dim
+      // per row), which keeps full-corpus assignment sub-quadratic as
+      // k ∝ n grows. Group misassignment can only LOSE cross-cluster
+      // comparisons — the same approximation dial as k itself;
+      // SemScaleSpec pins that exact duplicates still co-assign
+      // (identical vectors take identical argmins at both levels).
+      if (cents.length <= SemTwoLevelK)
+        IvfIndex.assign(emb, cents)
+          .select(col("vec_id"), col("cid"), col("embedding"))
+      else {
+        val (gc, members) = IvfIndex.groupCentroids(cents,
+          math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+        emb.withColumn("cid",
+            IvfIndex.assignTwoLevelCol(col("embedding"), cents, gc, members))
+          .select(col("vec_id"), col("cid"), col("embedding"))
+      }
+    }
   }
+
+  /** Centroid count beyond which [[semAssign]] switches to the
+    * two-level coarse tier. 64 keeps every bench/SCALING capture on the
+    * flat path it was measured with while giving the spec a forcing
+    * handle; at production scale any k in the tens of thousands rides
+    * the two-level tier automatically.
+    */
+  private val SemTwoLevelK = 64
 
   /** The SemDeDup drop set: every vec_id with a more-senior (lower-id)
     * within-cluster near-duplicate. Same score→filter→dedup staging as

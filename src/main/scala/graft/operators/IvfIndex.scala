@@ -88,6 +88,69 @@ object IvfIndex {
     emb.withColumn("cid",
       nearest_centroid(col("embedding"), centroidsLit(centroids)))
 
+  /** Two-level coarse quantization (FAISS IMI / IVF-tree shape): cluster
+    * the CENTROID TABLE into g groups driver-side, assign a vector by
+    * nearest group then nearest member centroid within that group —
+    * ~(g + k/g)·dim work per vector instead of k·dim, the flat-assignment
+    * fix SCALING.md §5 names for k beyond ~32 k centroids. Pure Scala
+    * k-means over k×dim floats (k is config-bounded — never corpus data),
+    * deterministic: init = first g centroids, (distance, lowest-index)
+    * argmin ties, empty groups dropped with stable reindexing.
+    * Returns (groupCentroids, members) where members(g) lists the GLOBAL
+    * centroid ids of group g in ascending order.
+    */
+  def groupCentroids(centroids: Array[Array[Float]], g: Int,
+      iters: Int = 3): (Array[Array[Float]], Array[Array[Int]]) = {
+    require(g >= 1 && g <= centroids.length, s"g=$g out of range")
+    val dim = centroids.head.length
+    var gc: Array[Array[Float]] = centroids.take(g).map(_.clone())
+    def assignAll(): Array[Int] = centroids.map { c =>
+      var best = 0; var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < gc.length) {
+        val d = sqDistLocal(c, gc(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val asg = assignAll()
+      gc = gc.indices.map { gi =>
+        val mine = asg.zipWithIndex.collect { case (`gi`, ci) => centroids(ci) }
+        if (mine.isEmpty) gc(gi)
+        else Array.tabulate(dim)(d => (mine.map(_(d).toDouble).sum / mine.length).toFloat)
+      }.toArray
+    }
+    val fin = assignAll()
+    val keep = gc.indices.filter(gi => fin.contains(gi))
+    (keep.map(gc).toArray,
+      keep.map(gi => fin.zipWithIndex.collect { case (`gi`, ci) => ci }.sorted.toArray).toArray)
+  }
+
+  /** The two-level assignment as a compiled column over `vec`: nearest
+    * group via [[graft.functions.NearestCentroid]] on the g group
+    * centroids, then nearest member within the chosen group, mapped back
+    * to the GLOBAL centroid id. Member lists ascend, so the
+    * lowest-index tie rule composes to lowest-global-cid — the rule the
+    * oracles replay. Approximation contract: differs from flat
+    * [[assign]] exactly when a vector's nearest centroid lies outside
+    * its nearest group (the IMI trade; e14's RecallSpec gate measures
+    * the cost).
+    */
+  def assignTwoLevelCol(vec: Column, centroids: Array[Array[Float]],
+      groupCents: Array[Array[Float]], members: Array[Array[Int]]): Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, typedLit, when}
+    val gid = nearest_centroid(vec, centroidsLit(groupCents))
+    members.indices.foldLeft(lit(-1)) { (acc, g) =>
+      val memberCents = members(g).map(centroids)
+      when(gid === g,
+        element_at(typedLit(members(g).toSeq),
+          nearest_centroid(vec, centroidsLit(memberCents)) + 1))
+        .otherwise(acc)
+    }
+  }
+
   /** Pretrained coarse quantizer ([[kmeans]] k=16, iters=3 on the sf0.01
     * embeddings sample) — train once on a bounded sample, serve at any
     * scale, exactly like [[PqIndex.Pretrained]]. Serving from constants

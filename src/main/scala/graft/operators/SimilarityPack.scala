@@ -413,6 +413,43 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     }),
 
+    // e14: TWO-LEVEL coarse quantization ANN (FAISS IMI / IVF-tree
+    // shape) — the assignment-cost fix SCALING.md §5 names for flat IVF
+    // past ~32 k centroids: cluster the centroid table itself into
+    // Ivf2Groups groups (driver-side k-means over k×dim floats — config
+    // data, never corpus data), assign a vector by nearest GROUP then
+    // nearest member centroid within it: (g + k/g)·dim work per row
+    // instead of k·dim, compiled via the same NearestCentroid kernel
+    // (one when-chain, no shuffle, no row multiplication). The query
+    // probes the Ivf2ProbeGroups nearest groups, then the Ivf2ProbeCids
+    // nearest member centroids inside them, exact cosine re-score within
+    // — the same scan → project → filter → TakeOrderedAndProject single
+    // pass as e5. Approximation tier: a vector whose nearest centroid
+    // lies outside its nearest group mis-assigns (the IMI trade);
+    // RecallSpec gates recall@20 against exact truth alongside e5/e13.
+    // Deterministic end-to-end (lowest-index argmin at both levels,
+    // members ascending so ties compose to lowest global cid), so the
+    // oracle replays assignment AND probe selection exactly.
+    "e14_ivf2_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = IvfIndex.Pretrained
+      val (gc, members) = ivf2
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val gids = IvfIndex.probeCids(gc, q, Ivf2ProbeGroups)
+      val probes = gids.flatMap(g => members(g))
+        .map(c => (IvfIndex.sqDistLocal(cents(c), q), c))
+        .sorted.take(Ivf2ProbeCids).map(_._2)
+      emb.withColumn("cid",
+          IvfIndex.assignTwoLevelCol(col("embedding"), cents, gc, members))
+        .where(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"),
+          round(cosine_similarity(col("embedding"), typedLit(q.toSeq)), 6)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
     // e11: HYBRID retrieval — reciprocal rank fusion (RRF, Cormack et
     // al.'09: score = Σ 1/(C + rank_i), C = 60) of a DENSE ranking
     // (brute cosine vs the vec-0 query embedding, e1's one-pass shape)
@@ -517,6 +554,18 @@ object SimilarityPack extends QueryPack {
   private val BatchQueries = 8
   private val BatchK = 20
 
+  /** e14 two-level IVF geometry: 16 pretrained centroids clustered into
+    * 4 groups (√k — the IMI balance point: group scan + within-group
+    * scan both √k); queries probe 2 groups, 6 member centroids (e5's
+    * nprobe for comparability). Computed once, driver-side, from the
+    * same committed constants the oracle replays.
+    */
+  private val Ivf2Groups = 4
+  private val Ivf2ProbeGroups = 2
+  private val Ivf2ProbeCids = 6
+  private lazy val ivf2: (Array[Array[Float]], Array[Array[Int]]) =
+    IvfIndex.groupCentroids(IvfIndex.Pretrained, Ivf2Groups)
+
   private[operators] val RecallProbes = 8
   private[operators] val RecallK = 10
   private[operators] val RecallNprobe = 2
@@ -612,6 +661,59 @@ object SimilarityPack extends QueryPack {
          |    round(list_cosine_similarity(s.e, q.qe), 6) AS cos_sim
          |  FROM short s, q)
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // e14: two-level assignment and probe selection replayed from the
+    // same derived constants — group argmin via list_position first-min,
+    // within-group argmin over the member distance sublist (members
+    // ascend, so first-min = lowest global cid, the kernel's rule), and
+    // probe selection ordered (distance, id) at both levels.
+    "e14_ivf2_knn" -> {
+      val (gc, members) = ivf2
+      val distGQ = IvfIndex.distListSql(gc, "q.qe")
+      val distGE = IvfIndex.distListSql(gc, "e")
+      val distQ = IvfIndex.distListSql(IvfIndex.Pretrained, "q.qe")
+      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+      // per-group argmin over the member distance sublist → global cid
+      def memberArgmin(ms: Array[Int]): String = {
+        val dl = ms.map(m => s"d[${m + 1}]").mkString("[", ", ", "]")
+        val ml = ms.mkString("[", ", ", "]")
+        s"CAST(($ml)[list_position($dl, list_min($dl))] AS INTEGER)"
+      }
+      val caseArms = members.indices
+        .map(g => s"WHEN $g THEN ${memberArgmin(members(g))}")
+        .mkString("\n         |      ")
+      val memRows = members.zipWithIndex
+        .flatMap { case (ms, g) => ms.map(c => s"($c, $g)") }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |qgd AS (SELECT $distGQ AS gd FROM q),
+         |qg AS (
+         |  SELECT CAST(i AS INTEGER) - 1 AS gid
+         |  FROM qgd, range(1, ${gc.length + 1}) t(i)
+         |  ORDER BY gd[CAST(i AS INTEGER)], gid LIMIT $Ivf2ProbeGroups),
+         |qd AS (SELECT $distQ AS d FROM q),
+         |mem AS (SELECT * FROM (VALUES $memRows) t(cid, gid)),
+         |probes AS (
+         |  SELECT m.cid FROM mem m JOIN qg USING (gid), qd
+         |  ORDER BY qd.d[m.cid + 1], m.cid LIMIT $Ivf2ProbeCids),
+         |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |gasg AS (
+         |  SELECT vec_id, e,
+         |    CAST(list_position(gd, list_min(gd)) - 1 AS INTEGER) AS gid
+         |  FROM (SELECT vec_id, e, $distGE AS gd FROM base)),
+         |casg AS (
+         |  SELECT vec_id, e,
+         |    CASE gid
+         |      $caseArms
+         |    END AS cid
+         |  FROM (SELECT vec_id, e, gid, $distE AS d FROM gasg))
+         |SELECT vec_id, cid, cos_sim FROM (
+         |  SELECT c.vec_id, c.cid,
+         |    round(list_cosine_similarity(c.e, q.qe), 6) AS cos_sim
+         |  FROM casg c, q
+         |  WHERE c.vec_id <> 0 AND c.cid IN (SELECT cid FROM probes))
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+    },
 
     // e12: replay probes (first-RecallProbes vectors), per-probe nearest
     // RecallNprobe centroids (same distance list + (d, cid) tie rule as

@@ -76,6 +76,21 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.6, s"e13 recall@20 degraded to $recall")
   }
 
+  test("e14 two-level IVF KNN: recall@20 vs exact e1 >= 0.7 (IMI tier)") {
+    // Same nprobe budget as e5 (6 centroids) but spent through the
+    // 2-group coarse tier, which adds the group-misassignment loss on
+    // top of e5's cluster-miss loss — the documented IMI trade for
+    // (g + k/g)·dim assignment. Measured 0.85 on this near-random
+    // corpus — identical to e5: the probed 6 centroids coincide and the
+    // group tier misassigns none of the true top-20 here. Floor below
+    // that to absorb fixture wobble while catching real degradation.
+    val exact = topIds("e1_knn_brute")
+    val ivf2 = topIds("e14_ivf2_knn")
+    val recall = (exact & ivf2).size.toDouble / exact.size
+    info(s"e14 recall@20 = $recall")
+    assert(recall >= 0.7, s"e14 recall@20 degraded to $recall")
+  }
+
   test("e8 SQ8 KNN: recall@20 vs exact e1 >= 0.9 (finest quantizer)") {
     val exact = topIds("e1_knn_brute")
     val sq = topIds("e8_sq_knn")

@@ -56,4 +56,32 @@ class SemScaleSpec extends SparkSuite {
         "assignment must use more clusters than the pretrained k=16")
     } finally spark.conf.unset("graft.semdedup.targetClusterSize")
   }
+
+  test("two-level assignment tier preserves the same invariants") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = (0 until 56).map(j => (200L + j, base(j % 28)._2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semscale2-").toString
+    (base ++ dups).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // n=256, target=2 ⇒ k=128 > SemTwoLevelK=64 ⇒ the e14 two-level
+    // coarse tier carries the full-corpus assignment
+    spark.conf.set("graft.semdedup.targetClusterSize", "2")
+    try {
+      def run() = DedupPack.queries("d12_semdedup")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+      val kept = run()
+      assert(kept.sameElements(run()), "two-level path must be deterministic")
+      val keptIds = kept.map(_._1).toSet
+      (200L until 256L).foreach { junior =>
+        assert(!keptIds.contains(junior),
+          s"junior exact-duplicate $junior must be dropped under two-level assignment")
+      }
+      assert(keptIds.contains(0L))
+    } finally spark.conf.unset("graft.semdedup.targetClusterSize")
+  }
 }
