@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{md5Prefix60, tokens}
+import graft.functions.{md5Prefix60, shingle_hashes_bag, tokens}
 
 /** Corpus-assembly operators for training-data pipelines: deterministic
   * mixture sampling (domain re-weighting) and fixed-token-budget sequence
@@ -261,8 +261,89 @@ object SamplingPack extends QueryPack {
             lit(1000000L)) * col("cluster_size") < lit(1000000L))
             .cast("int").as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // x8: DSIR-style importance resampling (Xie et al. '23, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every raw document by how much its hashed n-gram feature profile
+    // leans toward a TARGET distribution (here the en subcorpus standing
+    // in for "high-quality domain"), then keep the target-leaning docs.
+    // Features are DSIR's hashed bigrams: the compiled ShingleHashesBag
+    // poly-hash folded into B buckets, so the feature space is fixed-size
+    // regardless of vocabulary. Both bucket models are add-one-smoothed
+    // ((c+1)/(N+B)); each bucket's target and raw probabilities quantize
+    // to integer nano-units BEFORE any per-doc summation (the t19
+    // fixed-point discipline — no float-sum order sensitivity, no logs:
+    // the paper's log-ratio sum is replaced by the probability-difference
+    // sum, the same rational-form trade t14 makes for BM25's IDF; sign
+    // and ranking of near-ties then replay bit-exactly cross-engine).
+    // Scale: the bucket-count model is ONE partial+final agg bounded at
+    // B rows however large the corpus (map-side combine absorbs hot
+    // buckets), joined back by BROADCAST; the feature pass is one
+    // compiled projection; the per-doc fold shuffles on doc_id. No
+    // window, no single-partition stage, no driver pull beyond the
+    // B-row model — the exact shape DSIR runs at pretraining scale.
+    "x8_dsir_sample" -> ((s, dir) => {
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(shingle_hashes_bag(col("text"), 2)).as("bh"))
+        .select(col("doc_id"), col("lang"),
+          pmod(col("bh"), lit(DsirBuckets.toLong)).as("bucket"))
+      val counts = f.groupBy("bucket").agg(
+        count(lit(1)).as("cr"),
+        sum((col("lang") === "en").cast("long")).as("ct"))
+      val totals = counts.agg(
+        sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val model = counts.crossJoin(broadcast(totals)).select(
+        col("bucket"),
+        round(lit(1e9) * ((col("ct") + lit(1)).cast("double") /
+          (col("nt") + lit(DsirBuckets)).cast("double")), 0).cast("long").as("qt"),
+        round(lit(1e9) * ((col("cr") + lit(1)).cast("double") /
+          (col("nr") + lit(DsirBuckets)).cast("double")), 0).cast("long").as("qr"))
+      f.join(broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feat"),
+          sum(col("qt") - col("qr")).as("score9"))
+        .select(col("doc_id"), col("n_feat"), col("score9"),
+          (col("score9") > 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // x9: LEAKAGE-SAFE split — t6's deterministic hash split made
+    // dedup-aware: hashing each DOC independently (t6) puts two near-
+    // duplicates on opposite sides of the train/test fence, which is
+    // exactly the contamination d8/d9 exist to catch after the fact.
+    // Here the split key is the doc's near-dup CLUSTER label (d7's
+    // shared component stage — size-adaptive union-find / min-label
+    // propagation), so every member of a cluster co-assigns by
+    // construction and eval leakage through near-dups is impossible
+    // rather than detected. 80/10/10 by salted hash of the cluster id —
+    // x1's no-RNG discipline: the split survives reshuffling, retries
+    // and scale-out. Scale: components are the d7 stage (bucketed LSH,
+    // bounded pairs); the split itself is a pure per-row projection
+    // after one cluster-label join.
+    "x9_cluster_split" -> ((s, dir) => {
+      val clustered = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(DedupPack.clusterLabels(s, dir), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+      val h = pmod(
+        md5Prefix60(concat(lit("split:"), col("cluster").cast("string"))),
+        lit(1000))
+      clustered
+        .withColumn("bucket", h)
+        .withColumn("split",
+          when(col("bucket") < 800, "train")
+            .when(col("bucket") < 900, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
     })
   )
+
+  /** x8's hashed-feature space size (DSIR's 10k-bucket analogue; a power
+    * of two so the fold is a cheap mask at codegen time).
+    */
+  private val DsirBuckets = 8192
 
   /** x6's per-language keep-rate table, derived from whatever doc frame
     * it is given (the whole table for x6; pipeline4 passes only its
@@ -347,6 +428,63 @@ object SamplingPack extends QueryPack {
           |         % 1000000 * sz.cluster_size < 1000000 AS INTEGER) AS keep
           |FROM cl JOIN sz USING (cluster)
           |ORDER BY cl.doc_id""".stripMargin),
+
+    // x8: the same bigram poly-hash as t12's oracle folded into B
+    // buckets, the two smoothed bucket models quantized to nano-units,
+    // then the per-doc integer difference sum.
+    "x8_dsir_sample" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(
+         |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+         |      sh -> ${DedupPack.polyHashSql})) % $DsirBuckets AS bucket
+         |  FROM w WHERE len(ws) >= 2),
+         |c AS (
+         |  SELECT bucket, count(*) AS cr,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |  FROM g GROUP BY bucket),
+         |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM c),
+         |m AS (
+         |  SELECT bucket,
+         |    CAST(round(1000000000.0 * (CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE)), 0) AS BIGINT) AS qt,
+         |    CAST(round(1000000000.0 * (CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE)), 0) AS BIGINT) AS qr
+         |  FROM c, t)
+         |SELECT doc_id, count(*) AS n_feat,
+         |  CAST(sum(qt - qr) AS BIGINT) AS score9,
+         |  CAST(CAST(sum(qt - qr) AS BIGINT) > 0 AS INTEGER) AS keep
+         |FROM g JOIN m USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x9: d7's recursive component CTEs (shared via shinglesCte), then
+    // the salted cluster-keyed hash split.
+    "x9_cluster_split" ->
+      (DedupPack.shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sigk a JOIN sigk b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM cand
+          |  UNION SELECT doc_b, doc_a FROM cand),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |comp AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+          |cl AS (
+          |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+          |bk AS (
+          |  SELECT doc_id, cluster,
+          |    CAST(concat('0x', substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+          |  FROM cl)
+          |SELECT doc_id, cluster, bucket,
+          |  CASE WHEN bucket < 800 THEN 'train'
+          |       WHEN bucket < 900 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM bk ORDER BY doc_id""".stripMargin),
 
     "x2_pack_sequences" ->
       s"""WITH t AS (

@@ -516,8 +516,90 @@ object SimilarityPack extends QueryPack {
             coalesce(lit(1.0) / (lit(RrfC) + col("r_sparse")), lit(0.0)))
         .select(col("doc_id"), col("r_dense"), col("r_sparse"), col("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id")).limit(HybridOut)
+    }),
+
+    // e15: METADATA-FILTERED vector search — top-K under a structured
+    // predicate (here label % 3 = 1), the capability every production
+    // vector store ships next to plain KNN (FAISS IDSelector, the
+    // filtered-search mode of Milvus/Qdrant/Vespa). The engine gets it
+    // by COMPOSITION, which is the point of building ANN inside a
+    // relational optimizer rather than beside one: the predicate is a
+    // plain Catalyst filter, so Spark pushes it into the parquet scan
+    // (PlanSpec pins PushedFilters) and the exact cosine pass runs only
+    // over survivors — pre-filtering, the strategy that stays correct at
+    // ANY selectivity (post-filtering an ANN shortlist under-fills K
+    // when the predicate is selective). One corpus pass, broadcast query
+    // vector, TakeOrderedAndProject: e1's scale shape with the scan
+    // narrowed by the filter. For low-selectivity predicates over an IVF
+    // corpus the same .where composes after e5's assign — the filter
+    // rides the same scan either way.
+    "e15_filtered_knn" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.where(col("vec_id") =!= 0 && col("label") % 3 === 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
+    // e16: MMR-diversified retrieval (Carbonell & Goldstein '98, the
+    // result-diversification step RAG and search stacks run after ANN):
+    // greedily re-rank a top-N shortlist so each pick balances query
+    // relevance against redundancy with what is already picked —
+    // argmax_c [λ·rel(c) − (1−λ)·max_{s∈picked} sim(c,s)]. The split of
+    // work is the entire scale story: the CORPUS-sized stage is e1's
+    // one-pass TakeOrderedAndProject shortlist (bandwidth-bound, no
+    // shuffle), and the greedy loop — inherently sequential, O(K·N)
+    // — runs on the driver over the BOUNDED N=20 shortlist and its
+    // N·(N−1) pairwise sims, both computed by the same compiled cosine
+    // kernel the e-family already proves ulp-equal to the oracle's
+    // (t17's blessed bounded-collect residency: the collect is
+    // shortlist-sized at any corpus size). λ = ½ states the margin in
+    // pure integers — 2·MMR = rel6 − maxsim6, micro-unit longs — with
+    // (margin DESC, vec_id) ties, so all ten picks replay bit-exactly
+    // in the oracle's unrolled step CTEs (t17's unrolled-iteration
+    // discipline).
+    "e16_mmr_diversify" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(cosine_similarity(col("embedding"), col("qe")) * 1e6, 0)
+            .cast("long").as("rel6"))
+        .orderBy(col("rel6").desc, col("vec_id")).limit(MmrShortlist)
+        .localCheckpoint()
+      val rel = cand.select(col("vec_id"), col("rel6"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sims = cand.alias("a")
+        .join(cand.alias("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+          round(cosine_similarity(col("a.embedding"), col("b.embedding")) * 1e6, 0)
+            .cast("long").as("sim6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (picked.size < MmrK) {
+        val next = rel.keysIterator.filterNot(picked.contains).map { c =>
+          val margin =
+            if (picked.isEmpty) rel(c)
+            else rel(c) - picked.iterator.map(s => sims((c, s))).max
+          (margin, c)
+        }.minBy { case (m, c) => (-m, c) }._2
+        picked += next
+      }
+      import s.implicits._
+      picked.zipWithIndex
+        .map { case (v, i) => (i + 1, v, rel(v)) }.toSeq
+        .toDF("rank", "vec_id", "rel6")
+        .orderBy("rank")
     })
   )
+
+  /** e16's shortlist size and diversified-result size. */
+  private val MmrShortlist = 20
+  private val MmrK = 10
 
   /** e11 fusion constants: RRF's canonical C = 60 (Cormack et al.'09 —
     * large enough that rank-1 doesn't dominate, small enough that depth
@@ -642,6 +724,53 @@ object SimilarityPack extends QueryPack {
 
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+
+    // e16: shortlist + pairwise sims in micro-units, then the greedy
+    // MMR selection unrolled step-by-step (t17's unrolled-iteration
+    // discipline): each step CTE picks argmax(rel6 − maxsim6-to-picked)
+    // with (margin DESC, vec_id) ties, exactly the driver loop.
+    // Every step CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+    // default, and the selK chain references selK-1 three times — an
+    // inlined chain re-expands 3^K times (measured: the inlined form
+    // exhausts file handles re-opening the parquet; materialized, the
+    // whole oracle is 0.6 s).
+    "e16_mmr_diversify" -> {
+      val steps = (2 to MmrK).map { k =>
+        s"""s$k AS MATERIALIZED (
+           |  SELECT c.vec_id FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+           |  ORDER BY c.rel6 - (SELECT max(sim6) FROM sims
+           |    WHERE a = c.vec_id AND b IN (SELECT vec_id FROM sel${k - 1})) DESC,
+           |    c.vec_id
+           |  LIMIT 1),
+           |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1} UNION ALL SELECT vec_id, $k FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe) * 1000000, 0) AS BIGINT) AS rel6
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel6 DESC, vec_id LIMIT $MmrShortlist),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    CAST(round(list_cosine_similarity(a.e, b.e) * 1000000, 0) AS BIGINT) AS sim6
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id, 1 AS rank FROM s1),
+         |$steps
+         |SELECT sel$MmrK.rank, sel$MmrK.vec_id, cand.rel6
+         |FROM sel$MmrK JOIN cand USING (vec_id) ORDER BY rank""".stripMargin
+    },
+
+    // e15: the e1 oracle narrowed by the same metadata predicate.
+    "e15_filtered_knn" ->
+      """SELECT vec_id, label, cos_sim FROM (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+        |  FROM embeddings e,
+        |       (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0 AND e.label % 3 = 1)
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // e13: both stages replayed — micro-unit prefix ranking over
     // e[1:MrlPrefixDim] with (pre6 DESC, vec_id) ties, then full-dim

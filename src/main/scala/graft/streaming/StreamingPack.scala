@@ -903,6 +903,60 @@ object StreamingPack extends QueryPack {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
+    // s20: streaming distribution-DRIFT monitor — the data-quality gate a
+    // production ingest runs beside every pipeline: per event-time hour,
+    // how far does the stream's event_type mix drift from the corpus
+    // reference distribution, and which windows breach the alert
+    // threshold? The statistic is total-variation distance, stated in
+    // the exact integer form TV·2·n_w·N_ref = Σ_t |o_t·N_ref − c_t·n_w|
+    // (o_t observed in the window, c_t reference count): pure long
+    // arithmetic — no per-type division, no float sum, so the per-window
+    // result and the 5 %-TV alert flag (drift_num·10 > n_w·N_ref,
+    // cross-multiplied) replay bit-exactly cross-engine; the human-facing
+    // `tv` is ONE terminal IEEE division. Dataflow: windowed counts are
+    // s2's streaming aggregate (bounded state: windows × types rows);
+    // the reference model is one batch partial+final agg bounded at
+    // |types| rows, BROADCAST into a windows × types frame (missing
+    // types coalesce to 0 — a vanished type is drift, which an inner
+    // join would silently ignore); the final fold shuffles on the
+    // window key only. At production scale the integer products bound
+    // the exact form to N_ref < ~3e9 events; past that the reference
+    // collapses to per-mille shares (same statistic, quantized) — the
+    // knob, not a different operator.
+    "s20_stream_drift" -> ((s, dir) => {
+      val ss = tunedChild(s, width = 4, noData = false)
+      val chk = scratch("graft-s20-")
+      val q = eventsStream(ss, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory").queryName("graft_s20_drift")
+        .option("checkpointLocation", s"$chk/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val observed = ss.table("graft_s20_drift")
+        .select(col("w.start").as("window_start"), col("event_type"), col("o"))
+      val ref = Tables(ss, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+      val nRef = ref.agg(sum(col("c")).as("n_ref"))
+      val windows = observed.groupBy("window_start").agg(sum(col("o")).as("n_w"))
+      windows
+        .crossJoin(broadcast(ref))
+        .join(observed, Seq("window_start", "event_type"), "left")
+        .crossJoin(broadcast(nRef))
+        .groupBy("window_start", "n_w", "n_ref")
+        .agg(sum(abs(coalesce(col("o"), lit(0L)) * col("n_ref") -
+          col("c") * col("n_w"))).as("drift_num"))
+        .select(col("window_start"), col("n_w"), col("drift_num"),
+          (col("drift_num").cast("double") /
+            (lit(2L) * col("n_w") * col("n_ref")).cast("double")).as("tv"),
+          (col("drift_num") * 10 > col("n_w") * col("n_ref"))
+            .cast("int").as("is_drift"))
+        .orderBy("window_start")
     })
   )
 
@@ -1297,7 +1351,30 @@ object StreamingPack extends QueryPack {
          |mean AS (SELECT CAST(sum(avgq) AS HUGEINT) AS tot_q, count(*) AS n_docs FROM sc)
          |SELECT doc_id, n_trans, avg_p6,
          |  CAST(CAST(avgq AS HUGEINT) * 2 * n_docs >= tot_q AS INTEGER) AS fluent
-         |FROM sc, mean ORDER BY doc_id""".stripMargin
+         |FROM sc, mean ORDER BY doc_id""".stripMargin,
+
+    // s20: the batch formulation — hourly type counts vs the global
+    // reference, the same integer TV numerator and cross-multiplied
+    // alert, one terminal division for `tv`.
+    "s20_stream_drift" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w, event_type FROM events),
+        |ref AS (SELECT event_type, count(*) AS c FROM e GROUP BY 1),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM e),
+        |o AS (SELECT w, event_type, count(*) AS o FROM e GROUP BY 1, 2),
+        |nw AS (SELECT w, CAST(sum(o) AS BIGINT) AS n_w FROM o GROUP BY w),
+        |x AS (
+        |  SELECT nw.w, nw.n_w, ref.c, coalesce(o.o, 0) AS o, nr.n_ref
+        |  FROM nw CROSS JOIN ref CROSS JOIN nr
+        |  LEFT JOIN o ON o.w = nw.w AND o.event_type = ref.event_type),
+        |d AS (
+        |  SELECT w, n_w, n_ref,
+        |    CAST(sum(abs(o * n_ref - c * n_w)) AS BIGINT) AS drift_num
+        |  FROM x GROUP BY w, n_w, n_ref)
+        |SELECT w AS window_start, n_w, drift_num,
+        |  CAST(drift_num AS DOUBLE) / CAST(2 * n_w * n_ref AS DOUBLE) AS tv,
+        |  CAST(drift_num * 10 > n_w * n_ref AS INTEGER) AS is_drift
+        |FROM d ORDER BY window_start""".stripMargin
   )
 
   private implicit class MapOps(m: Map[String, String]) {

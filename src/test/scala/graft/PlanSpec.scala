@@ -50,6 +50,18 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("e15 pushes the metadata predicate into the embeddings scan") {
+    val p = plan("e15_filtered_knn")
+    // pre-filtering: the scan itself carries the vec_id pushdown (the
+    // label % 3 derived predicate folds to a Filter directly over the
+    // scan — no exchange between them), and the top-K is
+    // TakeOrderedAndProject, never a global sort.
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("Not(EqualTo(vec_id,0))"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("a3 star join broadcasts the dimension tables") {
     val p = plan("a3_regional_join")
     assert(p.contains("BroadcastHashJoin"))

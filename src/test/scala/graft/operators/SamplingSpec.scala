@@ -155,6 +155,70 @@ class SamplingSpec extends SparkSuite {
       s"kept $kept far from expected ≈ $clusters")
   }
 
+  test("x8 DSIR: feature counts match bigrams, scores separate target from raw") {
+    import spark.implicits._
+    val rows = q("x8_dsir_sample")
+      .select("doc_id", "n_feat", "score9", "keep")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.toSeq === q("x8_dsir_sample")
+      .select("doc_id", "n_feat", "score9", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSeq, "must be replay-stable")
+    // n_feat is the bigram count: n_tokens - 1 for every scoreable doc
+    val nToks = Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(rows.length === nToks.count(_._2 >= 2))
+    rows.foreach { case (id, nf, _, _) =>
+      assert(nf === nToks(id) - 1L, s"doc $id n_feat")
+    }
+    // keep is exactly the sign gate
+    rows.foreach { case (id, _, s9, keep) =>
+      assert(keep === (if (s9 > 0) 1 else 0), s"doc $id keep flag")
+    }
+    // the model must actually separate: target-language docs score
+    // higher per-feature than the rest on average (en bigrams populate
+    // the target buckets by construction)
+    val langs = Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    def meanPerFeat(p: ((Long, Long, Long, Int)) => Boolean) = {
+      val sel = rows.filter(p)
+      sel.map(r => r._3.toDouble / r._2).sum / sel.length
+    }
+    val en = meanPerFeat(r => langs(r._1) == "en")
+    val rest = meanPerFeat(r => langs(r._1) != "en")
+    assert(en > rest,
+      s"en per-feature score $en must exceed non-en $rest — model not separating")
+  }
+
+  test("x9 split is leakage-safe: every member of a near-dup cluster lands in the same split") {
+    import spark.implicits._
+    val rows = q("x9_cluster_split")
+      .select("doc_id", "cluster", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length === 500)
+    // THE property: split is a function of the cluster
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.map(_._4).distinct.length === 1,
+        s"cluster $cluster straddles splits: ${members.map(m => m._1 -> m._4).toSeq}")
+    }
+    // clusters are exactly d7's
+    val d7 = q("d7_dedup_clusters")
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cluster, _, _) =>
+      assert(cluster === d7(id), s"doc $id: x9 cluster $cluster != d7 ${d7(id)}")
+    }
+    // split is the stated bucket mapping, and all three splits exist
+    // with roughly the 80/10/10 cluster-level shape (loose band)
+    rows.foreach { case (id, _, b, s) =>
+      val expect = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(s === expect, s"doc $id bucket $b split $s")
+    }
+    val clusterSplit = rows.groupBy(_._2).map { case (_, ms) => ms.head._4 }
+    val frac = clusterSplit.count(_ == "train").toDouble / clusterSplit.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac far from 0.8")
+    assert(Set("train", "val", "test").subsetOf(rows.map(_._4).toSet))
+  }
+
   test("t12 novelty stats are self-consistent with token counts") {
     import spark.implicits._
     val stats = q("t12_bigram_novelty").collect()

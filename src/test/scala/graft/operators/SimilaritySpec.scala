@@ -73,4 +73,59 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.exists { case (_, rd, rs, _) => rd.isDefined && rs.isDefined },
       "no doc carried both a dense and a sparse rank")
   }
+
+  test("e15 filtered KNN: every hit satisfies the predicate and equals the naive filtered top-20") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("e15_filtered_knn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got.length == 20)
+    got.foreach { case (id, label, _) =>
+      assert(label % 3 == 1, s"vec $id label $label escapes the filter")
+    }
+    // naive reference: score EVERYTHING with the HOF cosine (the e1
+    // baseline kernel), filter after, take 20 — pre-filtering must not
+    // change the answer, only the work
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val naive = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.cosine_similarity_hof(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .where(col("label") % 3 === 1)
+      .orderBy(desc("cos_sim"), col("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == naive)
+  }
+
+  test("e16 MMR: picks are distinct shortlist members, rank 1 is the relevance argmax, and diversification reorders") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("e16_mmr_diversify")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == (1 to 10), "ranks must be 1..10 in order")
+    assert(got.map(_._2).distinct.length == 10, "picks must be distinct")
+    // the shortlist the greedy ran on: top-20 by (rel6 desc, vec_id)
+    val e = graft.Tables(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val short = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.cosine_similarity(col("embedding"), col("qe")) * 1e6, 0)
+          .cast("long").as("rel6"))
+      .orderBy(col("rel6").desc, col("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rel = short.toMap
+    got.foreach { case (_, id, r6) =>
+      assert(rel.get(id).contains(r6), s"pick $id not in shortlist / rel6 drifted")
+    }
+    // rank 1 is pure relevance (no redundancy penalty yet)
+    assert(got.head._2 == short.maxBy { case (id, r) => (r, -id) }._1)
+    // and the OTHER nine are not simply the next-best by relevance —
+    // MMR must trade relevance for diversity somewhere in the list
+    val topByRel = short.sortBy { case (id, r) => (-r, id) }.take(10).map(_._1).toSet
+    assert(got.map(_._2).toSet != topByRel,
+      "MMR output equals the pure-relevance top-10: no diversification happened")
+  }
 }

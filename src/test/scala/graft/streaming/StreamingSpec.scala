@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("s20 drift monitor: streamed windows equal batch hours, stat and flag recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val rows = graft.SparkEntry.queries("s20_stream_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // one output row per event-time hour, with the batch event count
+    val batchHours = graft.Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(rows.length === batchHours.size)
+    rows.foreach { case (w, nw, _, _, _) =>
+      assert(batchHours.get(w).contains(nw), s"window $w count $nw")
+    }
+    val nRef = batchHours.values.sum
+    rows.foreach { case (w, nw, num, tv, flag) =>
+      // tv is exactly the one terminal division of the integer stat,
+      // and the alert flag is the cross-multiplied 5% threshold
+      assert(tv === num.toDouble / (2L * nw * nRef).toDouble, s"window $w tv")
+      assert(flag === (if (num * 10 > nw * nRef) 1 else 0), s"window $w flag")
+      assert(num >= 0 && num <= 2L * nw * nRef, s"window $w stat out of range")
+    }
+  }
+
   test("compact() drops old tombstones but keeps state intact") {
     val dir = tmp()
     val store = new BucketedStateStore(spark, dir, numBuckets = 4)
