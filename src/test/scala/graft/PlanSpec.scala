@@ -173,6 +173,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("x8 DSIR: bucket model broadcast back, partial aggs, no window, no sort-merge join") {
+    val p = plan("x8_dsir_sample")
+    // the B-row model (and its totals) joins back by broadcast — the
+    // corpus-sized occurrence frame must never shuffle on the bucket key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both count models and the per-doc fold are two-phase (map-side
+    // combine absorbs hot buckets before any exchange)
+    assert(p.contains("partial_count"), p)
+    // no window function anywhere: scoring is projection + aggregation
+    assert(!p.contains("Window"), p)
+  }
+
   test("x2 packing windows partition by bucket; only the tiny totals frame is single-partition") {
     val p = plan("x2_pack_sequences")
     // the corpus-wide running sum must be keyed by the prefix bucket...
