@@ -544,6 +544,59 @@ object SimilarityPack extends QueryPack {
         .limit(20)
     }),
 
+    // e17: IVF-PQ (FAISS "IVFADC", Jégou et al.'11) — the production-
+    // default billion-vector index, composed from the engine's existing
+    // parts: the pretrained coarse quantizer routes the query to nprobe
+    // clusters (e5), and within them candidates are scored by PQ codes
+    // of their RESIDUAL v − centroid (e7's ADC) — residuals are zero-
+    // centered and far tighter than the raw corpus, so 8 bytes/vector
+    // buys more precision than raw-vector PQ. The residual never
+    // materializes: encoding residual v − c against codebook entry b
+    // equals encoding v against the SHIFTED entry c + b (argmin is
+    // translation-invariant), and the ADC table ‖(q−c) − b‖² =
+    // ‖q − (c+b)‖² — so the whole operator is the compiled
+    // NearestCentroid / adcDistance kernels over per-cluster shifted
+    // codebook literals (a when-chain on the assigned cid). Plan: one
+    // scan → compiled assignment → probe filter → compiled codes + ADC
+    // → TakeOrderedAndProject shortlist → exact re-rank. No joins, no
+    // shuffle, no training jobs at serve time; at 100 TB the scan reads
+    // only probed partitions when the table is clustered by cid (the
+    // FAISS inverted-list layout, here = partition pruning). The oracle
+    // replays the float shifted-codebook arithmetic via REAL + REAL
+    // (verified bit-identical to Float addition), assignment and codes
+    // from the same constants; RecallSpec gates recall@20.
+    "e17_ivfpq_knn" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = IvfIndex.Pretrained
+      val rbooks = PqIndex.PretrainedResidual
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val probes = IvfIndex.probeCids(cents, q, nprobe = 6)
+      val shifted = probes.map(c => c -> PqIndex.shiftedBooks(cents, rbooks, c)).toMap
+      val base = IvfIndex.assign(emb, cents)
+        .where(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+      val coded = (0 until PqIndex.SubSpaces).foldLeft(base) { (df, j) =>
+        val sub = slice(col("embedding"), j * PqIndex.SubDim + 1, PqIndex.SubDim)
+        df.withColumn(s"c$j", probes.tail.foldLeft(
+          when(col("cid") === probes.head, graft.functions.nearest_centroid(
+            sub, typedLit(shifted(probes.head)(j).map(_.toSeq).toSeq)))) { (w, c) =>
+          w.when(col("cid") === c, graft.functions.nearest_centroid(
+            sub, typedLit(shifted(c)(j).map(_.toSeq).toSeq)))
+        })
+      }
+      val adc = probes.tail.foldLeft(
+        when(col("cid") === probes.head,
+          PqIndex.adcDistance(shifted(probes.head), q))) { (w, c) =>
+        w.when(col("cid") === c, PqIndex.adcDistance(shifted(c), q))
+      }
+      coded.withColumn("adc", adc)
+        .orderBy(col("adc"), col("vec_id")).limit(200)
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), typedLit(q.toSeq)), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    }),
+
     // e16: MMR-diversified retrieval (Carbonell & Goldstein '98, the
     // result-diversification step RAG and search stacks run after ANN):
     // greedily re-rank a top-N shortlist so each pick balances query
@@ -729,6 +782,89 @@ object SimilarityPack extends QueryPack {
     // MMR selection unrolled step-by-step (t17's unrolled-iteration
     // discipline): each step CTE picks argmax(rel6 − maxsim6-to-picked)
     // with (margin DESC, vec_id) ties, exactly the driver loop.
+    // e17: probes + assignment replayed like e5's oracle; the per-cluster
+    // shifted codebooks are recomputed relationally from compact centroid
+    // and codebook REAL tables (REAL + REAL reproduces the Float sums
+    // bit-exactly — verified against 2000 random float32 pairs); codes
+    // are the lowest-index argmin per (vector, subspace); the ADC lookup
+    // recomputes each table entry from the query row with adcDistance's
+    // per-term accumulation order and sums the 8 subspace terms
+    // left-to-right like the Column reduce. MATERIALIZED hints stop
+    // DuckDB re-inlining the shared frames (the e16 lesson).
+    "e17_ivfpq_knn" -> {
+      val cents = IvfIndex.Pretrained
+      val rbooks = PqIndex.PretrainedResidual
+      val sd = PqIndex.SubDim
+      val distQ = IvfIndex.distListSql(cents, "q.qe")
+      val distE = IvfIndex.distListSql(cents, "e")
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, CAST([${c.map(_.toDouble.toString).mkString(", ")}] AS REAL[]))"
+      }.mkString(",\n    ")
+      val bookRows = (for {
+        j <- 0 until PqIndex.SubSpaces
+        (b, i) <- rbooks(j).zipWithIndex
+      } yield s"($j, $i, CAST([${b.map(_.toDouble.toString).mkString(", ")}] AS REAL[]))")
+        .mkString(",\n    ")
+      val codeCols = (0 until PqIndex.SubSpaces)
+        .map(j => s"max(CASE WHEN j = $j THEN i END) AS c$j").mkString(",\n    ")
+      val adcSum = (0 until PqIndex.SubSpaces)
+        .map(j => s"(SELECT d2 FROM lut WHERE lut.cid = codes.cid AND lut.j = $j AND lut.i = codes.c$j)")
+        .mkString("\n      + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |qd AS (SELECT $distQ AS d FROM q),
+         |probes AS (
+         |  SELECT CAST(i AS INTEGER) - 1 AS cid
+         |  FROM qd, range(1, ${cents.length + 1}) t(i)
+         |  ORDER BY d[CAST(i AS INTEGER)], cid LIMIT 6),
+         |cv AS (SELECT * FROM (VALUES
+         |    $centRows) t(cid, cv)),
+         |bv AS (SELECT * FROM (VALUES
+         |    $bookRows) t(j, i, bv)),
+         |shifted AS MATERIALIZED (
+         |  SELECT p.cid, b.j, b.i,
+         |    list_transform(range(1, ${sd + 1}), k -> c.cv[b.j * $sd + k] + b.bv[k]) AS sv
+         |  FROM probes p JOIN cv c USING (cid) CROSS JOIN bv b),
+         |asg AS (
+         |  SELECT vec_id, e, $distE AS d
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+         |cf AS MATERIALIZED (
+         |  SELECT vec_id, e, cid FROM (
+         |    SELECT vec_id, e,
+         |      CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |    FROM asg WHERE vec_id <> 0)
+         |  WHERE cid IN (SELECT cid FROM probes)),
+         |pc AS (
+         |  SELECT c.vec_id, c.cid, s.j, s.i,
+         |    list_distance(c.e[s.j * $sd + 1 : (s.j + 1) * $sd], CAST(s.sv AS DOUBLE[])) AS dd
+         |  FROM cf c JOIN shifted s ON s.cid = c.cid),
+         |code AS (
+         |  SELECT vec_id, cid, j, i FROM (
+         |    SELECT vec_id, cid, j, i,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, i) AS rn
+         |    FROM pc)
+         |  WHERE rn = 1),
+         |lut AS MATERIALIZED (
+         |  SELECT s.cid, s.j, s.i,
+         |    list_sum(list_transform(range(1, ${sd + 1}),
+         |      k -> (q.qe[s.j * $sd + k] - CAST(s.sv[k] AS DOUBLE))
+         |         * (q.qe[s.j * $sd + k] - CAST(s.sv[k] AS DOUBLE)))) AS d2
+         |  FROM shifted s, q),
+         |codes AS (
+         |  SELECT vec_id, cid,
+         |    $codeCols
+         |  FROM code GROUP BY vec_id, cid),
+         |short AS (
+         |  SELECT vec_id,
+         |      $adcSum AS adc
+         |  FROM codes
+         |  ORDER BY adc, vec_id LIMIT 200)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+         |  FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+    },
+
     // Every step CTE is AS MATERIALIZED: DuckDB inlines CTEs by
     // default, and the selK chain references selK-1 three times — an
     // inlined chain re-expands 3^K times (measured: the inlined form

