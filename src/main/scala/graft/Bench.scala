@@ -25,8 +25,11 @@ object Bench {
     // never sets it.
     sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
       kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not k=v (full value: '$kvs')")
+        }
       }
     }
     // warmup: touch every table once (schema + a tiny codegen'd action)

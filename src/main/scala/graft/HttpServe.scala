@@ -75,21 +75,32 @@ object HttpServe {
     val store = new SignalStore(view)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
-    // Serving-plan memo: the listing surface has a handful of distinct
-    // plans (default newest-first + one per priority value), so each is
-    // analyzed/optimized/planned ONCE — a Dataset's QueryExecution is a
-    // lazy val, and collect() on the same object only re-executes the
-    // cached physical plan. Without this every request re-ran the full
-    // Catalyst pipeline for an identical query. Point lookups stay
-    // per-request (unbounded id space; a memo there would leak).
+    // Serving-plan memo: the listing surface has a FIXED set of distinct
+    // plans (default newest-first + one per priority LABEL in the
+    // reference's domain), so each is analyzed/optimized/planned ONCE —
+    // a Dataset's QueryExecution is a lazy val, and collect() on the
+    // same object only re-executes the cached physical plan. Without
+    // this every request re-ran the full Catalyst pipeline for an
+    // identical query. The memo is keyed by the Option itself (never
+    // its getOrElse rendering — Some("") must not alias None's default
+    // listing) and only DOMAIN values are ever inserted: a
+    // client-supplied string outside {Low, Medium, High} builds its
+    // empty-result query per-request, so the map is bounded at 4
+    // entries no matter what clients send (the same unbounded-key
+    // reasoning that keeps point lookups un-memoized).
+    val memoizable: Set[Option[String]] =
+      Set(None, Some("Low"), Some("Medium"), Some("High"))
     val listingMemo =
-      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      new java.util.concurrent.ConcurrentHashMap[Option[String], DataFrame]()
+    def build(priority: Option[String]): DataFrame =
+      readModel(priority match {
+        case Some(p) => store.listByPriority(p)
+        case None => store.listByCreatedAt()
+      })
     def listing(priority: Option[String]): DataFrame =
-      listingMemo.computeIfAbsent(priority.getOrElse(""), _ =>
-        readModel(priority match {
-          case Some(p) => store.listByPriority(p)
-          case None => store.listByCreatedAt()
-        }))
+      if (memoizable(priority))
+        listingMemo.computeIfAbsent(priority, build)
+      else build(priority)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -68,11 +68,21 @@ object IvfIndex {
       .collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 0 until iters) {
       // One job per iteration: compiled assignment projection (no
-      // shuffle), then a (cid, pos) average whose shuffle is ≤ k×dim rows
+      // shuffle), then a (cid, pos) mean whose shuffle is ≤ k×dim rows
       // per map task after partial agg. k×dim rows back to the driver.
+      // The mean is e10's fixed-point form — each value quantizes to
+      // integer micro-units BEFORE the cross-partition sum, so the
+      // trained centroids are bit-identical at any partitioning (a bare
+      // avg(double) depends on partial-aggregation merge order in ulps;
+      // the .toFloat usually absorbs that, but "usually" is not the
+      // discipline the rest of the engine holds itself to).
       val sums = assign(emb, centroids)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(dbl(col("v"))).as("c"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(round(dbl(col("v")) * 1000000, 0).cast("long")).as("sq"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          (col("sq").cast("double") / (col("cnt") * 1000000L).cast("double")).as("c"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>

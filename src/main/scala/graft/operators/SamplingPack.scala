@@ -289,9 +289,14 @@ object SamplingPack extends QueryPack {
           explode(shingle_hashes_bag(col("text"), 2)).as("bh"))
         .select(col("doc_id"), col("lang"),
           pmod(col("bh"), lit(DsirBuckets.toLong)).as("bucket"))
+      // when/otherwise, not a bare boolean cast: (NULL = 'en') is NULL,
+      // and a bucket whose every occurrence had NULL lang would sum to
+      // NULL ct (→ NULL scores) while the oracle's CASE yields 0 — the
+      // oracle-divergence a fixture regeneration with nullable lang
+      // would expose.
       val counts = f.groupBy("bucket").agg(
         count(lit(1)).as("cr"),
-        sum((col("lang") === "en").cast("long")).as("ct"))
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       val totals = counts.agg(
         sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
       val model = counts.crossJoin(broadcast(totals)).select(

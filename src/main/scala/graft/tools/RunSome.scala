@@ -2,19 +2,21 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.SparkEntry
+import graft.{SparkEntry, Verify}
 
 /** Dev-loop helper: run a SUBSET of SparkEntry.queries (comma-separated
-  * names) against a fixture dir, dumping each result + its oracle SQL the
-  * same way Verify does — so `tools/crosscheck.py` can check just the
-  * queries being iterated on instead of the whole surface.
+  * names) against a fixture dir through [[Verify.dump]] — the exact loop
+  * the driver-facing Verify main runs — so `tools/crosscheck.py` can
+  * check just the queries being iterated on instead of the whole surface.
   *
   * Usage: runMain graft.tools.RunSome <sfDir> <outDir> q1,q2,...
   */
 object RunSome {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names) = args
-    val wanted = names.split(",").map(_.trim).filter(_.nonEmpty)
+    val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val missing = wanted.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.toSeq.sorted.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,29 +25,7 @@ object RunSome {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    val missing = wanted.filterNot(SparkEntry.queries.contains)
-    require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
-    wanted.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[runsome] $name failed: ${e.getMessage}")
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.dump(spark, sfDir, outDir, only = Some(wanted))
     spark.stop()
   }
 }

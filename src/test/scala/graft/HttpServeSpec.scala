@@ -87,6 +87,20 @@ class HttpServeSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("empty priority param must not poison the default listing's memo entry") {
+    // Regression: the memo was keyed on priority.getOrElse(""), so a
+    // client hitting /signals?priority= (empty value, matches no rows)
+    // FIRST would cache [] under the same key as the default
+    // newest-first listing, breaking /signals for the life of the JVM.
+    val empty = get("/signals?priority=")
+    assert(empty.statusCode() == 200)
+    assert(empty.body() == "[]", s"priority= matches no rows: ${empty.body()}")
+    val listing = get("/signals")
+    assert(listing.statusCode() == 200)
+    assert(listing.body() != "[]",
+      "default listing returned [] — the empty-priority request aliased its memo entry")
+  }
+
   test("priority route caps the response at MaxPageSize rows") {
     import spark.implicits._
     // A hot priority bigger than the cap: 1200 rows, all "High". The
