@@ -283,6 +283,51 @@ object DedupPack extends QueryPack {
     "d3_lsh_pairs" -> ((s, dir) =>
       lshPairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // d15: CROSS-CORPUS (incremental) dedup — the production shape d1-d7
+    // don't cover: a NEW batch (here sources src10+) deduped AGAINST the
+    // already-ingested reference corpus (src0-src9), the "dedup this
+    // crawl snapshot against everything we already have" step that runs
+    // on every ingest. Same capped LSH machinery as d3 (one signature
+    // matrix over both sides, boilerplate df cap applied to the COMBINED
+    // claims — a bucket boilerplate across corpora is boilerplate), but
+    // the bucket join is new-side × ref-side instead of a self-join, and
+    // the output is a per-new-doc DECISION RECORD (partner count, best
+    // band agreement, is_dup at ≥ 2 of 4 bands ⇒ est. Jaccard ≥ 0.5 by
+    // d11's estimator) — every new doc gets a row, so the ingest
+    // pipeline can act on hits and audit misses. At scale the reference
+    // side is the PRE-COMPUTED signature store (NumBands longs per doc,
+    // the thing s14 maintains incrementally); the join is bucket-keyed
+    // with per-bucket work bounded at df² by the cap, and no stage ever
+    // touches reference document text — only its signatures.
+    "d15_cross_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val side = docs.select(col("doc_id"),
+        (expr("CAST(substring(source, 4) AS INT)") >= 10).as("is_new"))
+      val sig = signatures(s, dir).localCheckpoint(true)
+      val keep = sig.join(
+        sig.groupBy("band", "minhash").agg(count(lit(1)).as("df"))
+          .where(col("df") <= MaxBandDf)
+          .select("band", "minhash"), Seq("band", "minhash"))
+        .join(side, "doc_id")
+      val ns = keep.where(col("is_new"))
+        .select(col("band"), col("minhash"), col("doc_id"))
+      val rs = keep.where(!col("is_new"))
+        .select(col("band"), col("minhash"), col("doc_id").as("ref_id"))
+      val hits = ns.join(rs, Seq("band", "minhash"))
+        .groupBy(col("doc_id"), col("ref_id"))
+        .agg(count(lit(1)).as("shared"))
+      val agg = hits.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ref_partners"), max(col("shared")).as("best_shared"))
+      docs.where(expr("CAST(substring(source, 4) AS INT)") >= 10)
+        .select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_ref_partners"), lit(0L)).as("n_ref_partners"),
+          coalesce(col("best_shared"), lit(0L)).as("best_shared"),
+          (coalesce(col("best_shared"), lit(0L)) >= 2).cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // d11: signature-based Jaccard ESTIMATION for the LSH candidate pairs —
     // the scale path between candidate generation (d3) and exact
     // verification (d4): est = (matching minhashes)/NumBands is the
@@ -934,6 +979,34 @@ object DedupPack extends QueryPack {
           |FROM sigk a JOIN sigk b
           |  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // d15: the same capped sigk matrix split by source side, bucket-joined
+    // new × reference, then the per-new-doc partner/agreement fold and
+    // the ≥ 2-band dup flag — every new doc emitted (left join, zeros).
+    "d15_cross_dedup" ->
+      (shinglesCte +
+        """, ns AS (
+          |  SELECT s.doc_id, s.band, s.minhash FROM sigk s
+          |  JOIN documents d USING (doc_id)
+          |  WHERE CAST(substr(d.source, 4) AS INTEGER) >= 10),
+          |rs AS (
+          |  SELECT s.doc_id AS ref_id, s.band, s.minhash FROM sigk s
+          |  JOIN documents d USING (doc_id)
+          |  WHERE CAST(substr(d.source, 4) AS INTEGER) < 10),
+          |hits AS (
+          |  SELECT ns.doc_id, rs.ref_id, count(*) AS shared
+          |  FROM ns JOIN rs USING (band, minhash)
+          |  GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_ref_partners, max(shared) AS best_shared
+          |  FROM hits GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(a.n_ref_partners, 0) AS BIGINT) AS n_ref_partners,
+          |  CAST(coalesce(a.best_shared, 0) AS BIGINT) AS best_shared,
+          |  CAST(coalesce(a.best_shared, 0) >= 2 AS INTEGER) AS is_dup
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |WHERE CAST(substr(d.source, 4) AS INTEGER) >= 10
+          |ORDER BY d.doc_id""".stripMargin),
 
     "d11_minhash_estimate" ->
       (shinglesCte +
