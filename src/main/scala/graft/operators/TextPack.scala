@@ -431,6 +431,32 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // t20: tokenizer FERTILITY by language — the standard multilingual
+    // tokenizer-bias metric (tokens emitted per word; Ács/mBERT
+    // analyses, XLM-R §5): a tokenizer trained on skewed data segments
+    // under-represented languages into more, shorter tokens, which
+    // taxes their effective context length and training signal —
+    // pipelines measure exactly this table before committing a vocab.
+    // Reuses the t17-trained merges through the same compiled
+    // BpeTokenCount kernel (pure projection), then one ≤|langs|-row
+    // partial+final aggregate; fertility is ONE IEEE division of two
+    // exact long sums per language. A corpus-sized scan, a 5-row
+    // output, nothing in between.
+    "t20_tokenizer_fertility" -> ((s, dir) => {
+      val merges = cachedMerges(s, dir).map { case (_, l, r, _) => (l, r) }
+      Tables(s, dir, "documents").select(col("lang"),
+          size(array_remove(split(col("text"), " "), "")).as("w"),
+          graft.functions.bpe_token_count(col("text"), merges).as("b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w").cast("long")).as("n_words"),
+          sum(col("b").cast("long")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+          (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
     // t19: bigram language-model fluency scoring — the CCNet/Gopher-class
     // quality filter: train an add-one-smoothed bigram model ON the
     // corpus, score each doc by its mean (and worst) transition
@@ -830,6 +856,35 @@ object TextPack extends QueryPack {
          |    w -> len(string_split($chain, '  ')))), 0) AS INTEGER) AS n_bpe_tokens
          |FROM dw, mm
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // t20: t18's replay (re-learned merges + the same replace chain)
+    // grouped by language; fertility = the one terminal division of the
+    // two exact sums.
+    "t20_tokenizer_fertility" -> {
+      val wrapped =
+        "' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' '"
+      val chain = (1 to BpeIters).foldLeft(wrapped) { (acc, i) =>
+        s"replace($acc, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
+      }
+      val mmCols = (1 to BpeIters).map(i =>
+        s"(SELECT l FROM m$i) AS l$i, (SELECT r FROM m$i) AS r$i").mkString(",\n    ")
+      s"""$bpeCtes,
+         |mm AS (SELECT
+         |    $mmCols),
+         |dw AS (
+         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |per AS (
+         |  SELECT lang, CAST(len(ws) AS BIGINT) AS w,
+         |    CAST(coalesce(list_sum(list_transform(ws,
+         |      w -> len(string_split($chain, '  ')))), 0) AS BIGINT) AS b
+         |  FROM dw, mm)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // t19: left-context and bigram hash lists built in LOCKSTEP (two
