@@ -167,19 +167,31 @@ class BucketedStateStore(
       val dst = genPath(b, gen)
       fs.delete(dst, true) // idempotent replay of the same batchId
       fs.mkdirs(dst.getParent)
-      if (fs.exists(src)) fs.rename(src, dst)
-      else fs.mkdirs(dst) // bucket emptied (e.g. by compaction)
+      if (fs.exists(src)) {
+        // Hadoop FileSystems report most rename failures by returning
+        // FALSE (quota, concurrent delete, S3A copy failure) — not by
+        // throwing. Swallowing it would let foreachBatch commit the
+        // batchId with the generation never created: a silent
+        // exactly-once violation readers can't detect. Fail the batch
+        // so the checkpoint retries it.
+        require(fs.rename(src, dst), s"rename $src -> $dst failed")
+      } else fs.mkdirs(dst) // bucket emptied (e.g. by compaction)
       // retain only the 2 newest generations per bucket; record the FIRST
       // drop (the minimum ever, since oldest go first) so readAt can fail
-      // loudly on aged-out snapshots instead of silently skipping
+      // loudly on aged-out snapshots instead of silently skipping.
+      // Marker commit is write-temp-then-rename: a crash mid-write must
+      // not leave an empty marker that turns readAt's diagnostic into a
+      // NumberFormatException.
       val dropped = listGens(b).sorted.dropRight(2)
       dropped.headOption.foreach { g0 =>
         val marker = new Path(bucketPath(b), "_dropped")
         if (!fs.exists(marker)) {
-          val out = fs.create(marker, true)
+          val tmp = new Path(bucketPath(b), "_dropped.tmp")
+          val out = fs.create(tmp, true)
           try out.write(g0.toString.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
+          require(fs.rename(tmp, marker), s"rename $tmp -> $marker failed")
         }
       }
       dropped.foreach(g => fs.delete(genPath(b, g), true))

@@ -35,9 +35,45 @@ object StreamingPack extends QueryPack {
     val base =
       if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val d = Files.createTempDirectory(base, prefix).toFile
-    d.deleteOnExit()
-    d.getAbsolutePath
+    val d = Files.createTempDirectory(base, prefix)
+    // deleteOnExit() never removes non-empty directories, so it leaked
+    // every state/checkpoint/output tree into tmpfs (RAM-backed) for the
+    // process lifetime AND after exit — a long bench run accumulates one
+    // per streaming query. One shutdown hook drains the registry with a
+    // real recursive delete.
+    scratchDirs.add(d)
+    d.toAbsolutePath.toString
+  }
+
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }))
+
+  /** Double delivery without staging a copy: the table's parquet is
+    * symlinked TWICE under distinct names into a fresh `in/` dir — the
+    * file source tracks files by path, so the same bytes are delivered
+    * twice, and maxFilesPerTrigger=1 puts the deliveries in separate
+    * micro-batches. (A union of two sources would NOT do this: per-source
+    * file limits admit one file from EACH source into batch 0.) ONE
+    * definition shared by every redelivery query (s7/s10/s16) — the
+    * delivery-ordering-sensitive staging must not fork, same policy as
+    * stageSplitWire.
+    */
+  private def stageDoubleDelivery(tmp: String, dir: String, table: String): String = {
+    val in = java.nio.file.Paths.get(tmp, "in")
+    Files.createDirectory(in)
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
+    Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
+    Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+    in.toString
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,11 +370,10 @@ object StreamingPack extends QueryPack {
       // Update mode emits one row per key per touching batch; the served
       // view is the latest emission per key, tombstones filtered — the
       // same read the update-stream consumer (e.g. a cache) would hold.
-      val out = ss.table("graft_s6_live")
-      val payloadCols = out.columns.filterNot(_ == "id")
-      out.groupBy(col("id"))
-        .agg(max_by(struct(payloadCols.map(col).toIndexedSeq: _*), col("seq")).as("r"))
-        .select(col("id") +: payloadCols.toSeq.map(f => col(s"r.$f").as(f)): _*)
+      // the latest emission per key is the ONE shared LWW fold — not an
+      // inline re-derivation (s12/s14 call the same helper; the fold's
+      // tie and payload handling must have exactly one definition)
+      SignalProjection.latestByKey(ss.table("graft_s6_live"))
         .where(!col("deleted"))
         .select(col("id"), col("seq"), col("action"), col("title"),
           col("content"), col("priority"), col("author"),
@@ -370,25 +405,16 @@ object StreamingPack extends QueryPack {
       val ss = tunedChild(s, width = 4, noData = false)
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Redelivery without staging a copy: the documents parquet is
-      // symlinked TWICE under distinct names — the file source tracks
-      // files by path, so the same bytes are delivered twice, and
-      // maxFilesPerTrigger=1 puts the deliveries in separate
-      // micro-batches: the second arrival of every key must hit RocksDB
-      // seen-key state, never intra-batch dedup. (A union of two sources
-      // would not do this — per-source file limits admit one file from
-      // EACH source into the first batch.)
-      val in = java.nio.file.Paths.get(tmp, "in")
-      Files.createDirectory(in)
-      val src = java.nio.file.Paths.get(dir, "documents.parquet")
-      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
-      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+      // Redelivery via the shared double-delivery staging: the second
+      // arrival of every key must hit RocksDB seen-key state, never
+      // intra-batch dedup.
+      val in = stageDoubleDelivery(tmp, dir, "documents")
       val full = s.read.option("pathGlobFilter", "documents.parquet")
         .parquet(dir).schema
       val q = ss.readStream.schema(full)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
-        .parquet(in.toString)
+        .parquet(in)
         .select(col("doc_id"), col("text"))
         .dropDuplicates("doc_id")
         .writeStream
@@ -482,17 +508,12 @@ object StreamingPack extends QueryPack {
       import s.implicits._
       val tmp = scratch("graft-s10-")
       val ss = tunedChild(s, width = 4, noData = false)
-      val in = java.nio.file.Paths.get(tmp, "in")
-      Files.createDirectory(in)
-      val src = java.nio.file.Paths.get(dir, "events.parquet")
-      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
-      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
-      val rawSchema = org.apache.spark.sql.types.StructType(
-        graft.Tables(ss, dir, "events").schema.map {
-          case f if f.name == "ts" =>
-            f.copy(dataType = org.apache.spark.sql.types.LongType)
-          case f => f
-        })
+      val in = java.nio.file.Paths.get(stageDoubleDelivery(tmp, dir, "events"))
+      // the ACTUAL file schema (whatever ts flavor this fixture carries)
+      // -- never a hand-declared encoding; re-hardcoding ts was the r8
+      // regression class (see eventsStream), and these queries never
+      // read ts anyway
+      val rawSchema = graft.Tables.raw(ss, dir, "events").schema
       val kmv = new graft.functions.KmvAggregator(64)
       val q = ss.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
@@ -698,17 +719,12 @@ object StreamingPack extends QueryPack {
       import s.implicits._
       val tmp = scratch("graft-s16-")
       val ss = tunedChild(s, width = 4, noData = false)
-      val in = java.nio.file.Paths.get(tmp, "in")
-      Files.createDirectory(in)
-      val src = java.nio.file.Paths.get(dir, "events.parquet")
-      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
-      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
-      val rawSchema = org.apache.spark.sql.types.StructType(
-        graft.Tables(ss, dir, "events").schema.map {
-          case f if f.name == "ts" =>
-            f.copy(dataType = org.apache.spark.sql.types.LongType)
-          case f => f
-        })
+      val in = java.nio.file.Paths.get(stageDoubleDelivery(tmp, dir, "events"))
+      // the ACTUAL file schema (whatever ts flavor this fixture carries)
+      // -- never a hand-declared encoding; re-hardcoding ts was the r8
+      // regression class (see eventsStream), and these queries never
+      // read ts anyway
+      val rawSchema = graft.Tables.raw(ss, dir, "events").schema
       val agg = new graft.functions.HashSampleAggregator(128)
       val q = ss.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
@@ -862,6 +878,14 @@ object StreamingPack extends QueryPack {
       docs.where(col("doc_id") % 2 === 1).coalesce(1)
         .write.mode("append").parquet(s"$tmp/in")
       val ss = tunedChild(s, width = 4, noData = false)
+      // stream-static pattern: the frozen model artifact is read ONCE,
+      // before the stream starts, and the frames are closed over — not
+      // re-listed/re-read from disk on every micro-batch of a
+      // serving-lifetime query (the trigger here is AvailableNow, but
+      // the production form is continuous).
+      val ctx = ss.read.parquet(s"$model/ctx")
+      val big = ss.read.parquet(s"$model/big")
+      val cons = ss.read.parquet(s"$model/cons")
       val q = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -871,10 +895,6 @@ object StreamingPack extends QueryPack {
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sb = batch.sparkSession
-          val ctx = sb.read.parquet(s"$model/ctx")
-          val big = sb.read.parquet(s"$model/big")
-          val cons = sb.read.parquet(s"$model/cons")
           batch.select(col("doc_id"),
               explode(graft.functions.bigram_context_hashes(col("text"))).as("t"))
             .select(col("doc_id"), col("t.uh"), col("t.bh"))
@@ -1036,7 +1056,13 @@ object StreamingPack extends QueryPack {
         .getOrElse(sys.error(s"no part file in $stageDir"))
       val dst = events.resolve(name)
       Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
+      // batch ORDER of the adversarial wires rides entirely on these
+      // mtimes, and File.setLastModified reports failure by returning
+      // false (some mounts/permissions) — a silent false would deliver
+      // the halves in arbitrary order and fail s15's readAt oracle with
+      // no hint that the FIXTURE, not the store, was wrong
+      require(dst.toFile.setLastModified(mtime),
+        s"stageSplitWire: setLastModified($mtime) failed for $dst")
     }
     stage(first._1, s"a-${first._2}.$format", 1000000L)
     stage(second._1, s"b-${second._2}.$format", 2000000L)
@@ -1054,7 +1080,7 @@ object StreamingPack extends QueryPack {
       val eventCols = log.columns.filterNot(c => c == "seq" || c == "ets").map(col)
       val wire = log.select(col("seq"), col("ets"),
         to_json(struct(eventCols.toIndexedSeq: _*),
-          Map("timestampFormat" -> TsFmt).asJava).as("value"))
+          Map("timestampFormat" -> TsFmt)).as("value"))
       stageSplitWire(
         (wire.where(col("seq") % 2 === 1), "ontime"),
         (wire.where(col("seq") % 2 === 0), "late"), "json")
@@ -1117,7 +1143,7 @@ object StreamingPack extends QueryPack {
     val eventCols = log.columns.filterNot(_ == "seq").map(col)
     log.select(col("seq"),
         to_json(struct(eventCols.toIndexedSeq: _*),
-          Map("timestampFormat" -> TsFmt).asJava).as("value"))
+          Map("timestampFormat" -> TsFmt)).as("value"))
       .repartition(2)
       .write.json(out)
   }
@@ -1377,11 +1403,4 @@ object StreamingPack extends QueryPack {
         |FROM d ORDER BY window_start""".stripMargin
   )
 
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val jm = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
-  }
 }

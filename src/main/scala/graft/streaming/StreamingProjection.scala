@@ -68,12 +68,19 @@ class StreamingProjection(
       maxFilesPerTrigger: Int = 1): StreamingQuery =
     run(graft.sources.FileEventSource(sourceDir, maxFilesPerTrigger), checkpointDir)
 
-  /** The queryable materialized view (tombstones filtered). */
+  /** The queryable materialized view (tombstones filtered). The
+    * empty-store fallback declares the SAME column order the populated
+    * path produces — `latestByKey` emits (id, seq, <other event fields>)
+    * — so positional consumers (union-by-position, tuple encoders, which
+    * bind by ordinal) see one shape whether or not state exists yet.
+    */
   def view: DataFrame = store.read() match {
     case Some(st) => st.where(col("action") =!= SignalSchema.Deleted)
     case None =>
-      val schema = SignalSchema.eventSchema.fields
-        .foldLeft(new StructType().add("seq", LongType))((s, f) => s.add(f))
+      val schema = SignalSchema.eventSchema.fields.filterNot(_.name == "id")
+        .foldLeft(new StructType()
+          .add("id", org.apache.spark.sql.types.StringType)
+          .add("seq", LongType))((s, f) => s.add(f))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
