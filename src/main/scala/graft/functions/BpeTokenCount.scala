@@ -57,18 +57,41 @@ object BpeTokenCount {
   /** Sum of per-word BPE token counts; words are the maximal non-space
     * runs of `text` (split-then-drop-empties semantics).
     */
-  def count(text: UTF8String, lefts: ArrayData, rights: ArrayData): Int = {
-    val m = lefts.numElements()
-    val pats = new Array[String](m)
-    val reps = new Array[String](m)
-    var i = 0
-    while (i < m) {
-      val l = lefts.getUTF8String(i).toString
-      val r = rights.getUTF8String(i).toString
-      pats(i) = " " + l + "  " + r + " "
-      reps(i) = " " + l + r + " "
-      i += 1
+  /** Single-slot pattern memo, identity-keyed: the merge table reaches
+    * this kernel as a LITERAL (checkInputDataTypes requires foldable),
+    * and codegen hands back the same ArrayData reference every row — so
+    * the 2m string materializations happen once per table, not once per
+    * ROW (at a 30k-merge production vocabulary the per-row rebuild was
+    * 60k materializations + 120k concatenations before any counting).
+    * A second distinct table just repopulates the slot; correctness
+    * never depends on a hit.
+    */
+  @volatile private var cached
+      : (ArrayData, ArrayData, Array[String], Array[String]) = null
+
+  private def patterns(
+      lefts: ArrayData, rights: ArrayData): (Array[String], Array[String]) = {
+    val c = cached
+    if (c != null && (c._1 eq lefts) && (c._2 eq rights)) (c._3, c._4)
+    else {
+      val m = lefts.numElements()
+      val pats = new Array[String](m)
+      val reps = new Array[String](m)
+      var i = 0
+      while (i < m) {
+        val l = lefts.getUTF8String(i).toString
+        val r = rights.getUTF8String(i).toString
+        pats(i) = " " + l + "  " + r + " "
+        reps(i) = " " + l + r + " "
+        i += 1
+      }
+      cached = (lefts, rights, pats, reps)
+      (pats, reps)
     }
+  }
+
+  def count(text: UTF8String, lefts: ArrayData, rights: ArrayData): Int = {
+    val (pats, reps) = patterns(lefts, rights)
     val s = text.toString
     val n = s.length
     var total = 0

@@ -38,10 +38,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
+  // Mismatched lengths yield NULL, matching the documented-equivalent
+  // HOF baseline (zip_with pads with null and poisons the aggregate) —
+  // silently truncating to min(len) would hand a truncated/corrupted
+  // embedding a plausible score instead of surfacing the corruption.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
+    val n = x.length
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x(i).toDouble; val yi = y(i).toDouble
@@ -61,7 +66,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |int $n = $x.length;
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double xi = (double) $x[$i]; double yi = (double) $y[$i];
@@ -71,6 +79,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
          |}
        """.stripMargin
     })

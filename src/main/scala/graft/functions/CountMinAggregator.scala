@@ -55,6 +55,11 @@ object CountMinAggregator {
     * the SAME integer arithmetic as a44's Column formulation and the SQL
     * oracle (hashes are nonnegative md5 prefixes, so % is mod).
     */
+  // floorMod, not %: identical for the nonnegative md5-prefix hashes the
+  // oracle replays, but a negative hash from a future caller (xxhash64)
+  // must land in a valid cell, not crash reduce with a negative index —
+  // the same hardening BloomHits.count carries for the same reason.
   def position(h: Long, j: Int, w: Int): Int =
-    ((h % w + (1L + h % (w - 1)) * j) % w).toInt
+    ((Math.floorMod(h, w.toLong) +
+      (1L + Math.floorMod(h, (w - 1).toLong)) * j) % w).toInt
 }

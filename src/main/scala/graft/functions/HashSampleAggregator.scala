@@ -36,8 +36,10 @@ class HashSampleAggregator(k: Int)(
     if (buf.size >= k && p._1 > buf.last._1) buf
     else {
       val i = buf.indexWhere(_._1 == p._1)
+      // (no second boundary test here: the fast path already rejected
+      // p._1 > last, and a full buffer with i < 0 implies p._1 < last —
+      // equality would have been found by the membership scan)
       if (i >= 0) { if (p._2 < buf(i)._2) buf.updated(i, p) else buf }
-      else if (buf.size >= k && p._1 >= buf.last._1) buf
       else (buf :+ p).sortBy(_._1).take(k)
     }
   }

@@ -28,9 +28,21 @@ object LatestAggregator extends Aggregator[EvRow, EvRow, EvRow] {
   private val sentinel =
     EvRow(Long.MinValue, "", "", None, None, None, None, None, None)
 
+  /** Later-of-two with a DETERMINISTIC tiebreak: seq decides, and an
+    * equal-seq pair (impossible on a real log, where seq is the offset —
+    * but "impossible" is not a merge law) resolves by the rows' total
+    * ordering, so merge is genuinely commutative at any partitioning —
+    * the claim the scaladoc makes must hold on every input, not just
+    * well-formed ones.
+    */
+  private def later(x: EvRow, y: EvRow): EvRow =
+    if (x.seq != y.seq) { if (x.seq > y.seq) x else y }
+    else if (x.toString >= y.toString) x
+    else y
+
   override def zero: EvRow = sentinel
-  override def reduce(b: EvRow, a: EvRow): EvRow = if (a.seq >= b.seq) a else b
-  override def merge(x: EvRow, y: EvRow): EvRow = if (x.seq >= y.seq) x else y
+  override def reduce(b: EvRow, a: EvRow): EvRow = later(b, a)
+  override def merge(x: EvRow, y: EvRow): EvRow = later(x, y)
   override def finish(r: EvRow): EvRow = r
   override def bufferEncoder: Encoder[EvRow] = Encoders.product[EvRow]
   override def outputEncoder: Encoder[EvRow] = Encoders.product[EvRow]

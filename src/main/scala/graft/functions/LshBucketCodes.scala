@@ -25,7 +25,18 @@ case class LshBucketCodes(first: Expression, second: Expression, third: Expressi
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _), IntegerType)
           if third.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // perTable is foldable, so the degenerate values fail at ANALYSIS
+        // time, not per row at runtime: 0 would divide by zero, ≥ 64
+        // would silently wrap the bit shift (Java long shifts are mod
+        // 64) and alias unrelated hyperplanes into one bucket bit, and a
+        // non-divisor would silently DROP the trailing planes — a recall
+        // loss with no error anywhere.
+        third.eval() match {
+          case w: java.lang.Integer if w >= 1 && w <= 63 =>
+            TypeCheckResult.TypeCheckSuccess
+          case w => TypeCheckResult.TypeCheckFailure(
+            s"lsh_bucket_codes: planesPerTable must be in [1, 63], got $w")
+        }
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         "lsh_bucket_codes expects (ARRAY<FLOAT>, ARRAY<ARRAY<FLOAT>>, literal INT), got " +
           s"${a.catalogString} / ${b.catalogString} / ${c.catalogString}")
@@ -66,6 +77,11 @@ object LshBucketCodes {
       dots(i) = d
       i += 1
     }
+    // analysis-time check bounds perTable to [1, 63]; require the plane
+    // count divides evenly so no trailing plane is ever silently unused
+    require(p % perTable == 0,
+      s"lsh_bucket_codes: $p planes not divisible by planesPerTable=$perTable " +
+        "— trailing planes would be silently dropped")
     val nt = p / perTable
     val out = new Array[Long](nt)
     var t = 0

@@ -58,6 +58,11 @@ object NearestCentroid {
   def nearest(vec: ArrayData, centroids: ArrayData): Int = {
     val n = vec.numElements()
     val k = centroids.numElements()
+    // an empty centroid table must fail HERE, not return the
+    // valid-looking index 0 that every downstream lookup then trusts —
+    // the failure (empty training sample, bad filter) would otherwise
+    // surface as wrong assignments far from its cause
+    require(k > 0, "nearest_centroid: empty centroid table")
     var best = 0
     var bestD = Double.PositiveInfinity
     var i = 0

@@ -42,41 +42,56 @@ package object functions {
   def nearest_centroid(vec: Column, centroids: Column): Column =
     columnOf(NearestCentroid(exprOf(vec), exprOf(centroids)))
 
+  /** The ONE table of SQL-callable custom expressions: name → builder.
+    * Both registration paths consume it — [[registerAll]] for an
+    * already-built session and [[graft.GraftExtensions]] for
+    * `spark.sql.extensions` — so the two surfaces cannot drift
+    * (previously each path listed functions by hand and the extensions
+    * path silently lacked five of them).
+    */
+  val sqlFunctions: Seq[
+      (String, Class[_], Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarity],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs.head, exprs(1))),
+    ("winnow_fingerprints", classOf[WinnowFingerprints],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(exprs.head)),
+    ("nearest_centroid", classOf[NearestCentroid],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroid(exprs.head, exprs(1))),
+    ("shingle_hashes", classOf[ShingleHashes],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(exprs.head, exprs(1))),
+    ("shingle_hashes_bag", classOf[ShingleHashesBag],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashesBag(exprs.head, exprs(1))),
+    ("count_in", classOf[CountIn],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CountIn(exprs.head, exprs(1))),
+    ("bpe_token_count", classOf[BpeTokenCount],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeTokenCount(exprs.head, exprs(1), exprs(2))),
+    ("bloom_hits", classOf[BloomHits],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomHits(exprs.head, exprs(1), exprs(2))),
+    ("bigram_context_hashes", classOf[BigramContextHashes],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BigramContextHashes(exprs.head)),
+    ("lsh_bucket_codes", classOf[LshBucketCodes],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBucketCodes(exprs.head, exprs(1), exprs(2))),
+    ("sq8_cosine", classOf[Sq8Cosine],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3))))
+
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fingerprints", exprs => WinnowFingerprints(exprs.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nearest_centroid", exprs => NearestCentroid(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes_bag", exprs => ShingleHashesBag(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "count_in", exprs => CountIn(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_token_count",
-      exprs => BpeTokenCount(exprs.head, exprs(1), exprs(2)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_hits", exprs => BloomHits(exprs.head, exprs(1), exprs(2)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket_codes",
-      exprs => LshBucketCodes(exprs.head, exprs(1), exprs(2)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sq8_cosine",
-      exprs => Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3)),
-      "scala_udf")
+    sqlFunctions.foreach { case (name, _, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, build, "scala_udf")
+    }
     // Aggregate surface: the KMV distinct sketch as a SQL aggregate
     // (`SELECT kmv_distinct(h) FROM ... GROUP BY ...`) — the typed
     // Aggregator wrapped via functions.udaf, K=64 as in a20b/a30/s10.
@@ -118,9 +133,15 @@ package object functions {
     * t12 at sf0.1).
     */
   def wordShinglesOf(ws: Column, w: Int, distinct: Boolean = true): Column = {
-    val grams = transform(
-      sequence(lit(1), size(ws) - lit(w - 1)),
-      i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*))
+    // sequence(1, n) runs DESCENDING when n < 1 (a 2-token doc at w=3
+    // yields [1, 0], and element_at(ws, 0) throws in every SQL mode) —
+    // guard to an empty gram list so short documents mean "no shingles",
+    // not a per-row crash the caller must pre-filter away.
+    val grams = when(size(ws) >= w,
+      transform(
+        sequence(lit(1), size(ws) - lit(w - 1)),
+        i => concat_ws(" ", (0 until w).map(o => element_at(ws, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
     if (distinct) array_distinct(grams) else grams
   }
 

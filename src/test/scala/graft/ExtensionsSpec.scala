@@ -61,6 +61,27 @@ class ExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("the extensions path and registerAll expose the same function names") {
+    // Both paths consume functions.sqlFunctions, so this pins the shared
+    // table itself: every expression function name registerAll creates
+    // must be in the table (the pre-refactor extensions list silently
+    // lacked five names — the drift this spec now makes impossible to
+    // miss), and every table entry must be resolvable after registerAll.
+    graft.functions.registerAll(spark)
+    val names = graft.functions.sqlFunctions.map(_._1)
+    assert(names.distinct.length === names.length, "duplicate SQL names")
+    names.foreach { n =>
+      assert(
+        spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"$n missing from the session registry after registerAll")
+    }
+    assert(names.toSet === Set(
+      "cosine_similarity", "winnow_fingerprints", "nearest_centroid",
+      "shingle_hashes", "shingle_hashes_bag", "count_in", "bpe_token_count",
+      "bloom_hits", "bigram_context_hashes", "lsh_bucket_codes", "sq8_cosine"))
+  }
+
   test("kmv_distinct is SQL-callable as an aggregate after registerAll") {
     graft.functions.registerAll(spark)
     // 3 distinct values, below K=64 ⇒ the sketch is exact
