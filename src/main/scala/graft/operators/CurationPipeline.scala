@@ -45,12 +45,7 @@ object CurationPipeline extends QueryPack {
     */
   private[graft] def rowFeatures(docs: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
-    val scores = TextPack.markers.map { case (l, ms) => l -> TextPack.countIn(ws, ms) }
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    val guess = when(en >= de && en >= fr && en >= es, "en")
-      .when(de >= fr && de >= es, "de")
-      .when(fr >= es, "fr")
-      .otherwise("es")
+    val guess = TextPack.langGuess(TextPack.langScores(ws))
     val stopRatio = TextPack.countIn(ws, TextPack.stopwords).cast("double") / size(ws)
     val nGrams = greatest(size(ws) - 2, lit(0))
     val dupRatio = when(nGrams > 0,

@@ -120,14 +120,21 @@ object DedupPack extends QueryPack {
     * shares its matrix between candidate generation and the agreement
     * count, so signatures are computed exactly once).
     */
-  private def lshPairsOf(sig: DataFrame): DataFrame = {
-    // df filter joins on (band, minhash): co-partitioned with the
-    // aggregation that produced it — never a broadcast of a corpus-
-    // growing table.
-    val keep = sig.join(
+  /** Signatures surviving the boilerplate df cap — the ONE definition of
+    * the cap policy (lshPairsOf for intra-corpus pairs, d15 for the
+    * cross-corpus join; d11 once drifted on an inline copy). The df
+    * filter joins on (band, minhash): co-partitioned with the
+    * aggregation that produced it — never a broadcast of a corpus-
+    * growing table.
+    */
+  private def cappedSignatures(sig: DataFrame): DataFrame =
+    sig.join(
       sig.groupBy("band", "minhash").agg(count(lit(1)).as("df"))
         .where(col("df") <= MaxBandDf)
         .select("band", "minhash"), Seq("band", "minhash"))
+
+  private def lshPairsOf(sig: DataFrame): DataFrame = {
+    val keep = cappedSignatures(sig)
     val a = keep.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
     val b = keep.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "minhash"))
@@ -304,11 +311,8 @@ object DedupPack extends QueryPack {
       val side = docs.select(col("doc_id"),
         (expr("CAST(substring(source, 4) AS INT)") >= 10).as("is_new"))
       val sig = signatures(s, dir).localCheckpoint(true)
-      val keep = sig.join(
-        sig.groupBy("band", "minhash").agg(count(lit(1)).as("df"))
-          .where(col("df") <= MaxBandDf)
-          .select("band", "minhash"), Seq("band", "minhash"))
-        .join(side, "doc_id")
+      // the SHARED cap policy (cappedSignatures) — never an inline copy
+      val keep = cappedSignatures(sig).join(side, "doc_id")
       val ns = keep.where(col("is_new"))
         .select(col("band"), col("minhash"), col("doc_id"))
       val rs = keep.where(!col("is_new"))
@@ -318,7 +322,7 @@ object DedupPack extends QueryPack {
         .agg(count(lit(1)).as("shared"))
       val agg = hits.groupBy("doc_id")
         .agg(count(lit(1)).as("n_ref_partners"), max(col("shared")).as("best_shared"))
-      docs.where(expr("CAST(substring(source, 4) AS INT)") >= 10)
+      side.where(col("is_new"))
         .select(col("doc_id"))
         .join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -965,6 +969,30 @@ object DedupPack extends QueryPack {
        |""".stripMargin
   }
 
+  /** The recursive connected-components CTE chain over `sigk` (cand →
+    * edges → reach → comp(doc_id, cluster)) — the SQL replay of the
+    * shared [[clusterLabels]] component stage, appended after
+    * [[shinglesCte]] (with its WITH rewritten to WITH RECURSIVE) by
+    * every oracle that consumes cluster labels (d7, d10, x7, x9). ONE
+    * definition: the representative rule (least of the component) must
+    * not fork across the four consumers.
+    */
+  private[graft] val componentsCte: String =
+    """, cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sigk a JOIN sigk b
+      |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+      |""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1026,21 +1054,8 @@ object DedupPack extends QueryPack {
     // cluster representative = least reachable doc_id (== Spark's
     // min-label fixpoint).
     "d7_dedup_clusters" ->
-      (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT doc_a AS a, doc_b AS b FROM cand
-          |  UNION SELECT doc_b, doc_a FROM cand),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM edges
-          |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          |comp AS (
-          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
-          |SELECT d.doc_id,
+      (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + componentsCte +
+        """SELECT d.doc_id,
           |  coalesce(c.cluster, d.doc_id) AS keep_id,
           |  CAST(coalesce(c.cluster, d.doc_id) = d.doc_id AS INTEGER) AS is_kept
           |FROM documents d LEFT JOIN comp c USING (doc_id)
@@ -1049,21 +1064,8 @@ object DedupPack extends QueryPack {
     // d7's recursive-CTE component construction, then the keep-best argmax
     // stated as the window spec the Spark aggregate must reproduce.
     "d10_cluster_keep_best" ->
-      (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT doc_a AS a, doc_b AS b FROM cand
-          |  UNION SELECT doc_b, doc_a FROM cand),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM edges
-          |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          |comp AS (
-          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
-          |scored AS (
+      (shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + componentsCte +
+        """, scored AS (
           |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
           |    len(string_split(d.text, ' ')) AS n_tokens
           |  FROM documents d LEFT JOIN comp c USING (doc_id)),

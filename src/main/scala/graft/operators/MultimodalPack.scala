@@ -117,12 +117,14 @@ object MultimodalPack extends QueryPack {
     // dedup the way production pipelines do it (shared frame hashes →
     // candidate pairs → overlap threshold), on m2's sampled frames. Two
     // media items are near-dups when they share ≥ half of the smaller
-    // item's SAMPLED frames — the threshold denominator is the per-doc
-    // sampled-frame count (floor((n_frames-1)/4)+1, the size of the
-    // stride-4 sample), NOT the total frame count: comparing a stride-4
-    // sample against the full frame count would make the predicate
-    // unsatisfiable for any doc with ≥3 frames (shared ≤ ceil(n/4) <
-    // n/2), even for byte-identical videos.
+    // item's DISTINCT sampled fingerprints — numerator and denominator
+    // count the same thing (distinct fingerprints), so byte-identical
+    // videos always satisfy the predicate. Neither the TOTAL frame count
+    // (a stride-4 sample can never cover half of it for ≥3-frame docs)
+    // nor the sampled POSITION count (a video of one repeated frame has
+    // many positions but ONE distinct fingerprint — the two-sided
+    // mismatch that silently unflagged internally-repetitive identical
+    // videos) is a sound denominator.
     // The frame join is df-capped exactly like
     // d13's winnowing buckets: a fingerprint appearing in > FrameDfCap
     // docs (intro cards, black frames — the video analog of stop-words)
@@ -138,23 +140,28 @@ object MultimodalPack extends QueryPack {
         // stride-4 sample size: floor((n_frames-1)/4)+1 exploded rows
         .withColumn("n_sampled",
           (floor((col("n_frames") - 1) / lit(4)) + 1).cast("int"))
-        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        .select(col("doc_id"), col("n_frames"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"),
           col("text"))
-        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        .select(col("doc_id"), col("n_frames"),
           md5(expr("substring(text, frame_idx * 64 + 1, 64)")).as("frame_fp"))
+      // per-doc DISTINCT sampled-fingerprint count, PRE-cap: the
+      // threshold denominator must count what the numerator counts
+      val nd = frames.groupBy("doc_id")
+        .agg(countDistinct(col("frame_fp")).as("n_distinct"))
       val dfreq = frames.groupBy("frame_fp")
         .agg(countDistinct(col("doc_id")).as("df"))
       val rare = frames.join(dfreq.where(col("df") <= FrameDfCap), "frame_fp")
+        .join(nd, "doc_id")
       rare.as("a").join(rare.as("b"),
           col("a.frame_fp") === col("b.frame_fp") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n_frames").as("n_frames_a"), col("b.n_frames").as("n_frames_b"),
-          col("a.n_sampled").as("n_sampled_a"), col("b.n_sampled").as("n_sampled_b"))
+          col("a.n_distinct").as("n_distinct_a"), col("b.n_distinct").as("n_distinct_b"))
         .agg(countDistinct(col("a.frame_fp")).as("shared_frames"))
         .where(col("shared_frames") * 2 >=
-          least(col("n_sampled_a"), col("n_sampled_b")))
+          least(col("n_distinct_a"), col("n_distinct_b")))
         .select(col("doc_a"), col("doc_b"), col("n_frames_a"),
           col("n_frames_b"), col("shared_frames"))
         .orderBy("doc_a", "doc_b")
@@ -192,24 +199,27 @@ object MultimodalPack extends QueryPack {
     // size), matching the Spark query.
     "m5_media_neardup" ->
       s"""WITH d AS (
-        |  SELECT doc_id, text, CAST(n_chars // 64 AS INTEGER) AS n_frames,
-        |    CAST((n_chars // 64 - 1) // 4 + 1 AS INTEGER) AS n_sampled
+        |  SELECT doc_id, text, CAST(n_chars // 64 AS INTEGER) AS n_frames
         |  FROM documents WHERE n_chars >= 64),
         |f AS (
-        |  SELECT doc_id, n_frames, n_sampled,
+        |  SELECT doc_id, n_frames,
         |    md5(substr(text, CAST(fi AS INTEGER) * 64 + 1, 64)) AS frame_fp
-        |  FROM (SELECT doc_id, text, n_frames, n_sampled, unnest(range(0, n_frames, 4)) AS fi FROM d)),
+        |  FROM (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS fi FROM d)),
+        |nd AS (SELECT doc_id, count(DISTINCT frame_fp) AS n_distinct FROM f GROUP BY doc_id),
         |dfreq AS (SELECT frame_fp, count(DISTINCT doc_id) AS df FROM f GROUP BY frame_fp),
-        |r AS (SELECT f.* FROM f JOIN dfreq USING (frame_fp) WHERE df <= $FrameDfCap),
+        |r AS (
+        |  SELECT f.*, nd.n_distinct FROM f
+        |  JOIN dfreq USING (frame_fp) JOIN nd USING (doc_id)
+        |  WHERE df <= $FrameDfCap),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.n_frames AS n_frames_a, b.n_frames AS n_frames_b,
-        |    a.n_sampled AS n_sampled_a, b.n_sampled AS n_sampled_b,
+        |    a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
         |    count(DISTINCT a.frame_fp) AS shared_frames
         |  FROM r a JOIN r b ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4, 5, 6)
         |SELECT doc_a, doc_b, n_frames_a, n_frames_b, shared_frames
-        |FROM p WHERE shared_frames * 2 >= least(n_sampled_a, n_sampled_b)
+        |FROM p WHERE shared_frames * 2 >= least(n_distinct_a, n_distinct_b)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same 60-bit md5 prefix construction as the t6 oracle, per component.

@@ -411,20 +411,8 @@ object SamplingPack extends QueryPack {
     // cluster sizes and the integer keep draw h·size < 10^6.
     "x7_soft_dedup_sample" ->
       (DedupPack.shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT doc_a AS a, doc_b AS b FROM cand
-          |  UNION SELECT doc_b, doc_a FROM cand),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM edges
-          |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          |comp AS (
-          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
-          |cl AS (
+        DedupPack.componentsCte +
+        """, cl AS (
           |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
           |  FROM documents d LEFT JOIN comp c USING (doc_id)),
           |sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster)
@@ -465,20 +453,8 @@ object SamplingPack extends QueryPack {
     // the salted cluster-keyed hash split.
     "x9_cluster_split" ->
       (DedupPack.shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
-          |edges AS (
-          |  SELECT doc_a AS a, doc_b AS b FROM cand
-          |  UNION SELECT doc_b, doc_a FROM cand),
-          |reach(a, b) AS (
-          |  SELECT a, b FROM edges
-          |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-          |comp AS (
-          |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
-          |cl AS (
+        DedupPack.componentsCte +
+        """, cl AS (
           |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
           |  FROM documents d LEFT JOIN comp c USING (doc_id)),
           |bk AS (

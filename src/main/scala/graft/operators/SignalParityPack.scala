@@ -21,14 +21,21 @@ object SignalParityPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1: JSON event decode with malformed-skip (consumer.go:39-44).
     // Every 97th props payload is deterministically corrupted; from_json
-    // yields null for it and the row is skipped, not fatal.
+    // yields null for it and the row is skipped, not fatal. The field is
+    // parsed as STRING then try_cast to long — NOT from_json(LongType):
+    // the engines disagree on non-integer payloads under typed parsing
+    // (Spark nulls a quoted "12" that DuckDB's extract-then-cast keeps;
+    // a float k makes the oracle's plain CAST error while Spark nulls),
+    // whereas extract-as-text + try_cast is the same two-step rule in
+    // both engines for every payload shape a regenerated fixture could
+    // carry.
     "p1_event_decode" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
       val corrupted = when(col("event_id") % 97 === 0,
         concat(lit("{broken "), col("props"))).otherwise(col("props"))
       e.select(col("event_id"),
-          from_json(corrupted, new StructType().add("k", LongType)).as("j"))
-        .select(col("event_id"), col("j.k").as("k"))
+          from_json(corrupted, new StructType().add("k", StringType)).as("j"))
+        .select(col("event_id"), expr("try_cast(j.k AS LONG)").as("k"))
         .where(col("k").isNotNull)
         .orderBy("event_id")
     }),
@@ -104,10 +111,11 @@ object SignalParityPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // p1: extract-as-text + TRY_CAST, mirroring the Spark two-step rule.
     "p1_event_decode" ->
       """SELECT event_id, k FROM (
         |  SELECT event_id,
-        |    CASE WHEN json_valid(c) THEN CAST(json_extract_string(c, '$.k') AS BIGINT) END AS k
+        |    CASE WHEN json_valid(c) THEN TRY_CAST(json_extract_string(c, '$.k') AS BIGINT) END AS k
         |  FROM (SELECT event_id,
         |          CASE WHEN event_id % 97 = 0 THEN '{broken ' || props ELSE props END AS c
         |        FROM events))

@@ -98,12 +98,21 @@ object SimilarityPack extends QueryPack {
 
     // e3: per-label centroids (the "coarse quantizer" of an IVF index) —
     // posexplode + groupBy(label, pos): partial aggregation makes this one
-    // small shuffle regardless of corpus size.
+    // small shuffle regardless of corpus size. The mean is the kmeans/e10
+    // fixed-point form (quantize each value to integer micro-units BEFORE
+    // the cross-partition sum, one terminal division): a bare avg(double)
+    // depends on partial-aggregation merge order in ulps, and a group mean
+    // within half an ulp of a 0.5e-6 rounding boundary could flip the 6th
+    // decimal between partitionings or engines.
     "e3_label_centroids" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .agg(sum(round(col("v").cast("double") * 1000000, 0).cast("long")).as("s6"),
+          count(lit(1)).as("cnt"))
+        .select(col("label"), col("pos"),
+          round(col("s6").cast("double") /
+            (col("cnt") * 1000000L).cast("double"), 6).as("c"))
         .orderBy("label", "pos")),
 
     // e5: IVF ANN — pretrained k-means coarse quantizer (16 clusters,
@@ -480,30 +489,12 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("cos6").desc, col("doc_id")).limit(HybridK)
         .withColumn("r_dense", row_number().over(denseW))
         .select("doc_id", "r_dense")
-      // sparse side: t14's BM25 per (term, doc), micro-unit-quantized,
-      // integer-summed over the ~5 query terms
-      val tf = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
-        .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
-        .where(col("rk") >= 10).select("w", "df")
+      // sparse side: t14's BM25 factors via the SHARED builder
+      // (TextPack.bm25Factors — one definition of the weighting and the
+      // query-term selection), micro-unit-quantized, integer-summed over
+      // the ~5 query terms
       val sparseW = Window.orderBy(col("bm6").desc, col("doc_id"))
-      val sparse = tf.join(broadcast(qterms), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)))
-        .withColumn("tfn",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") /
-                  (col("sum_dl").cast("double") / col("n").cast("double"))))))
+      val sparse = TextPack.bm25Factors(Tables(s, dir, "documents"))
         .withColumn("score6", round(col("idf") * col("tfn") * 1e6, 0).cast("long"))
         .where(col("doc_id") =!= 0)
         .groupBy("doc_id").agg(sum(col("score6")).as("bm6"))
@@ -1088,9 +1079,12 @@ object SimilarityPack extends QueryPack {
     // Replays PQ encoding from the pretrained codebook constants the
     // queries embed — static SQL, exact across scale factors.
     "e6_pq_codes" -> PqIndex.encodeSql(PqIndex.Pretrained),
+    // e3: the same quantize-before-sum mean (micro-unit longs, one
+    // terminal division) — never a bare avg(double).
     "e3_label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) - 1 AS pos,
-        |  round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS c
+        |  round(CAST(sum(CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) * 1000000 AS DOUBLE), 6) AS c
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 

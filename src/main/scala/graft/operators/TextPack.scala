@@ -39,6 +39,22 @@ object TextPack extends QueryPack {
   private[operators] def countIn(ws: Column, words: Seq[String]): Column =
     count_in(ws, words)
 
+  /** Marker-profile scores per language, and the deterministic argmax
+    * (ties resolve in profile order) — ONE definition shared by t3, t13
+    * and CurationPipeline.rowFeatures: the chain was triplicated and
+    * adding a language meant editing three destructuring sites.
+    */
+  private[operators] def langScores(ws: Column): Seq[(String, Column)] =
+    markers.map { case (l, ms) => l -> countIn(ws, ms) }
+
+  private[operators] def langGuess(scores: Seq[(String, Column)]): Column = {
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // t1: token counting (whitespace tokens; the corpus is single-space
     // separated — see FIXTURES.md).
@@ -67,12 +83,8 @@ object TextPack extends QueryPack {
     // argmax (ties resolve in profile order).
     "t3_langid" -> ((s, dir) => {
       val ws = tokens(col("text"))
-      val scores = markers.map { case (l, ms) => l -> countIn(ws, ms) }
-      val Seq(en, de, fr, es) = scores.map(_._2)
-      val guess = when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
+      val scores = langScores(ws)
+      val guess = langGuess(scores)
       Tables(s, dir, "documents").select(
         Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
           scores.map { case (l, c) => c.as(s"s_$l") } :+
@@ -113,12 +125,9 @@ object TextPack extends QueryPack {
     // per-row projection, no shuffle.
     "t13_langid_margin" -> ((s, dir) => {
       val ws = tokens(col("text"))
-      val scores = markers.map { case (l, ms) => l -> countIn(ws, ms) }
+      val scores = langScores(ws)
       val Seq(en, de, fr, es) = scores.map(_._2)
-      val guess = when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
+      val guess = langGuess(scores)
       // best − second-best without array_sort (whose default comparator
       // is itself an interpreted lambda): the second-largest of n values
       // is the max over all pairwise minima — 9 codegen'd comparisons.
@@ -152,31 +161,8 @@ object TextPack extends QueryPack {
     // corpus-stats frames are broadcast; top-10 per term is a 5-partition
     // window over ≤ docs rows — the one data-sized shuffle is the tf agg.
     "t14_bm25_topk" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      // doc lengths derive from the tf frame (Σ tf per doc = token
-      // count, every doc has ≥ 1 token) — no second scan+tokenize of
-      // the corpus; dl is already co-partitioned on doc_id for the join
-      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
-        .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
-        .where(col("rk") >= 10).select("w", "df")
       val wq = Window.partitionBy("w").orderBy(col("score").desc, col("doc_id"))
-      tf.join(broadcast(qterms), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)))
-        .withColumn("tfn",
-          col("tf").cast("double") * lit(2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") /
-                  (col("sum_dl").cast("double") / col("n").cast("double"))))))
+      bm25Factors(Tables(s, dir, "documents"))
         .withColumn("score", col("idf") * col("tfn"))
         .withColumn("rank", row_number().over(wq))
         .where(col("rank") <= 10)
@@ -517,7 +503,15 @@ object TextPack extends QueryPack {
       .select(col("doc_id"), col("n_trans"), col("min_p6"),
         (col("sum_p6").cast("double") / col("n_trans").cast("double"))
           .as("avg_p6"),
-        expr("(sum_p6 * 1000000L) div n_trans").as("avgq"))
+        // overflow-safe exact floor division: (a*k) div n restated as
+        // (a div n)*k + ((a mod n)*k) div n — identical value (standard
+        // floor-div identity for nonnegative a), but the only product is
+        // remainder*k < n_trans*10^6, which cannot overflow a long,
+        // whereas sum_p6*10^6 wraps past ~9.3M transitions per doc (a
+        // long highly-repetitive document) — Spark would wrap silently
+        // while the oracle's HUGEINT errors on the BIGINT cast
+        expr("(sum_p6 div n_trans) * 1000000L + " +
+          "((sum_p6 % n_trans) * 1000000L) div n_trans").as("avgq"))
   }
 
   /** t19's oracle CTE chain up to `sc` = (doc_id, n_trans, min_p6,
@@ -544,7 +538,8 @@ object TextPack extends QueryPack {
       |sc AS (
       |  SELECT doc_id, count(*) AS n_trans, min(p6) AS min_p6,
       |    CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_p6,
-      |    CAST(sum(p6) * 1000000 AS BIGINT) // count(*) AS avgq
+      |    CAST(sum(p6) AS BIGINT) // count(*) * 1000000
+      |      + CAST(sum(p6) AS BIGINT) % count(*) * 1000000 // count(*) AS avgq
       |  FROM q GROUP BY doc_id)""".stripMargin
 
   /** BPE merge rounds for the t17/t18 training demo (unrolled identically
@@ -837,23 +832,16 @@ object TextPack extends QueryPack {
     // replace chain runs inside a list lambda, where column capture is
     // portable and scalar subqueries are not.
     "t18_bpe_apply" -> {
-      val wrapped =
-        "' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' '"
-      val chain = (1 to BpeIters).foldLeft(wrapped) { (acc, i) =>
-        s"replace($acc, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
-      }
-      val mmCols = (1 to BpeIters).map(i =>
-        s"(SELECT l FROM m$i) AS l$i, (SELECT r FROM m$i) AS r$i").mkString(",\n    ")
       s"""$bpeCtes,
          |mm AS (SELECT
-         |    $mmCols),
+         |    $bpeMmColsSql),
          |dw AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(ws) AS INTEGER) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(ws,
-         |    w -> len(string_split($chain, '  ')))), 0) AS INTEGER) AS n_bpe_tokens
+         |    w -> len(string_split($bpeChainSql, '  ')))), 0) AS INTEGER) AS n_bpe_tokens
          |FROM dw, mm
          |ORDER BY doc_id""".stripMargin
     },
@@ -862,23 +850,16 @@ object TextPack extends QueryPack {
     // grouped by language; fertility = the one terminal division of the
     // two exact sums.
     "t20_tokenizer_fertility" -> {
-      val wrapped =
-        "' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' '"
-      val chain = (1 to BpeIters).foldLeft(wrapped) { (acc, i) =>
-        s"replace($acc, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
-      }
-      val mmCols = (1 to BpeIters).map(i =>
-        s"(SELECT l FROM m$i) AS l$i, (SELECT r FROM m$i) AS r$i").mkString(",\n    ")
       s"""$bpeCtes,
          |mm AS (SELECT
-         |    $mmCols),
+         |    $bpeMmColsSql),
          |dw AS (
          |  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
          |  FROM documents),
          |per AS (
          |  SELECT lang, CAST(len(ws) AS BIGINT) AS w,
          |    CAST(coalesce(list_sum(list_transform(ws,
-         |      w -> len(string_split($chain, '  ')))), 0) AS BIGINT) AS b
+         |      w -> len(string_split($bpeChainSql, '  ')))), 0) AS BIGINT) AS b
          |  FROM dw, mm)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(w) AS BIGINT) AS n_words,
@@ -902,6 +883,54 @@ object TextPack extends QueryPack {
     * (`m1..m3`) and merge application — shared by the t17 and t18
     * oracles.
     */
+  /** The per-(query-term, doc) BM25 factors over the corpus — the ONE
+    * definition of the Okapi weighting (k1 = 1.2, b = 0.75), the
+    * log-free rational IDF, and the mid-df rank-10..14 query-term
+    * selection, shared by t14's ranked retrieval and e11's sparse side
+    * (a hand-synced copy of the formula in SimilarityPack once risked
+    * silently diverging from the hash-checked t14 behavior). Returns
+    * (doc_id, w, idf, tfn); doc lengths derive from the tf frame
+    * (Σ tf per doc = token count, every doc has ≥ 1 token) — no second
+    * scan+tokenize of the corpus, and dl is already co-partitioned on
+    * doc_id for the join.
+    */
+  private[operators] def bm25Factors(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(14)
+      .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("w"))))
+      .where(col("rk") >= 10).select("w", "df")
+    tf.join(broadcast(qterms), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("sum_dl").cast("double") / col("n").cast("double"))))))
+      .select(col("doc_id"), col("w"), col("idf"), col("tfn"))
+  }
+
+  /** t18/t20 shared oracle fragments: the per-word wrapped-char encoding,
+    * the learned-merge replace chain over it, and the m1..m3 merge-column
+    * scalars — ONE definition so the two oracles can never replay
+    * different tokenizers for the same trained merges.
+    */
+  private val bpeWrappedSql: String =
+    "' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), '  ') || ' '"
+  private def bpeChainSql: String = (1 to BpeIters).foldLeft(bpeWrappedSql) { (acc, i) =>
+    s"replace($acc, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
+  }
+  private def bpeMmColsSql: String = (1 to BpeIters).map(i =>
+    s"(SELECT l FROM m$i) AS l$i, (SELECT r FROM m$i) AS r$i").mkString(",\n    ")
+
   private val bpeCtes: String = {
     // adjacent pairs via two LOCKSTEP unnests of equal-length lists —
     // no separator encoding, so tokens may contain ANY byte (a chr(1)

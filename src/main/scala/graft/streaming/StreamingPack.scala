@@ -911,7 +911,9 @@ object StreamingPack extends QueryPack {
             // gate on exact integers (pipeline5's fixed-point discipline):
             // avgq is a quantized long, the threshold is cross-multiplied
             // decimal arithmetic — no double corpus-sum anywhere.
-            .withColumn("avgq", expr("(sum_p6 * 1000000L) div n_trans"))
+            // overflow-safe floor-div split — see bigramLmScores' avgq
+            .withColumn("avgq", expr("(sum_p6 div n_trans) * 1000000L + " +
+              "((sum_p6 % n_trans) * 1000000L) div n_trans"))
             .select(col("doc_id"), col("n_trans"),
               (col("sum_p6").cast("double") / col("n_trans").cast("double"))
                 .as("avg_p6"),
