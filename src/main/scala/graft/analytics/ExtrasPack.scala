@@ -44,6 +44,30 @@ object ExtrasPack extends QueryPack {
     }: _*))
   }
 
+  /** The a44/s18 probe side — exact counts for every 7th user, flattened
+    * to their d cms cells. ONE definition: s18's streaming twin replays
+    * the identical oracle, so the probe rule (%7), hash, and cell
+    * flattening must never fork between the batch and streamed forms.
+    * Input is any frame with (user_id, n_events, h) — a44 passes its
+    * shared per-user frame; s18 derives one from the batch table.
+    */
+  private[graft] def cmsProbes(perUser: DataFrame): DataFrame =
+    perUser.where(col("user_id") % 7 === 0)
+      .select(col("user_id"), col("n_events").as("n_exact"),
+        cmsCells(col("h")).as("c"))
+      .select(col("user_id"), col("n_exact"),
+        col("c.j").as("j"), col("c.pos").as("pos"))
+
+  /** Point estimates: MIN over each probe's d cells against a
+    * (j, pos, n) grid — broadcast, the grid is ≤ d×w rows by
+    * construction.
+    */
+  private[graft] def cmsEstimates(probes: DataFrame, grid: DataFrame): DataFrame =
+    probes.join(broadcast(grid), Seq("j", "pos"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("n")).as("cms_est"))
+      .orderBy("user_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // a18: multiset (bag) set ops — INTERSECT ALL / EXCEPT ALL preserve
     // duplicate cardinalities (vs a9's set semantics).
@@ -212,21 +236,21 @@ object ExtrasPack extends QueryPack {
     // All integer arithmetic — the DuckDB oracle replays grid and probes
     // exactly; collisions reproduce, so this sketch is hash-checked too.
     "a44_count_min" -> ((s, dir) => {
-      val sketch = Tables(s, dir, "events")
-        .select(graft.functions.md5Prefix60(col("user_id").cast("string")).as("h"))
-        .select(cmsCells(col("h")).as("c"))
-        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
-        .agg(count(lit(1)).as("n"))
-      val probes = Tables(s, dir, "events")
-        .where(col("user_id") % 7 === 0)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      // ONE events scan: both the grid and the probes derive from the
+      // same per-user count frame. The grid value is identical to the
+      // per-event formulation (every event of a user hashes to the same
+      // cells, so Σ-per-cell of events = Σ-per-cell of user counts) but
+      // the explode volume is d×users, not d×events, and the corpus is
+      // not scanned a second time for the probe side.
+      val perUser = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
         .withColumn("h", graft.functions.md5Prefix60(col("user_id").cast("string")))
-        .select(col("user_id"), col("n_exact"), cmsCells(col("h")).as("c"))
-        .select(col("user_id"), col("n_exact"), col("c.j").as("j"), col("c.pos").as("pos"))
-      probes.join(broadcast(sketch), Seq("j", "pos"))
-        .groupBy("user_id", "n_exact")
-        .agg(min(col("n")).as("cms_est"))
-        .orderBy("user_id")
+        .localCheckpoint(true)
+      val sketch = perUser
+        .select(cmsCells(col("h")).as("c"), col("n_events"))
+        .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+        .agg(sum(col("n_events")).as("n"))
+      cmsEstimates(cmsProbes(perUser), sketch)
     }),
 
     // t6: stable train/val split — hash-based deterministic sharding (the
@@ -259,8 +283,15 @@ object ExtrasPack extends QueryPack {
       import s.implicits._
       implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[ORow]] =
         org.apache.spark.sql.Encoders.kryo[Seq[ORow]]
+      // order by epoch MICROS, not Timestamp.getTime (milliseconds):
+      // two orders within the same millisecond would tie under getTime
+      // and resolve by orderkey, while the shared a5 oracle's ORDER BY
+      // o_orderdate compares full microsecond precision — a latent
+      // hash divergence the moment fixture timestamps gain sub-ms parts
       val topk = new graft.functions.TopKAggregator[ORow](
-        3, _.o_orderdate.getTime, _.o_orderkey)
+        3,
+        r => r.o_orderdate.getTime / 1000 * 1000000L + r.o_orderdate.getNanos / 1000,
+        _.o_orderkey)
       Tables(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
         .as[ORow]

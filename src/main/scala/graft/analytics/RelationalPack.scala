@@ -366,7 +366,10 @@ object RelationalPack extends QueryPack {
       val daily = ev.groupBy("user_id", "day")
         .agg(max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
           count(lit(1)).as("n_events"))
-      val grid = ev.groupBy("user_id")
+      // derive the span from the already-aggregated daily frame, not the
+      // raw events (daily contains every active (user, day), so min/max
+      // agree) — grouping raw events again would scan the corpus twice
+      val grid = daily.groupBy("user_id")
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
           explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))

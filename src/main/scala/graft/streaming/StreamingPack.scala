@@ -833,24 +833,19 @@ object StreamingPack extends QueryPack {
         .start()
       q.awaitTermination()
       // streamed grid → (j, pos, n) cells (zero cells dropped to mirror
-      // a44's data-built grid), then a44's probe join, verbatim
+      // a44's data-built grid), then a44's SHARED probe+estimate helpers
+      // (ExtrasPack.cmsProbes/cmsEstimates — one definition, the two
+      // forms replay the same oracle and must never fork)
       val grid = ss.table("graft_s18_cms")
         .select(posexplode(col("grid")).as(Seq("idx", "n")))
         .where(col("n") > 0)
         .select((col("idx") / w).cast("int").as("j"),
           pmod(col("idx"), lit(w)).cast("long").as("pos"), col("n"))
-      val probes = Tables(ss, dir, "events")
-        .where(col("user_id") % 7 === 0)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      val perUser = Tables(ss, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
         .withColumn("h", graft.functions.md5Prefix60(col("user_id").cast("string")))
-        .select(col("user_id"), col("n_exact"),
-          graft.analytics.ExtrasPack.cmsCells(col("h")).as("c"))
-        .select(col("user_id"), col("n_exact"),
-          col("c.j").as("j"), col("c.pos").as("pos"))
-      probes.join(broadcast(grid), Seq("j", "pos"))
-        .groupBy("user_id", "n_exact")
-        .agg(min(col("n")).as("cms_est"))
-        .orderBy("user_id")
+      graft.analytics.ExtrasPack.cmsEstimates(
+        graft.analytics.ExtrasPack.cmsProbes(perUser), grid)
     }),
 
     // s19: STREAMING quality gate with a BATCH-trained language model —
