@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.DerivedSignalLog
 import graft.projection.SignalStore
+import graft.streaming.StreamingProjection
 
 /** HTTP read API (SURVEY §2.1 S7) — the reference's three routes over the
   * projected view (data-plane/internal/handler/signal.go:24-81):
@@ -22,6 +23,17 @@ import graft.projection.SignalStore
   * typed columns internally, strings rendered at the edge (RFC3339
   * timestamps). A serving layer, not an engine operator: each request is a
   * Catalyst-planned query over the materialized view.
+  *
+  * LIVE serving (the reference's consumer-feeds-reads loop,
+  * handler/signal.go:30-46 reading the Redis view the running consumer
+  * updates): [[startLive]] serves the routes off the streaming
+  * projection's [[graft.streaming.BucketedStateStore]] — every request
+  * observes the newest complete generation, so a signal merged by the
+  * stream between two requests is visible to the second one. The serving
+  * plans are still memoized, but per GENERATION: a new generation swaps
+  * in a fresh plan set (one volatile reference), so memoization never
+  * serves stale state and a hot serving loop between generations still
+  * plans each listing exactly once.
   */
 object HttpServe {
 
@@ -53,9 +65,67 @@ object HttpServe {
       s""""${jsonEscape(f)}": "${jsonEscape(r.getAs[String](f))}""""
     }.mkString("{", ", ", "}")
 
+  /** What the server serves: a view plus a VERSION TOKEN. The serving
+    * layer re-resolves `generation` per request (cheap — a directory
+    * listing on the state store, nothing on a static view) and rebuilds
+    * its memoized plan set only when the token moves. On an object store
+    * a production deployment would cache the token with a short TTL;
+    * the invalidation contract is unchanged.
+    */
+  trait ViewSource {
+    def generation: Long
+    def view: DataFrame
+  }
+
+  /** Static batch view — generation never moves, plans memoized forever. */
+  private final class StaticViewSource(v: DataFrame) extends ViewSource {
+    def generation: Long = 0L
+    def view: DataFrame = v
+  }
+
+  /** Live streaming state — the newest complete generation per bucket,
+    * exactly what [[graft.streaming.BucketedStateStore.read]] serves.
+    */
+  private final class LiveViewSource(proj: StreamingProjection) extends ViewSource {
+    def generation: Long = proj.store.currentMaxGen
+    def view: DataFrame = proj.view
+  }
+
+  /** One generation's serving set: the resolved view, its SignalStore
+    * (whose health probe + listing plans are one-time lazy costs), and
+    * the listing-plan memo. Swapped atomically as one unit when the
+    * source's generation moves — a request can never pair plan and memo
+    * from different generations.
+    */
+  private final class Serving(val gen: Long, val view: DataFrame) {
+    val store = new SignalStore(view)
+    // Serving-plan memo: the listing surface has a FIXED set of distinct
+    // plans (default newest-first + one per priority LABEL in the
+    // reference's domain), so each is analyzed/optimized/planned ONCE
+    // per generation — a Dataset's QueryExecution is a lazy val, and
+    // collect() on the same object only re-executes the cached physical
+    // plan. The memo is keyed by the Option itself (never its getOrElse
+    // rendering — Some("") must not alias None's default listing) and
+    // only DOMAIN values are ever inserted: a client-supplied string
+    // outside {Low, Medium, High} builds its empty-result query
+    // per-request, so the map is bounded at 4 entries no matter what
+    // clients send (the same unbounded-key reasoning that keeps point
+    // lookups un-memoized).
+    private val memoizable: Set[Option[String]] =
+      Set(None, Some("Low"), Some("Medium"), Some("High"))
+    private val memo =
+      new java.util.concurrent.ConcurrentHashMap[Option[String], DataFrame]()
+    private def build(priority: Option[String]): DataFrame =
+      readModel(priority match {
+        case Some(p) => store.listByPriority(p)
+        case None => store.listByCreatedAt()
+      })
+    def listing(priority: Option[String]): DataFrame =
+      if (memoizable(priority)) memo.computeIfAbsent(priority, build)
+      else build(priority)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val port = if (args.length > 1) args(1).toInt else 8080
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -63,44 +133,64 @@ object HttpServe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val view = DerivedSignalLog.signals(spark, sfDir).cache()
-    view.count() // materialize once; serving queries hit the cache
-    val server = start(spark, view, port)
+    val server = args.headOption match {
+      // Live mode — the reference's server shape (cmd/server/main.go:55-73:
+      // consumer goroutine + HTTP handlers over the view it updates):
+      // a continuous file-stream projection ingests JSON-lines events
+      // appearing under watchDir while the routes serve the state store.
+      case Some("--live") =>
+        val Array(_, watchDir, stateDir, chkDir) = args.take(4)
+        val port = if (args.length > 4) args(4).toInt else 8080
+        val proj = new StreamingProjection(spark, stateDir)
+        proj.run(graft.sources.FileEventSource(watchDir, maxFilesPerTrigger = 16),
+          chkDir,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        startLive(spark, proj, port)
+      case _ =>
+        val sfDir = args(0)
+        val port = if (args.length > 1) args(1).toInt else 8080
+        val view = DerivedSignalLog.signals(spark, sfDir).cache()
+        view.count() // materialize once; serving queries hit the cache
+        start(spark, view, port)
+    }
     println(s"[http] serving on :${server.getAddress.getPort} (Ctrl-C to stop)")
     Thread.currentThread().join()
   }
 
-  /** Start the server (port 0 = ephemeral; returns the bound server). */
-  def start(spark: SparkSession, view: DataFrame, port: Int): HttpServer = {
-    val store = new SignalStore(view)
+  /** Serve a static batch view (port 0 = ephemeral; returns the bound
+    * server). One generation forever — plans memoized for the server's
+    * lifetime.
+    */
+  def start(spark: SparkSession, view: DataFrame, port: Int): HttpServer =
+    start(spark, new StaticViewSource(view), port)
+
+  /** Serve the LIVE streaming projection: requests read the newest
+    * complete state-store generation, so signals merged by the running
+    * stream are visible to the next request — the rebuild of the
+    * reference's consumer-updates-Redis / handler-reads-Redis loop.
+    */
+  def startLive(spark: SparkSession, proj: StreamingProjection, port: Int): HttpServer =
+    start(spark, new LiveViewSource(proj), port)
+
+  def start(spark: SparkSession, source: ViewSource, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
-    // Serving-plan memo: the listing surface has a FIXED set of distinct
-    // plans (default newest-first + one per priority LABEL in the
-    // reference's domain), so each is analyzed/optimized/planned ONCE —
-    // a Dataset's QueryExecution is a lazy val, and collect() on the
-    // same object only re-executes the cached physical plan. Without
-    // this every request re-ran the full Catalyst pipeline for an
-    // identical query. The memo is keyed by the Option itself (never
-    // its getOrElse rendering — Some("") must not alias None's default
-    // listing) and only DOMAIN values are ever inserted: a
-    // client-supplied string outside {Low, Medium, High} builds its
-    // empty-result query per-request, so the map is bounded at 4
-    // entries no matter what clients send (the same unbounded-key
-    // reasoning that keeps point lookups un-memoized).
-    val memoizable: Set[Option[String]] =
-      Set(None, Some("Low"), Some("Medium"), Some("High"))
-    val listingMemo =
-      new java.util.concurrent.ConcurrentHashMap[Option[String], DataFrame]()
-    def build(priority: Option[String]): DataFrame =
-      readModel(priority match {
-        case Some(p) => store.listByPriority(p)
-        case None => store.listByCreatedAt()
-      })
-    def listing(priority: Option[String]): DataFrame =
-      if (memoizable(priority))
-        listingMemo.computeIfAbsent(priority, build)
-      else build(priority)
+    // Generation-checked swap: one volatile reference; requests in flight
+    // keep serving their generation's plans (parquet generation dirs are
+    // immutable and retention keeps 2 per bucket, so a just-superseded
+    // plan still reads consistent files), new requests get the new set.
+    @volatile var serving: Serving = null
+    def current(): Serving = {
+      val g = source.generation
+      val s = serving
+      if (s != null && s.gen == g) s
+      else this.synchronized {
+        val again = serving
+        val g2 = source.generation
+        if (again != null && again.gen == g2) again
+        else { val n = new Serving(g2, source.view); serving = n; n }
+      }
+    }
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -111,15 +201,16 @@ object HttpServe {
     }
 
     server.createContext("/health", (ex: HttpExchange) =>
-      if (store.health) respond(ex, 200, """{"status":"ok"}""")
+      if (current().store.health) respond(ex, 200, """{"status":"ok"}""")
       else respond(ex, 503, """{"status":"down"}"""))
 
     server.createContext("/signals", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       val id = path.stripPrefix("/signals").stripPrefix("/")
       try {
+        val s = current()
         if (id.nonEmpty) {
-          val rows = readModel(view.where(col("id") === id)).limit(1).collect()
+          val rows = readModel(s.view.where(col("id") === id)).limit(1).collect()
           rows.headOption match {
             case Some(r) => respond(ex, 200, rowJson(r))
             case None => respond(ex, 404, """{"error": "not found"}""")
@@ -129,7 +220,7 @@ object HttpServe {
             .flatMap(_.split("&").collectFirst {
               case kv if kv.startsWith("priority=") => kv.stripPrefix("priority=")
             })
-          val body = listing(priority).collect().map(rowJson).mkString("[", ",", "]")
+          val body = s.listing(priority).collect().map(rowJson).mkString("[", ",", "]")
           respond(ex, 200, body)
         }
       } catch {

@@ -48,8 +48,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Subset runs MERGE into an existing oracle_sql.json rather than
+    // overwrite it: pointing RunSome at a directory holding a previous
+    // full Verify dump must not silently truncate the oracle map (a later
+    // full crosscheck against that dir would then compare only the
+    // subset). Full runs (only=None) still rewrite from scratch.
+    val existing: Map[String, String] =
+      if (only.isDefined && Files.exists(Paths.get(s"$outDir/oracle_sql.json"))) {
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = mapper.readTree(Files.readString(Paths.get(s"$outDir/oracle_sql.json")))
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        } catch { case _: Throwable => Map.empty }
+      } else Map.empty
+    val merged = existing ++ SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }

@@ -290,7 +290,13 @@ object ExtrasPack extends QueryPack {
       // hash divergence the moment fixture timestamps gain sub-ms parts
       val topk = new graft.functions.TopKAggregator[ORow](
         3,
-        r => r.o_orderdate.getTime / 1000 * 1000000L + r.o_orderdate.getNanos / 1000,
+        // floorDiv, not truncating /: getTime rounds toward zero, so a
+        // pre-epoch timestamp's seconds component would be off by one and
+        // collide across the epoch boundary (e.g. 1969-12-31T23:59:59.5
+        // vs 1970-01-01T00:00:00.5). Irrelevant for the 1992+ fixture but
+        // the helper claims generality.
+        r => Math.floorDiv(r.o_orderdate.getTime, 1000L) * 1000000L +
+          r.o_orderdate.getNanos / 1000,
         _.o_orderkey)
       Tables(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))

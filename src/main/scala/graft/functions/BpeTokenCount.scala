@@ -57,22 +57,28 @@ object BpeTokenCount {
   /** Sum of per-word BPE token counts; words are the maximal non-space
     * runs of `text` (split-then-drop-empties semantics).
     */
-  /** Single-slot pattern memo, identity-keyed: the merge table reaches
+  /** Small bounded pattern memo, identity-keyed: the merge table reaches
     * this kernel as a LITERAL (checkInputDataTypes requires foldable),
     * and codegen hands back the same ArrayData reference every row — so
     * the 2m string materializations happen once per table, not once per
     * ROW (at a 30k-merge production vocabulary the per-row rebuild was
     * 60k materializations + 120k concatenations before any counting).
-    * A second distinct table just repopulates the slot; correctness
-    * never depends on a hit.
+    * Bounded at 4 entries (copy-on-write MRU), NOT a single slot: two
+    * queries with different merge literals (t11's fixed merges vs
+    * t17/t20's trained ones) running concurrently on one executor would
+    * thrash a single slot on alternating rows, reintroducing the per-row
+    * rebuild the memo exists to remove. Correctness never depends on a
+    * hit; a fifth concurrent table just evicts the LRU entry.
     */
-  @volatile private var cached
-      : (ArrayData, ArrayData, Array[String], Array[String]) = null
+  private final val MemoCap = 4
+  @volatile private var cachedEntries
+      : List[(ArrayData, ArrayData, Array[String], Array[String])] = Nil
 
   private def patterns(
       lefts: ArrayData, rights: ArrayData): (Array[String], Array[String]) = {
-    val c = cached
-    if (c != null && (c._1 eq lefts) && (c._2 eq rights)) (c._3, c._4)
+    val cs = cachedEntries
+    val hit = cs.find(c => (c._1 eq lefts) && (c._2 eq rights))
+    if (hit.isDefined) (hit.get._3, hit.get._4)
     else {
       val m = lefts.numElements()
       val pats = new Array[String](m)
@@ -85,7 +91,9 @@ object BpeTokenCount {
         reps(i) = " " + l + r + " "
         i += 1
       }
-      cached = (lefts, rights, pats, reps)
+      cachedEntries =
+        ((lefts, rights, pats, reps) :: cs.filterNot(
+          c => (c._1 eq lefts) && (c._2 eq rights))).take(MemoCap)
       (pats, reps)
     }
   }

@@ -30,15 +30,22 @@ object LatestAggregator extends Aggregator[EvRow, EvRow, EvRow] {
 
   /** Later-of-two with a DETERMINISTIC tiebreak: seq decides, and an
     * equal-seq pair (impossible on a real log, where seq is the offset —
-    * but "impossible" is not a merge law) resolves by the rows' total
-    * ordering, so merge is genuinely commutative at any partitioning —
-    * the claim the scaladoc makes must hold on every input, not just
-    * well-formed ones.
+    * but "impossible" is not a merge law) resolves by an explicit
+    * field-tuple total ordering, so merge is genuinely commutative at any
+    * partitioning. The tuple key is injective (timestamps compared as
+    * (getTime, getNanos), which determine the instant exactly) — unlike a
+    * toString comparison, where two distinct rows whose string fields
+    * contain ", " can render identically and break commutativity in
+    * exactly the adversarial case this tiebreak exists to close.
     */
+  private val rowOrd: Ordering[EvRow] = Ordering.by { r: EvRow =>
+    (r.seq, r.id, r.action, r.title, r.content, r.priority, r.author,
+      r.created_at.map(t => (t.getTime, t.getNanos)),
+      r.updated_at.map(t => (t.getTime, t.getNanos)))
+  }
+
   private def later(x: EvRow, y: EvRow): EvRow =
-    if (x.seq != y.seq) { if (x.seq > y.seq) x else y }
-    else if (x.toString >= y.toString) x
-    else y
+    if (rowOrd.gteq(x, y)) x else y
 
   override def zero: EvRow = sentinel
   override def reduce(b: EvRow, a: EvRow): EvRow = later(b, a)

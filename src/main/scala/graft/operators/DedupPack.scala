@@ -872,7 +872,7 @@ object DedupPack extends QueryPack {
       // comparisons — the same approximation dial as k itself;
       // SemScaleSpec pins that exact duplicates still co-assign
       // (identical vectors take identical argmins at both levels).
-      if (cents.length <= SemTwoLevelK)
+      if (cents.length <= semTwoLevelK(s))
         IvfIndex.assign(emb, cents)
           .select(col("vec_id"), col("cid"), col("embedding"))
       else {
@@ -889,9 +889,16 @@ object DedupPack extends QueryPack {
     * two-level coarse tier. 64 keeps every bench/SCALING capture on the
     * flat path it was measured with while giving the spec a forcing
     * handle; at production scale any k in the tens of thousands rides
-    * the two-level tier automatically.
+    * the two-level tier automatically. Override knob
+    * `graft.semdedup.twoLevelK` exists so the crossover can be MEASURED
+    * on one corpus (graft.tools.AssignCrossover forces flat with a huge
+    * value vs the default tier) — SCALING.md §5 records the measured
+    * points; it is a measurement handle, not a tuning surface.
     */
   private val SemTwoLevelK = 64
+  private def semTwoLevelK(s: SparkSession): Int =
+    s.conf.getOption("graft.semdedup.twoLevelK")
+      .map(_.toInt).getOrElse(SemTwoLevelK)
 
   /** The SemDeDup drop set: every vec_id with a more-senior (lower-id)
     * within-cluster near-duplicate. Same score→filter→dedup staging as

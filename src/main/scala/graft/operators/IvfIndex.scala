@@ -98,6 +98,61 @@ object IvfIndex {
     emb.withColumn("cid",
       nearest_centroid(col("embedding"), centroidsLit(centroids)))
 
+  private val servingLock = new Object
+  private val servingRoot =
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-serving"
+
+  /** Inverted-list SERVING layout (the FAISS list layout as a lake
+    * layout): one cid-partitioned copy of the corpus, written ONCE per
+    * (fixture contents, centroid set) and reused by every probe query.
+    * e5/e17 serve from it, so their `cid IN (probes)` predicate becomes a
+    * directory-level PartitionFilter — the scan READS ~nprobe/k of the
+    * corpus from disk instead of scanning everything and filtering
+    * post-assignment (PartitionPruningSpec pins the mechanism; PlanSpec
+    * pins it on e5's actual serving plan; SCALING.md §6 carries the x30
+    * A/B). At 100 TB this is the whole point of IVF: the index layout
+    * turns nprobe selectivity into I/O savings, not just compute savings.
+    *
+    * Staleness is CONTENT-KEYED: the cache key folds every source file's
+    * (path, length, mtime) with the centroid constants and a layout
+    * version, so a regenerated fixture or retrained quantizer rebuilds
+    * instead of serving stale assignments — the silent-wrong-answer mode
+    * a path-keyed cache would have.
+    *
+    * In production this copy is the INDEX BUILD step — written by the
+    * ingest pipeline when vectors land, amortized over every query that
+    * follows; the lazy first-call build here keeps the library's
+    * (spark, dir) query contract for the correctness/bench harness.
+    */
+  def servingCopy(spark: SparkSession, dir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val srcFs = src.getFileSystem(hconf)
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    def fold(s: String): Unit =
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fold("layout-v1")
+    fold(src.toString)
+    val it = srcFs.listFiles(src, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    entries.sorted.foreach(fold)
+    Pretrained.foreach(c => c.foreach(v => fold(java.lang.Float.toString(v))))
+    val fp = md.digest().map("%02x".format(_)).mkString
+    val dest = new org.apache.hadoop.fs.Path(s"$servingRoot/$fp")
+    val destFs = dest.getFileSystem(hconf)
+    servingLock.synchronized {
+      if (!destFs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {
+        assign(graft.Tables(spark, dir, "embeddings"), Pretrained)
+          .write.partitionBy("cid").mode("overwrite").parquet(dest.toString)
+      }
+    }
+    spark.read.parquet(dest.toString)
+  }
+
   /** Two-level coarse quantization (FAISS IMI / IVF-tree shape): cluster
     * the CENTROID TABLE into g groups driver-side, assign a vector by
     * nearest group then nearest member centroid within that group —

@@ -28,14 +28,17 @@ object SignalParityPack extends QueryPack {
     // a float k makes the oracle's plain CAST error while Spark nulls),
     // whereas extract-as-text + try_cast is the same two-step rule in
     // both engines for every payload shape a regenerated fixture could
-    // carry.
+    // carry. Extraction rides get_json_object (path-based, no per-row
+    // StructType row materialization) rather than a from_json struct —
+    // same null semantics (malformed/non-object/missing-key all null,
+    // quoted scalars unquote to their text), ~2x cheaper per row.
     "p1_event_decode" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
       val corrupted = when(col("event_id") % 97 === 0,
         concat(lit("{broken "), col("props"))).otherwise(col("props"))
       e.select(col("event_id"),
-          from_json(corrupted, new StructType().add("k", StringType)).as("j"))
-        .select(col("event_id"), expr("try_cast(j.k AS LONG)").as("k"))
+          get_json_object(corrupted, "$.k").as("ktext"))
+        .select(col("event_id"), expr("try_cast(ktext AS LONG)").as("k"))
         .where(col("k").isNotNull)
         .orderBy("event_id")
     }),

@@ -124,20 +124,24 @@ object SimilarityPack extends QueryPack {
     // real-world embeddings concentrate far more, and nprobe is the
     // documented dial.
     // Assignment is the codegen'd nearest_centroid projection (no shuffle,
-    // no row multiplication — see IvfIndex) and the query vector is an
-    // array literal, so the probe query is scan → project → filter →
-    // TakeOrderedAndProject: one pass over the corpus, no joins and no
-    // training jobs at all. Serving from constants also makes the result
+    // no row multiplication — see IvfIndex) and runs ONCE at index-build
+    // time (servingCopy); the probe query is pruned-scan → score →
+    // TakeOrderedAndProject over only the probed partitions — no joins
+    // and no training jobs at all. Serving from constants also makes the result
     // a deterministic function of the corpus: the oracle replays the
     // same centroids, so e5 is hash-checked; RecallSpec still gates
     // recall@20.
+    // Serving reads the cid-PARTITIONED inverted-list copy
+    // (IvfIndex.servingCopy): the probe filter prunes at the directory
+    // level, so the scan reads ~nprobe/k of the corpus — PlanSpec pins
+    // the PartitionFilters on this exact plan.
     "e5_ivf_knn" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val centroids = IvfIndex.Pretrained
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val probes = IvfIndex.probeCids(centroids, q, nprobe = 6)
-      IvfIndex.assign(emb, centroids)
+      IvfIndex.servingCopy(s, dir)
         .where(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cid"),
           round(cosine_similarity(col("embedding"), typedLit(q.toSeq)), 6).as("cos_sim"))
@@ -550,9 +554,9 @@ object SimilarityPack extends QueryPack {
     // codebook literals (a when-chain on the assigned cid). Plan: one
     // scan → compiled assignment → probe filter → compiled codes + ADC
     // → TakeOrderedAndProject shortlist → exact re-rank. No joins, no
-    // shuffle, no training jobs at serve time; at 100 TB the scan reads
-    // only probed partitions when the table is clustered by cid (the
-    // FAISS inverted-list layout, here = partition pruning). The oracle
+    // shuffle, no training jobs at serve time; the table IS clustered by
+    // cid (IvfIndex.servingCopy — the FAISS inverted-list layout), so
+    // the scan reads only probed partitions. The oracle
     // replays the float shifted-codebook arithmetic via REAL + REAL
     // (verified bit-identical to Float addition), assignment and codes
     // from the same constants; RecallSpec gates recall@20.
@@ -564,7 +568,9 @@ object SimilarityPack extends QueryPack {
         .select("embedding").head().getSeq[Float](0).toArray
       val probes = IvfIndex.probeCids(cents, q, nprobe = 6)
       val shifted = probes.map(c => c -> PqIndex.shiftedBooks(cents, rbooks, c)).toMap
-      val base = IvfIndex.assign(emb, cents)
+      // serve from the cid-partitioned inverted-list copy: the probe
+      // filter prunes at the directory level (see e5 / IvfIndex.servingCopy)
+      val base = IvfIndex.servingCopy(s, dir)
         .where(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
       val coded = (0 until PqIndex.SubSpaces).foldLeft(base) { (df, j) =>
         val sub = slice(col("embedding"), j * PqIndex.SubDim + 1, PqIndex.SubDim)
@@ -835,10 +841,15 @@ object SimilarityPack extends QueryPack {
          |    FROM pc)
          |  WHERE rn = 1),
          |lut AS MATERIALIZED (
+         |  -- explicit left-to-right + chain, not list_sum: pins the IEEE
+         |  -- accumulation order to adcDistance's Scala fold (same rule as
+         |  -- PqIndex.adcKnnSql) — list_sum's summation strategy is not
+         |  -- contractual and a pairwise rewrite would shift the shortlist
+         |  -- boundary.
          |  SELECT s.cid, s.j, s.i,
-         |    list_sum(list_transform(range(1, ${sd + 1}),
-         |      k -> (q.qe[s.j * $sd + k] - CAST(s.sv[k] AS DOUBLE))
-         |         * (q.qe[s.j * $sd + k] - CAST(s.sv[k] AS DOUBLE)))) AS d2
+         |    ${(1 to sd).map(k =>
+             s"(q.qe[s.j * $sd + $k] - CAST(s.sv[$k] AS DOUBLE)) * (q.qe[s.j * $sd + $k] - CAST(s.sv[$k] AS DOUBLE))")
+             .mkString("\n         |      + ").stripMargin} AS d2
          |  FROM shifted s, q),
          |codes AS (
          |  SELECT vec_id, cid,

@@ -101,6 +101,97 @@ class HttpServeSpec extends SparkSuite {
       "default listing returned [] — the empty-priority request aliased its memo entry")
   }
 
+  test("live serving: a signal ingested through the stream is visible to the next request") {
+    // The reference's consumer-feeds-reads loop (cmd/server/main.go:55-73,
+    // handler/signal.go:30-46): the running consumer updates the view; the
+    // HTTP handlers read it live. Rebuild: ingest batch 1 through the
+    // streaming projection, serve, then ingest batch 2 THROUGH THE SAME
+    // CHECKPOINT and assert the already-running server observes the new
+    // and mutated signals — including across the memoized listing plans,
+    // which must invalidate on the new state generation.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-").toFile.getAbsolutePath
+    def ingest(events: (Long, String)*): Unit = {
+      events.toSeq.toDF("seq", "value").coalesce(1)
+        .write.mode("append").json(s"$dir/events")
+      val proj = new graft.streaming.StreamingProjection(spark, s"$dir/state", numBuckets = 4)
+      proj.runFileStream(s"$dir/events", s"$dir/chk").awaitTermination()
+    }
+    def evj(action: String, id: String, title: String) =
+      s"""{"action":"$action","id":"$id","title":"$title","content":"c","priority":"High","author":"a","created_at":"2026-01-01T00:00:00Z","updated_at":"2026-01-01T00:00:00Z"}"""
+
+    ingest(0L -> evj("created", "live-a", "before"))
+    val proj = new graft.streaming.StreamingProjection(spark, s"$dir/state", numBuckets = 4)
+    val liveServer = HttpServe.startLive(spark, proj, port = 0)
+    try {
+      val liveBase = s"http://127.0.0.1:${liveServer.getAddress.getPort}"
+      def liveGet(path: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"$liveBase$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val before = liveGet("/signals/live-a")
+      assert(before.statusCode() == 200)
+      assert(before.body().contains("\"title\": \"before\""))
+      assert(liveGet("/signals/live-b").statusCode() == 404)
+      // prime the priority-listing memo so invalidation is actually tested
+      val listing0 = liveGet("/signals?priority=High")
+      assert(listing0.body().contains("live-a") && !listing0.body().contains("live-b"))
+
+      // batch 2 arrives while the server is running: one brand-new signal,
+      // one LWW update of the served signal
+      ingest(1L -> evj("created", "live-b", "new"),
+        2L -> evj("updated", "live-a", "after"))
+
+      val updated = liveGet("/signals/live-a")
+      assert(updated.body().contains("\"title\": \"after\""),
+        s"point lookup served stale state: ${updated.body()}")
+      assert(liveGet("/signals/live-b").statusCode() == 200)
+      val listing1 = liveGet("/signals?priority=High")
+      assert(listing1.body().contains("live-b"),
+        s"memoized priority listing not invalidated on new generation: ${listing1.body()}")
+      assert(listing1.body().contains("\"title\": \"after\""))
+      assert(liveGet("/health").statusCode() == 200)
+    } finally liveServer.stop(0)
+  }
+
+  test("live serving: plans are reused WITHIN a generation (one QueryExecution identity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-live2-").toFile.getAbsolutePath
+    Seq(0L -> """{"action":"created","id":"g0","title":"t","content":"c","priority":"High","author":"a","created_at":"2026-01-01T00:00:00Z","updated_at":"2026-01-01T00:00:00Z"}""")
+      .toDF("seq", "value").coalesce(1).write.mode("append").json(s"$dir/events")
+    val proj = new graft.streaming.StreamingProjection(spark, s"$dir/state", numBuckets = 4)
+    proj.runFileStream(s"$dir/events", s"$dir/chk").awaitTermination()
+    val liveServer = HttpServe.startLive(spark, proj, port = 0)
+    try {
+      val liveBase = s"http://127.0.0.1:${liveServer.getAddress.getPort}"
+      val seen = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.execution.QueryExecution]())
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+          if (funcName == "collect") seen.add(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        (1 to 3).foreach { _ =>
+          val r = client.send(
+            HttpRequest.newBuilder(URI.create(s"$liveBase/signals?priority=High")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          assert(r.statusCode() == 200)
+        }
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (seen.size() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+        val qes = seen.toArray(Array.empty[org.apache.spark.sql.execution.QueryExecution])
+        assert(qes.length >= 3)
+        val last3 = qes.takeRight(3)
+        assert(last3.forall(_ eq last3.head),
+          "live server re-planned an identical listing within one generation")
+      } finally spark.listenerManager.unregister(listener)
+    } finally liveServer.stop(0)
+  }
+
   test("priority route caps the response at MaxPageSize rows") {
     import spark.implicits._
     // A hot priority bigger than the cap: 1200 rows, all "High". The

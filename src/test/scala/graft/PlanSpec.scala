@@ -473,6 +473,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e5/e17 serve from the cid-partitioned inverted-list copy: probe filter prunes partitions") {
+    // The IVF scale contract made physical (IvfIndex.servingCopy): the
+    // serving plan's cid IN (probes) predicate must appear as a
+    // directory-level PartitionFilter on the partitioned copy — the scan
+    // READS ~nprobe/k of the corpus — never as a post-scan filter over a
+    // full corpus scan. Pinned on the queries' ACTUAL plans, not a
+    // mechanism demo (that is PartitionPruningSpec's job).
+    Seq("e5_ivf_knn", "e17_ivfpq_knn").foreach { name =>
+      val p = plan(name)
+      assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+        s"$name must prune by cid at the directory level:\n$p")
+    }
+  }
+
   test("a44 count-min probes join the bounded grid as a broadcast") {
     val p = plan("a44_count_min")
     // grid side: partial+final agg (map-side combine caps task output at
