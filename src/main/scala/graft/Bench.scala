@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query wall times over
@@ -8,6 +11,44 @@ import org.apache.spark.sql.SparkSession
   * measure the queries, not JVM startup.
   */
 object Bench {
+
+  /** Task-metrics accumulator for the memory-pressure captures
+    * (SCALING.md §7): per-query spill/shuffle/peak-memory totals, so a
+    * constrained-heap run PROVES the spill path executed instead of
+    * asserting it. Enabled by SPARK_GRAFT_METRICS=1 (the driver never
+    * sets it — zero cost and zero schema change on driver runs).
+    */
+  private final class MetricsListener extends SparkListener {
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val peakExec = new AtomicLong
+    val tasks = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        tasks.incrementAndGet()
+      }
+    }
+    /** Listener delivery is async; settle = poll until the task counter
+      * stops moving (200 ms quiet, 2 s cap). Diagnostic-grade flush —
+      * wall times never depend on it.
+      */
+    def settle(): Unit = {
+      val deadline = System.nanoTime() + 2000000000L
+      var last = -1L
+      while (System.nanoTime() < deadline && tasks.get() != last) {
+        last = tasks.get()
+        Thread.sleep(200)
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (memSpill.get(), diskSpill.get(), shuffleWrite.get(), peakExec.get())
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,10 +109,18 @@ object Bench {
       if (l < 0) -1.0 else math.rint(l * 100) / 100
     }
     val load1Start = load1
+    val metrics: Option[MetricsListener] =
+      if (sys.env.get("SPARK_GRAFT_METRICS").contains("1")) {
+        val l = new MetricsListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
+    var metricRows = List.empty[(String, (Long, Long, Long, Long))]
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val before = metrics.map { l => l.settle(); l.snapshot }
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -81,7 +130,28 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      metrics.foreach { l =>
+        l.settle()
+        val (m0, d0, s0, _) = before.get
+        val (m1, d1, s1, pk) = l.snapshot
+        metricRows ::= name -> (m1 - m0, d1 - d0, s1 - s0, pk)
+      }
       name -> times.min
+    }
+    // Per-query spill evidence (both timed runs summed) → its own file,
+    // keyed mem_spill/disk_spill/shuffle_write bytes + the session-max
+    // peak_exec. Separate from BENCH.local.json: the driver's parser and
+    // the round record keep their schema.
+    metrics.foreach { _ =>
+      val rows = metricRows.reverse.map { case (n, (m, d, s, pk)) =>
+        s""""$n":{"mem_spill":$m,"disk_spill":$d,"shuffle_write":$s,"peak_exec":$pk}"""
+      }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("SPILL.local.json"),
+        (rows + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write SPILL.local.json: ${e.getMessage}")
+      }
     }
     val total = results.map(_._2).sum
     val load1End = load1

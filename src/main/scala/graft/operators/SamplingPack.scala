@@ -342,8 +342,56 @@ object SamplingPack extends QueryPack {
             .when(col("bucket") < 900, "val")
             .otherwise("test"))
         .orderBy("doc_id")
+    }),
+
+    // x10: per-source token-budget fill — give each source a fixed token
+    // budget and keep its best documents (quality = distinct-token count,
+    // a lexical-richness proxy; ties by doc_id) until the budget is
+    // spent: the "N billion tokens per domain" step a mixture spec turns
+    // into, where x1/x6 keep RATES, x10 keeps an absolute token VOLUME.
+    // A doc is kept iff it fits ENTIRELY in its source's remaining budget
+    // under the (q desc, doc_id) fill order — semantically one cumulative
+    // window per source, but a source is unboundedly large, so the
+    // cumulative sum is computed two-level: (1) histogram token volume by
+    // (source, q) — q's value space is bounded by tokens-per-doc, not
+    // corpus size; (2) a per-source running sum over that bounded
+    // histogram finds each bin's starting offset; (3) only the per-BIN
+    // window (partitioned (source, q) — parallelism grows with the
+    // histogram, skew bounded by a single bin's population) ranks docs,
+    // offset by the bin start. Because q desc then doc_id is a total
+    // order refined by the bins, the two-level sum equals the single
+    // window the oracle replays — same kept set, same cum_tokens.
+    "x10_token_budget_mix" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val d = Tables(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("q"))
+      val hist = d.groupBy("source", "q").agg(sum(col("n_tokens")).as("btok"))
+      val wBins = Window.partitionBy("source").orderBy(desc("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bins = hist
+        .withColumn("binEnd", sum(col("btok")).over(wBins))
+        .withColumn("binStart", col("binEnd") - col("btok"))
+        .where(col("binStart") < TokenBudget) // bins with budget left at entry
+        .select("source", "q", "binStart")
+      val wDoc = Window.partitionBy("source", "q").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(bins), Seq("source", "q"))
+        .withColumn("cum_tokens",
+          col("binStart") + sum(col("n_tokens")).over(wDoc))
+        .where(col("cum_tokens") <= TokenBudget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
     })
   )
+
+  /** x10's per-source token budget — an ABSOLUTE volume, deliberately not
+    * scaled with sf: more corpus means a more selective cut (the top
+    * ~half of each source at sf0.001/0.01, the best ~5 % at sf0.1),
+    * exactly how a fixed training-token target behaves as crawls grow.
+    */
+  private[operators] val TokenBudget = 700L
 
   /** x8's hashed-feature space size (DSIR's 10k-bucket analogue; a power
     * of two so the fold is a cheap mask at codegen time).
@@ -382,6 +430,24 @@ object SamplingPack extends QueryPack {
     "CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
 
   override def oracles: Map[String, String] = Map(
+    // x10: the two-level fill replayed as the single cumulative window it
+    // is equivalent to — (q DESC, doc_id) is the same total order the
+    // bin-refined sum walks, and both sides compare exact BIGINTs against
+    // the budget (DuckDB's HUGEINT window sum cast back).
+    "x10_token_budget_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
+
     "x1_mixture_sample" ->
       s"""WITH p AS (
          |  SELECT doc_id, source,

@@ -96,6 +96,28 @@ object SimilarityPack extends QueryPack {
     // faster inner loop (single pass, no intermediate arrays).
     "e2_knn_expr" -> ((s, dir) => knn(s, dir, cosine_similarity)),
 
+    // e18: RANGE search (FAISS range_search) — every vector within a
+    // cosine radius of the query, not a fixed k. The retrieval shape
+    // dedup thresholds and near-dup audits want: "give me EVERYTHING at
+    // least this similar", where k-NN would silently truncate a dense
+    // neighborhood. One compiled-cosine scan + pushed filter; the sort
+    // only orders the (selectivity-bounded) result set, not the corpus.
+    // The τ boundary compares round-6 values — the same cross-engine
+    // agreement contract e1's kth-place boundary already relies on. At
+    // scale this composes with the IVF serving layout exactly like e5:
+    // probe the query's nprobe nearest lists and range-scan only those
+    // partitions (cosine radius → the triangle-inequality probe bound).
+    "e18_range_search" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= RangeTau)
+        .orderBy(desc("cos_sim"), col("vec_id"))
+    }),
+
     // e3: per-label centroids (the "coarse quantizer" of an IVF index) —
     // posexplode + groupBy(label, pos): partial aggregation makes this one
     // small shuffle regardless of corpus size. The mean is the kmeans/e10
@@ -705,6 +727,12 @@ object SimilarityPack extends QueryPack {
   private[operators] val MrlPrefixDim = 16
   private[operators] val MrlShortlist = 200
 
+  /** e18's cosine radius: 0.2 keeps a selective-but-nonempty band on the
+    * fixtures (33 of 500 at sf0.001) — range results scale with
+    * neighborhood density, not corpus size, which is the operator's point.
+    */
+  private[operators] val RangeTau = 0.2
+
   /** DuckDB replay of [[lshBuckets]]: per-table bucket codes b0..b{n-1}
     * over the SAME hyperplane constants (sign(list_dot_product) ==
     * sign(cosine) — the positive norms can't flip it). Shared by the d6
@@ -774,6 +802,18 @@ object SimilarityPack extends QueryPack {
 
     "e1_knn_brute" -> knnOracle,
     "e2_knn_expr" -> knnOracle,
+
+    // e18: the knnOracle scan with the LIMIT replaced by the same
+    // round-6 radius filter the Spark side applies.
+    "e18_range_search" ->
+      s"""SELECT vec_id, cos_sim FROM (
+         |  SELECT e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+         |  FROM embeddings e,
+         |       (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0)
+         |WHERE cos_sim >= $RangeTau
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin,
 
     // e16: shortlist + pairwise sims in micro-units, then the greedy
     // MMR selection unrolled step-by-step (t17's unrolled-iteration

@@ -257,6 +257,33 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // t21: top-2-gram share — the Gopher/RefinedWeb repetition signal
+    // "fraction of (word-)2-grams claimed by the single most frequent
+    // 2-gram" (Rae et al. 2021 Table A1 uses the char-fraction variant;
+    // the occurrence-fraction is the same dataflow). Complements t8: t8
+    // measures how many grams REPEAT at all, t21 how concentrated the
+    // repetition is — a doc looping one slogan scores low on neither
+    // distinctness axis but pegs t21. The bigram keys are
+    // [[graft.functions.ShingleHashesBag]] hashes (one compiled pass, no
+    // interpreted lambdas — the r8 no-HOF invariant); the max/sum shape
+    // means no per-bigram tiebreak can reach the output, so hash
+    // collisions aside (oracle replays the identical hash) the result is
+    // order-free. Scale: groupBy(doc, bh) partial-aggregates map-side;
+    // the per-doc fold is a bounded two-value agg — one shuffle keyed by
+    // (doc, bh), embarrassingly parallel across docs.
+    "t21_top_ngram_share" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"),
+          explode(shingle_hashes_bag(col("text"), 2)).as("bh"))
+        .groupBy("doc_id", "bh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_cnt"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+          round(col("top_cnt").cast("double") / col("n_bigrams").cast("double"), 6)
+            .as("top_share"))
+        .orderBy("doc_id")),
+
     // t9: TF-IDF-style top term per document — the classic two-pass
     // term-weighting dataflow: per-(doc, term) frequency, corpus document
     // frequency, rarity weight tf·(N/df), deterministic argmax via
@@ -465,7 +492,40 @@ object TextPack extends QueryPack {
     "t19_bigram_lm_score" -> ((s, dir) =>
       bigramLmScores(Tables(s, dir, "documents"))
         .select("doc_id", "n_trans", "min_p6", "avg_p6")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // t22: perplexity-decile gate — flag the bottom decile of documents
+    // by t19's bigram-LM fluency score (the CCNet/Wenzek-style "filter by
+    // LM perplexity bucket" stage, with t19's in-engine LM standing in
+    // for the external KenLM). The decile is an EXACT discrete quantile
+    // computed scale-cleanly: quantize each doc's avgq back to p6 units
+    // (`qkey = avgq div 10^6`, value space ≤ 10^6+1 — bounded by the
+    // score RESOLUTION, not the corpus), histogram the keys (map-side
+    // combine shrinks to distinct keys), one ordered pass over the
+    // bounded histogram finds the smallest key whose cumulative count
+    // reaches ceil(n/10), broadcast it back, filter. No global sort, no
+    // corpus-sized window, no driver collect beyond one long — the same
+    // bounded-model shape as x8's DSIR buckets. The gate is boundary-bin
+    // INCLUSIVE (every doc with qkey <= threshold is flagged), so flagged
+    // count >= ceil(n/10) and membership is deterministic on exact longs
+    // — no IEEE boundary for a doc to straddle cross-engine.
+    "t22_perplexity_gate" -> ((s, dir) => {
+      val keyed = bigramLmScores(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("n_trans"), col("avgq"),
+          expr("avgq div 1000000L").as("qkey"))
+      val hist = keyed.groupBy("qkey").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("qkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = keyed.agg(count(lit(1)).as("n"))
+      val thr = hist.select(col("qkey"), sum(col("c")).over(wCum).as("cum"))
+        .crossJoin(broadcast(n))
+        .where(col("cum") >= expr("(n + 9) div 10"))
+        .agg(min(col("qkey")).as("thr"))
+      keyed.crossJoin(broadcast(thr))
+        .where(col("qkey") <= col("thr"))
+        .select("doc_id", "n_trans", "avgq", "qkey")
+        .orderBy("doc_id")
+    })
   )
 
   /** t19's scorer as a frame-in/frame-out stage (pipeline5 composes it):
@@ -800,6 +860,39 @@ object TextPack extends QueryPack {
         |  CAST(CAST(sum(c.c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq
         |FROM g JOIN c USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t21: same bigram construction + poly-hash replay as the t12 oracle,
+    // then per-(doc, hash) counts folded to (sum, max) per doc. DuckDB's
+    // count(*)/sum() widen to HUGEINT — cast back to BIGINT to match
+    // Spark's longs.
+    "t21_top_ngram_share" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+        |      sh -> ${DedupPack.polyHashSql})) AS bh
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, bh, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_cnt,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS top_share
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t22: t19's CTE chain up to sc (exact-integer avgq), then the same
+    // bounded-histogram discrete decile: quantize to p6 units, cumulative
+    // count over the ordered histogram, smallest key reaching ceil(n/10),
+    // boundary-bin-inclusive filter. Exact integers end-to-end — the
+    // threshold and membership cannot differ cross-engine in ulps.
+    "t22_perplexity_gate" ->
+      s"""$bigramLmCtes,
+        |keyed AS (SELECT doc_id, n_trans, avgq, avgq // 1000000 AS qkey FROM sc),
+        |hist AS (SELECT qkey, count(*) AS c FROM keyed GROUP BY qkey),
+        |n AS (SELECT count(*) AS n FROM keyed),
+        |cumh AS (SELECT qkey, CAST(sum(c) OVER (ORDER BY qkey) AS BIGINT) AS cum FROM hist),
+        |thr AS (SELECT min(qkey) AS thr FROM cumh, n WHERE cum >= (n + 9) // 10)
+        |SELECT doc_id, n_trans, avgq, qkey
+        |FROM keyed, thr WHERE qkey <= thr ORDER BY doc_id""".stripMargin,
 
     // Same trigram construction as the d4 oracle's shingle CTE, then the
     // ShingleHashes poly-hash replayed per gram (DedupPack.polyHashSql).

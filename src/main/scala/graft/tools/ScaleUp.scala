@@ -39,14 +39,20 @@ import graft.Tables
   *     under measurement don't read them; relational queries stay
   *     comparable at the source scale).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [nFiles]
+  * (nFiles > 1 writes each scaled table as a directory of part files —
+  * the realistic lake layout; see `write`.)
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, factorS) = args
-    val factor = factorS.toInt
+    val (srcDir, dstDir, factor, nFiles) = args match {
+      case Array(s, d, f) => (s, d, f.toInt, 1)
+      case Array(s, d, f, n) => (s, d, f.toInt, n.toInt)
+      case _ => sys.error("usage: ScaleUp <srcDir> <dstDir> <factor> [nFiles]")
+    }
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,6 +63,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dstDir))
 
+    scaledFiles = nFiles
     writeScaled(spark, srcDir, dstDir, factor)
 
     Tables.all.filterNot(Set("events", "documents", "embeddings")).foreach { t =>
@@ -130,15 +137,31 @@ object ScaleUp {
   /** Single-file `<name>.parquet`, the driver-fixture layout (parquet is
     * row-group-splittable, so one file does not limit scan parallelism).
     */
-  private def write(df: DataFrame, dstDir: String, name: String): Unit = {
-    val staging = s"$dstDir/.staging_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(staging)
-    val part = new java.io.File(staging).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file under $staging"))
-    Files.move(part.toPath, Paths.get(s"$dstDir/$name.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    new java.io.File(staging).listFiles().foreach(_.delete())
-    Files.deleteIfExists(Paths.get(staging))
-  }
+  private def write(df: DataFrame, dstDir: String, name: String): Unit =
+    if (scaledFiles == 1) {
+      val staging = s"$dstDir/.staging_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $staging"))
+      Files.move(part.toPath, Paths.get(s"$dstDir/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(staging).listFiles().foreach(_.delete())
+      Files.deleteIfExists(Paths.get(staging))
+    } else {
+      // Multi-file layout: `<name>.parquet` as a DIRECTORY of nFiles part
+      // files — what a real lake table looks like (no one serves 100 TB
+      // from one file), and what keeps a map stage's input splits small
+      // enough that explode-heavy operators (d14's ~90× window fan-out)
+      // don't funnel tens of millions of rows into ONE task's shuffle
+      // sorter: SCALING.md §7's x100 finding was a 53 MB single docs file
+      // — under the 128 MB maxPartitionBytes default that is ONE split,
+      // one task, and a 4 GB heap OOM. repartition(id) keeps the replica
+      // blocks interleaved so each file is a uniform sample.
+      df.repartition(scaledFiles).write.mode("overwrite")
+        .parquet(s"$dstDir/$name.parquet")
+    }
+
+  /** File count for the scaled tables (main's optional 4th arg). */
+  private var scaledFiles: Int = 1
 }

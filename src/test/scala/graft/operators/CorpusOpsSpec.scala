@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Semantic invariants for the round-11 corpus operators (t21 top-2-gram
+  * share, t22 perplexity-decile gate, e18 range search, x10 token-budget
+  * fill). Value-level cross-engine equality is the DuckDB crosscheck's
+  * job; these pin the properties a hash can't express — bounds, budget
+  * feasibility, equivalence of the two-level fill to its single-window
+  * definition, and consistency with the established k-NN results.
+  */
+class CorpusOpsSpec extends SparkSuite {
+  private val dir = sf("sf0.001")
+
+  test("t21: shares are in (0, 1], top_cnt <= n_bigrams, covers all multi-word docs") {
+    val rows = SparkEntry.queries("t21_top_ngram_share")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, top, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(top >= 1 && top <= n)
+      assert(share > 0.0 && share <= 1.0)
+      assert(math.abs(share - math.rint(top.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+    val multiWord = graft.Tables(spark, dir, "documents")
+      .where(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == multiWord)
+  }
+
+  test("t22: flags at least a decile, boundary-bin inclusive, exactly the low scores") {
+    val flagged = SparkEntry.queries("t22_perplexity_gate")(spark, dir).collect()
+    val all = TextPack.bigramLmScores(graft.Tables(spark, dir, "documents"))
+      .select(col("doc_id"), expr("avgq div 1000000L").as("qkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = all.size
+    assert(flagged.length >= (n + 9) / 10, s"${flagged.length} < ceil($n/10)")
+    val thr = flagged.map(_.getLong(3)).max
+    // the gate is a downward-closed cut: EVERY doc at or below thr is
+    // flagged, and none above it
+    val below = all.valuesIterator.count(_ <= thr)
+    assert(flagged.length == below)
+    assert(flagged.forall(r => all(r.getLong(0)) <= thr))
+    // removing the boundary bin would undershoot the decile — thr is the
+    // SMALLEST key reaching ceil(n/10), not an arbitrary cut
+    val strictlyBelow = all.valuesIterator.count(_ < thr)
+    assert(strictlyBelow < (n + 9) / 10)
+  }
+
+  test("e18: all results within radius, and contains every e1 top-20 hit at >= tau") {
+    val range = SparkEntry.queries("e18_range_search")(spark, dir).collect()
+    assert(range.nonEmpty)
+    range.foreach(r => assert(r.getDouble(1) >= SimilarityPack.RangeTau))
+    val rangeIds = range.map(_.getLong(0)).toSet
+    assert(rangeIds.size == range.length) // no duplicate vectors
+    val top20 = SparkEntry.queries("e1_knn_brute")(spark, dir).collect()
+    top20.filter(_.getDouble(1) >= SimilarityPack.RangeTau)
+      .foreach(r => assert(rangeIds.contains(r.getLong(0)),
+        s"e1 neighbor ${r.getLong(0)} at ${r.getDouble(1)} missing from range"))
+  }
+
+  test("x10: two-level fill equals the single-window definition and respects the budget") {
+    val kept = SparkEntry.queries("x10_token_budget_mix")(spark, dir).collect()
+    assert(kept.nonEmpty)
+    // per-source total never exceeds the budget
+    kept.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      assert(tot <= SamplingPack.TokenBudget, s"$src: $tot")
+      assert(rows.map(_.getLong(3)).max == tot) // cum_tokens is the running fill
+    }
+    // reference: the direct single-window greedy fill over (q desc, doc_id)
+    val d = graft.Tables(spark, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = d.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      // cum runs over ALL docs in fill order (the window's semantics);
+      // since every doc has >= 1 token the sum is strictly monotone, so
+      // `cum <= B` keeps exactly a prefix — the equivalence under test
+      rows.sortBy(r => (-r._4, r._1)).map { r =>
+        cum += r._3; (r._1, cum, r._3)
+      }.takeWhile(_._2 <= SamplingPack.TokenBudget)
+        .map { case (id, c, t) => id -> (c, t) }
+    }
+    val keptMap = kept.map(r => r.getLong(0) -> (r.getLong(3), r.getLong(2))).toMap
+    assert(keptMap == expect.toMap)
+  }
+}
