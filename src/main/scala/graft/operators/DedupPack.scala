@@ -724,7 +724,47 @@ object DedupPack extends QueryPack {
     // signal only). All integer arithmetic — hash-checked exactly.
     "d14_substring_runs" -> ((s, dir) =>
       substringRuns(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
-        .orderBy("doc_a", "doc_b", "start_a", "start_b"))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
+    // d16: CONTAINMENT dedup — the asymmetric overlap |A∩B| / min(|A|,|B|)
+    // (Broder'97's "containment"; the CCNet/Dolma sub-document signal).
+    // Jaccard (d4) misses inclusion: a doc quoting 90 % of a shorter doc
+    // scores J = |A∩B|/|A∪B| ≈ small when sizes differ, but containment
+    // ≈ 0.9 — exactly the quote/wrapper/expansion relationship a curator
+    // dedups by keeping the container. Scale path, not brute: pairs come
+    // from the SAME capped LSH candidate graph as d6/d7 (bounded bucket
+    // fan-out, no all-pairs), then EXACT shingle-set intersection only
+    // for candidates — join candidates to A's shingles keyed by doc_a
+    // (intermediate bounded by pairs-per-doc × doc size, linear), then
+    // one equi-join keyed by (doc_b, shingle) computes the intersection,
+    // partial-agg combined. The per-doc set sizes join back (inter is
+    // candidate-bounded — AQE broadcasts it). Direction is derived, not
+    // assumed: container = the larger shingle set, ties to the lesser
+    // doc_id (doc_a). Exact integer counts; the one terminal IEEE
+    // division replays identically in the oracle.
+    "d16_containment_dedup" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(wordShinglesOf(col("toks"), 3)).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = candidatePairs(s, dir)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          (col("n_both").cast("double") / least(col("na"), col("nb")).cast("double"))
+            .as("containment"),
+          when(col("na") >= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+            .as("container_id"),
+          when(col("na") >= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+            .as("containee_id"))
+        .where(col("containment") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   /** The d9 Bloom-gate dataflow over `dir`'s documents (see the d9 entry
@@ -1042,6 +1082,35 @@ object DedupPack extends QueryPack {
           |FROM documents d LEFT JOIN agg a USING (doc_id)
           |WHERE CAST(substr(d.source, 4) AS INTEGER) >= 10
           |ORDER BY d.doc_id""".stripMargin),
+
+    // d16: the d3/d11 capped candidate CTE, then EXACT intersection via
+    // the d4-style shingle equi-join restricted to candidates, set sizes
+    // from the same sh CTE, containment as the one terminal division,
+    // direction = larger-set-wins with the lesser doc_id on ties.
+    "d16_containment_dedup" ->
+      (shinglesCte +
+        """, cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sigk a JOIN sigk b
+          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_both
+          |  FROM cand c
+          |  JOIN sh x ON x.doc_id = c.doc_a
+          |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, na, nb, containment, container_id, containee_id
+          |FROM (
+          |  SELECT i.doc_a, i.doc_b, na.n AS na, nb.n AS nb,
+          |    CAST(n_both AS DOUBLE) / least(na.n, nb.n) AS containment,
+          |    CASE WHEN na.n >= nb.n THEN i.doc_a ELSE i.doc_b END AS container_id,
+          |    CASE WHEN na.n >= nb.n THEN i.doc_b ELSE i.doc_a END AS containee_id
+          |  FROM inter i
+          |  JOIN sizes na ON i.doc_a = na.doc_id
+          |  JOIN sizes nb ON i.doc_b = nb.doc_id)
+          |WHERE containment >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin),
 
     "d11_minhash_estimate" ->
       (shinglesCte +

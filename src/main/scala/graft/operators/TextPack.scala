@@ -525,8 +525,65 @@ object TextPack extends QueryPack {
         .where(col("qkey") <= col("thr"))
         .select("doc_id", "n_trans", "avgq", "qkey")
         .orderBy("doc_id")
+    }),
+
+    // t23: repeated-span SCRUB — the RefinedWeb/MassiveText "remove
+    // duplicated n-grams" REWRITE (Penedo et al. 2023 §4.2 drop exact
+    // spans repeated across the crawl; d13/d14 only DETECT spans, this
+    // rewrites the document). A word position is scrubbed when any
+    // covering 3-gram occurs in more than [[ScrubMaxDf]] distinct docs;
+    // the retained words reassemble (space-joined, original order) into
+    // the cleaned text a curation pipeline feeds downstream. Dataflow,
+    // all linear: (1) positional gram hashes from the compiled
+    // ShingleHashesBag pass (one hash per start, document order — the
+    // d14 kernel); (2) corpus df per gram — distinct(doc, g) then a
+    // count keyed by g, map-side combined; (3) hot grams join back to
+    // their start positions — keyed by g, and the hot side is the DF
+    // TAIL (boilerplate grams), the same bounded-hot-set shape as d13's
+    // cap, with AQE skew split as the runtime backstop for a mega-viral
+    // span; (4) covered positions = starts × [0,w) exploded, distinct;
+    // (5) one left join words⋈covered on (doc, pos) and a per-doc fold.
+    // Reassembly uses listagg WITHIN GROUP (ORDER BY pos) — an ordered
+    // built-in aggregate, no corpus-wide sort, no HOF lambda; a fully
+    // scrubbed doc yields '' (coalesce), not a dropped row. Exact
+    // integer keys end-to-end; the oracle replays the identical
+    // poly-hash, so the output is hash-checked including the rewritten
+    // text itself.
+    "t23_span_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val grams = docs
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          posexplode(shingle_hashes_bag(col("text"), 3)).as(Seq("start", "g")))
+      val hot = grams.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") > ScrubMaxDf)
+        .select("g")
+      val covered = grams.join(hot, "g")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 2)).as("pos"))
+        .distinct()
+      words.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          count(col("cov")).as("n_scrubbed"),
+          coalesce(
+            expr("listagg(CASE WHEN cov IS NULL THEN w END, ' ') " +
+              "WITHIN GROUP (ORDER BY pos)"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     })
   )
+
+  /** t23's corpus-df scrub threshold: a 3-gram claimed by more than this
+    * many distinct docs is boilerplate and its occurrences are excised.
+    * Sized like d13/d14's df caps: to the largest legitimate quotation
+    * family the curator wants to KEEP (here 2 — the synthetic corpus's
+    * planted near-dup pairs stay intact; their removal is d6/d7's job,
+    * not the span scrubber's).
+    */
+  private[operators] val ScrubMaxDf = 2
 
   /** t19's scorer as a frame-in/frame-out stage (pipeline5 composes it):
     * (doc_id, n_trans, min_p6, avg_p6, avgq) per doc with ≥ 1 transition.
@@ -968,7 +1025,37 @@ object TextPack extends QueryPack {
     "t19_bigram_lm_score" ->
       s"""$bigramLmCtes
         |SELECT doc_id, n_trans, min_p6, avg_p6
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // t23: positional grams via two LOCKSTEP unnests (start index +
+    // poly-hashed gram string — the t19 zip trick), df over
+    // distinct(doc, g), covered = flagged starts × [0,3), and the
+    // rewrite as an ordered FILTER string_agg (DuckDB's listagg) with
+    // the same ''-for-empty coalesce as the Spark side.
+    "t23_span_scrub" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) - 1 AS pos, unnest(ws) AS w
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) - 1)) - 1 AS s,
+        |    unnest(list_transform(
+        |      list_transform(range(1, len(ws) - 1),
+        |                     i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]),
+        |      sh -> ${DedupPack.polyHashSql})) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |hot AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+        |  GROUP BY g HAVING count(*) > $ScrubMaxDf),
+        |cov AS (
+        |  SELECT DISTINCT gr.doc_id, gr.s + d.d AS pos
+        |  FROM g gr JOIN hot USING (g), (SELECT unnest([0, 1, 2]) AS d) d)
+        |SELECT wd.doc_id, count(*) AS n_words,
+        |  count(c.pos) AS n_scrubbed,
+        |  coalesce(string_agg(wd.w, ' ' ORDER BY wd.pos)
+        |    FILTER (WHERE c.pos IS NULL), '') AS clean_text
+        |FROM words wd LEFT JOIN cov c ON wd.doc_id = c.doc_id AND wd.pos = c.pos
+        |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

@@ -88,4 +88,64 @@ class CorpusOpsSpec extends SparkSuite {
     val keptMap = kept.map(r => r.getLong(0) -> (r.getLong(3), r.getLong(2))).toMap
     assert(keptMap == expect.toMap)
   }
+
+  test("t23: scrub removes exactly the hot-gram-covered positions (driver replay)") {
+    val out = SparkEntry.queries("t23_span_scrub")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    assert(out.size == docs.length) // every doc present, even fully scrubbed
+    // gram-string replay of the definition (the engine keys by poly-hash;
+    // at P = 1e9+7 over ~16k grams a collision is the only way these can
+    // differ, and the oracle's hash replay would catch THAT side)
+    def grams(ws: Array[String]): Seq[String] =
+      if (ws.length < 3) Seq.empty else ws.sliding(3).map(_.mkString(" ")).toSeq
+    val df = docs.flatMap { case (id, ws) => grams(ws).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    docs.foreach { case (id, ws) =>
+      val covered = grams(ws).zipWithIndex.collect {
+        case (g, s) if df(g) > TextPack.ScrubMaxDf => Seq(s, s + 1, s + 2)
+      }.flatten.toSet
+      val clean = ws.zipWithIndex.collect {
+        case (w, p) if !covered.contains(p) => w }.mkString(" ")
+      val (nWords, nScrubbed, cleanText) = out(id)
+      assert(nWords == ws.length, s"doc $id n_words")
+      assert(nScrubbed == covered.size, s"doc $id n_scrubbed")
+      assert(cleanText == clean, s"doc $id clean_text")
+    }
+    // the threshold actually bites on this corpus: some docs scrubbed,
+    // and short docs (< 3 words, no grams) are never touched
+    assert(out.values.exists(_._2 > 0))
+    docs.filter(_._2.length < 3).foreach { case (id, ws) =>
+      assert(out(id)._3 == ws.mkString(" ")) }
+  }
+
+  test("d16: containment direction, bounds, and exact intersection (driver replay)") {
+    val rows = SparkEntry.queries("d16_containment_dedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val sets = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+      .map { case (id, ws) => id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+      .toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (na, nb, c) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      val (cont, cee) = (r.getLong(5), r.getLong(6))
+      assert(Set(cont, cee) == Set(a, b))
+      assert(na == sets(a).size && nb == sets(b).size)
+      val i = sets(a).intersect(sets(b)).size
+      assert(c == i.toDouble / math.min(na, nb), s"($a,$b) containment")
+      assert(c >= 0.5 && c <= 1.0)
+      // container is the larger set; equal sizes tie to the lesser id
+      val contN = if (cont == a) na else nb
+      val ceeN = if (cee == a) na else nb
+      assert(contN >= ceeN)
+      if (na == nb) assert(cont == a)
+      // containment dominates Jaccard — the inclusion signal d4 misses
+      assert(c >= i.toDouble / (na + nb - i) - 1e-12)
+    }
+  }
 }
