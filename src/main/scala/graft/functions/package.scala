@@ -42,6 +42,15 @@ package object functions {
   def nearest_centroid(vec: Column, centroids: Column): Column =
     columnOf(NearestCentroid(exprOf(vec), exprOf(centroids)))
 
+  /** Two-level (coarse group, then member) centroid assignment returning
+    * the GLOBAL centroid id — constant-size compiled kernel at any group
+    * count. See [[NearestCentroidTwoLevel]].
+    */
+  def nearest_centroid_two_level(vec: Column, groupCents: Column,
+      memberCents: Column, memberIds: Column): Column =
+    columnOf(NearestCentroidTwoLevel(exprOf(vec), exprOf(groupCents),
+      exprOf(memberCents), exprOf(memberIds)))
+
   /** The ONE table of SQL-callable custom expressions: name → builder.
     * Both registration paths consume it — [[registerAll]] for an
     * already-built session and [[graft.GraftExtensions]] for

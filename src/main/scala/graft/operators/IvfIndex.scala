@@ -194,26 +194,29 @@ object IvfIndex {
   }
 
   /** The two-level assignment as a compiled column over `vec`: nearest
-    * group via [[graft.functions.NearestCentroid]] on the g group
-    * centroids, then nearest member within the chosen group, mapped back
-    * to the GLOBAL centroid id. Member lists ascend, so the
-    * lowest-index tie rule composes to lowest-global-cid — the rule the
-    * oracles replay. Approximation contract: differs from flat
-    * [[assign]] exactly when a vector's nearest centroid lies outside
-    * its nearest group (the IMI trade; e14's RecallSpec gate measures
-    * the cost).
+    * group, then nearest member within the chosen group, mapped back to
+    * the GLOBAL centroid id — one [[graft.functions.NearestCentroidTwoLevel]]
+    * kernel call per row. Member lists ascend, so the lowest-index tie
+    * rule composes to lowest-global-cid — the rule the oracles replay.
+    * Approximation contract: differs from flat [[assign]] exactly when a
+    * vector's nearest centroid lies outside its nearest group (the IMI
+    * trade; e14's RecallSpec gate measures the cost).
+    *
+    * Until round 11 this was a g-branch `when` chain; the AssignCrossover
+    * measurement caught the chain super-linear (281 s at n=4M/g=89 vs the
+    * cost model's ~115 s — expression-tree size grows with g, and past
+    * codegen's limits the repeated group-argmin subexpression stops being
+    * eliminated). The kernel is constant-size generated code at any g;
+    * see the expression's scaladoc for the measured before/after.
     */
   def assignTwoLevelCol(vec: Column, centroids: Array[Array[Float]],
       groupCents: Array[Array[Float]], members: Array[Array[Int]]): Column = {
-    import org.apache.spark.sql.functions.{element_at, lit, typedLit, when}
-    val gid = nearest_centroid(vec, centroidsLit(groupCents))
-    members.indices.foldLeft(lit(-1)) { (acc, g) =>
-      val memberCents = members(g).map(centroids)
-      when(gid === g,
-        element_at(typedLit(members(g).toSeq),
-          nearest_centroid(vec, centroidsLit(memberCents)) + 1))
-        .otherwise(acc)
-    }
+    import org.apache.spark.sql.functions.typedLit
+    graft.functions.nearest_centroid_two_level(
+      vec,
+      centroidsLit(groupCents),
+      typedLit(members.map(_.map(centroids).map(_.toSeq).toSeq).toSeq),
+      typedLit(members.map(_.toSeq).toSeq))
   }
 
   /** Pretrained coarse quantizer ([[kmeans]] k=16, iters=3 on the sf0.01

@@ -19,7 +19,10 @@ import graft.operators.IvfIndex
   * nowhere — centroids are the first k vectors, exactly Lloyd's init,
   * because assignment cost does not care where centroids sit.
   *
-  * Usage: runMain graft.tools.AssignCrossover n1[,n2,...] [dim]
+  * Usage: runMain graft.tools.AssignCrossover n1[,n2,...] [dim] [mode]
+  * mode = both (default) | flat | two — `two` lets the largest points
+  * run without the flat baseline (flat is O(n·k) = O(n²/512): at n=16M
+  * it costs hours, which is the finding, not a number worth waiting on).
   * Prints one JSON line per point:
   *   {"n":..,"k":..,"g":..,"dim":..,"flat_sec":..,"twolevel_sec":..}
   */
@@ -28,6 +31,7 @@ object AssignCrossover {
   def main(args: Array[String]): Unit = {
     val ns = args(0).split(",").map(_.trim.toLong)
     val dim = if (args.length > 1) args(1).toInt else 64
+    val mode = if (args.length > 2) args(2) else "both"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,12 +70,16 @@ object AssignCrossover {
           df.select(col("vec_id"), col("cid"))
             .write.format("noop").mode("overwrite").save())).min
 
-      val flat = run(IvfIndex.assign(emb, cents))
-      val twoLevel = run(emb.withColumn("cid",
-        IvfIndex.assignTwoLevelCol(col("embedding"), cents, gc, members)))
+      val flat =
+        if (mode != "two") run(IvfIndex.assign(emb, cents)) else Double.NaN
+      val twoLevel =
+        if (mode != "flat") run(emb.withColumn("cid",
+          IvfIndex.assignTwoLevelCol(col("embedding"), cents, gc, members)))
+        else Double.NaN
+      def fmt(v: Double) =
+        if (v.isNaN) "null" else (math.rint(v * 1000) / 1000).toString
       println(s"""{"n":$n,"k":$k,"g":${gc.length},"dim":$dim,""" +
-        s""""flat_sec":${math.rint(flat * 1000) / 1000},""" +
-        s""""twolevel_sec":${math.rint(twoLevel * 1000) / 1000}}""")
+        s""""flat_sec":${fmt(flat)},"twolevel_sec":${fmt(twoLevel)}}""")
       emb.unpersist()
     }
     spark.stop()
