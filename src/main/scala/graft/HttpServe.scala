@@ -85,9 +85,15 @@ object HttpServe {
 
   /** Live streaming state — the newest complete generation per bucket,
     * exactly what [[graft.streaming.BucketedStateStore.read]] serves.
+    * The token is [[graft.streaming.BucketedStateStore.currentGenToken]]
+    * (per-bucket-gen SUM), not currentMaxGen: max() reaches its final
+    * value on a batch's FIRST bucket rename, so a request racing the
+    * sequential rename loop could memoize a mixed-generation view under
+    * a token that never moves again; the sum moves on every rename, so
+    * the completing batch invalidates it.
     */
   private final class LiveViewSource(proj: StreamingProjection) extends ViewSource {
-    def generation: Long = proj.store.currentMaxGen
+    def generation: Long = proj.store.currentGenToken
     def view: DataFrame = proj.view
   }
 
@@ -177,8 +183,13 @@ object HttpServe {
 
     // Generation-checked swap: one volatile reference; requests in flight
     // keep serving their generation's plans (parquet generation dirs are
-    // immutable and retention keeps 2 per bucket, so a just-superseded
-    // plan still reads consistent files), new requests get the new set.
+    // immutable, and retention keeps 2 per bucket so ONE generation of
+    // lag reads consistent files), new requests get the new set. A plan
+    // can still outlive retention when 2+ batches land on the same
+    // bucket during one request's collect() (1-second triggers make that
+    // reachable) — `attempt` below covers that residual window by
+    // retrying ONCE on a freshly-resolved serving set before failing the
+    // request.
     @volatile var serving: Serving = null
     def current(): Serving = {
       val g = source.generation
@@ -191,6 +202,18 @@ object HttpServe {
         else { val n = new Serving(g2, source.view); serving = n; n }
       }
     }
+    def attempt[T](body: Serving => T): T =
+      try body(current())
+      catch { case _: Throwable =>
+        // in-flight files aged out (or any transient read failure):
+        // rebuild against the store's CURRENT generation set and retry
+        // once — a second failure is real and propagates to the 500 path
+        val n = this.synchronized {
+          val f = new Serving(source.generation, source.view)
+          serving = f; f
+        }
+        body(n)
+      }
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -201,16 +224,20 @@ object HttpServe {
     }
 
     server.createContext("/health", (ex: HttpExchange) =>
-      if (current().store.health) respond(ex, 200, """{"status":"ok"}""")
-      else respond(ex, 503, """{"status":"down"}"""))
+      try {
+        if (attempt(_.store.health)) respond(ex, 200, """{"status":"ok"}""")
+        else respond(ex, 503, """{"status":"down"}""")
+      } catch {
+        case _: Throwable => respond(ex, 503, """{"status":"down"}""")
+      })
 
     server.createContext("/signals", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       val id = path.stripPrefix("/signals").stripPrefix("/")
       try {
-        val s = current()
         if (id.nonEmpty) {
-          val rows = readModel(s.view.where(col("id") === id)).limit(1).collect()
+          val rows = attempt(s =>
+            readModel(s.view.where(col("id") === id)).limit(1).collect())
           rows.headOption match {
             case Some(r) => respond(ex, 200, rowJson(r))
             case None => respond(ex, 404, """{"error": "not found"}""")
@@ -220,7 +247,8 @@ object HttpServe {
             .flatMap(_.split("&").collectFirst {
               case kv if kv.startsWith("priority=") => kv.stripPrefix("priority=")
             })
-          val body = s.listing(priority).collect().map(rowJson).mkString("[", ",", "]")
+          val body = attempt(_.listing(priority).collect())
+            .map(rowJson).mkString("[", ",", "]")
           respond(ex, 200, body)
         }
       } catch {

@@ -78,8 +78,17 @@ object BpeTokenCount {
       lefts: ArrayData, rights: ArrayData): (Array[String], Array[String]) = {
     val cs = cachedEntries
     val hit = cs.find(c => (c._1 eq lefts) && (c._2 eq rights))
-    if (hit.isDefined) (hit.get._3, hit.get._4)
-    else {
+    if (hit.isDefined) {
+      // promote to head so eviction is genuinely least-RECENT: without
+      // this the list ages by insertion order (FIFO), and the documented
+      // 5-table round-robin evicts exactly the next-needed entry every
+      // time. The unsynchronized copy-on-write can drop a concurrent
+      // promotion/insert — acceptable: a lost promotion only costs a
+      // future rebuild, never correctness.
+      if (cs.head ne hit.get)
+        cachedEntries = hit.get :: cs.filterNot(_ eq hit.get)
+      (hit.get._3, hit.get._4)
+    } else {
       val m = lefts.numElements()
       val pats = new Array[String](m)
       val reps = new Array[String](m)

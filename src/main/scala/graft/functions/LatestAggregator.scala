@@ -36,10 +36,16 @@ object LatestAggregator extends Aggregator[EvRow, EvRow, EvRow] {
     * (getTime, getNanos), which determine the instant exactly) — unlike a
     * toString comparison, where two distinct rows whose string fields
     * contain ", " can render identically and break commutativity in
-    * exactly the adversarial case this tiebreak exists to close.
+    * exactly the adversarial case this tiebreak exists to close. The
+    * plain-String fields go through Option(_) because the encoder CAN
+    * deserialize null into them (a malformed event's from_json yields
+    * null struct fields) — a bare String.compareTo would NPE inside the
+    * aggregate task on precisely the adversarial equal-seq pair, where
+    * the old toString comparison was at least total.
     */
   private val rowOrd: Ordering[EvRow] = Ordering.by { r: EvRow =>
-    (r.seq, r.id, r.action, r.title, r.content, r.priority, r.author,
+    (r.seq, Option(r.id), Option(r.action),
+      r.title, r.content, r.priority, r.author,
       r.created_at.map(t => (t.getTime, t.getNanos)),
       r.updated_at.map(t => (t.getTime, t.getNanos)))
   }

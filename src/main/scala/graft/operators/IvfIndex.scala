@@ -146,8 +146,31 @@ object IvfIndex {
     val destFs = dest.getFileSystem(hconf)
     servingLock.synchronized {
       if (!destFs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {
+        // Publish ATOMICALLY: build in a private tmp dir, rename into
+        // place. The lock only serializes THIS JVM — a concurrent bench
+        // and test suite share servingRoot, and writing `dest` directly
+        // (the pre-round-11 code) let one JVM list the other's
+        // half-written overwrite: silently wrong k-NN, the exact failure
+        // the content-keyed cache exists to prevent. rename() refuses an
+        // existing dest, so whichever JVM lands second just discards its
+        // build and reads the winner's (bit-identical by construction —
+        // same fingerprint = same inputs + same deterministic assign).
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$servingRoot/.tmp-$fp-${java.util.UUID.randomUUID}")
         assign(graft.Tables(spark, dir, "embeddings"), Pretrained)
-          .write.partitionBy("cid").mode("overwrite").parquet(dest.toString)
+          .write.partitionBy("cid").mode("overwrite").parquet(tmp.toString)
+        if (!destFs.rename(tmp, dest)) destFs.delete(tmp, true)
+        // sweep abandoned build dirs (a crashed JVM's .tmp-*): anything
+        // older than an hour can't belong to a live build. Published
+        // fingerprint dirs are NOT swept — another JVM may be serving an
+        // older fixture's fp right now, and in production this copy is
+        // the ingest-owned index build whose retention is a deliberate
+        // operational policy, not a cache eviction.
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        destFs.listStatus(new org.apache.hadoop.fs.Path(servingRoot))
+          .filter(s => s.getPath.getName.startsWith(".tmp-")
+            && s.getModificationTime < cutoff)
+          .foreach(s => destFs.delete(s.getPath, true))
       }
     }
     spark.read.parquet(dest.toString)

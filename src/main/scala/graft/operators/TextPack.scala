@@ -516,7 +516,10 @@ object TextPack extends QueryPack {
       val hist = keyed.groupBy("qkey").agg(count(lit(1)).as("c"))
       val wCum = Window.orderBy("qkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val n = keyed.agg(count(lit(1)).as("n"))
+      // n from the BOUNDED histogram, not keyed.agg(count) — the latter
+      // re-executes the whole LM-scoring subtree a second time just to
+      // count rows; sum(c) over ≤1e6 hist rows is the same number free
+      val n = hist.agg(sum(col("c")).as("n"))
       val thr = hist.select(col("qkey"), sum(col("c")).over(wCum).as("cum"))
         .crossJoin(broadcast(n))
         .where(col("cum") >= expr("(n + 9) div 10"))

@@ -203,6 +203,18 @@ class BucketedStateStore(
   def currentMaxGen: Long =
     allBuckets.flatMap(listGens).foldLeft(-1L)(math.max)
 
+  /** Version TOKEN for serving-layer cache invalidation: the SUM of every
+    * bucket's newest generation. [[currentMaxGen]] is wrong for that job
+    * — a multi-bucket batch renames bucket dirs sequentially, and max()
+    * already reaches its final value on the FIRST rename, so a reader
+    * racing the batch could cache a mixed view under a token that never
+    * moves again. The sum strictly increases with EVERY bucket rename
+    * (generations only grow), so a view resolved mid-batch is invalidated
+    * the moment the remaining buckets land.
+    */
+  def currentGenToken: Long =
+    allBuckets.map(b => listGens(b).foldLeft(-1L)(math.max)).sum
+
   /** Drop tombstones older than `horizonSeq` (log-compaction analog),
     * writing the compacted buckets as generation `currentMaxGen + 1` —
     * the only gen that supersedes every existing one WITHOUT shadowing
