@@ -63,8 +63,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dstDir))
 
-    scaledFiles = nFiles
-    writeScaled(spark, srcDir, dstDir, factor)
+    writeScaled(spark, srcDir, dstDir, factor, nFiles)
 
     Tables.all.filterNot(Set("events", "documents", "embeddings")).foreach { t =>
       Files.copy(Paths.get(s"$srcDir/$t.parquet"), Paths.get(s"$dstDir/$t.parquet"),
@@ -75,7 +74,7 @@ object ScaleUp {
   }
 
   def writeScaled(spark: SparkSession, srcDir: String, dstDir: String,
-      factor: Int): Unit = {
+      factor: Int, nFiles: Int = 1): Unit = {
     val ks = spark.range(factor).toDF("k")
 
     // events: offset ids and users per replica, keep the time window
@@ -87,7 +86,7 @@ object ScaleUp {
       col("ts"),
       (col("user_id") + col("k") * userMax).as("user_id"),
       col("event_type"), col("value"), col("props")),
-      dstDir, "events")
+      dstDir, "events", nFiles)
 
     // documents: per-replica deterministic word shuffle (k=0 identity)
     val docs = Tables.raw(spark, srcDir, "documents")
@@ -112,7 +111,7 @@ object ScaleUp {
         when(col("k") === 0, 0L).otherwise(col("k") * 1000003L + col("doc_id")))
         .as("text"),
       col("lang"), col("source"), col("n_chars")),
-      dstDir, "documents")
+      dstDir, "documents", nFiles)
 
     // embeddings: per-replica fixed dimension permutation (k=0 identity)
     val emb = Tables(spark, srcDir, "embeddings")
@@ -131,14 +130,18 @@ object ScaleUp {
       (col("vec_id") + col("k") * vecMax).as("vec_id"),
       permute(col("embedding"), col("k").cast("int")).as("embedding"),
       col("label")),
-      dstDir, "embeddings")
+      dstDir, "embeddings", nFiles)
   }
 
-  /** Single-file `<name>.parquet`, the driver-fixture layout (parquet is
-    * row-group-splittable, so one file does not limit scan parallelism).
+  /** nFiles == 1: single-file `<name>.parquet`, the driver-fixture
+    * layout (note: one file IS one input split whenever it is smaller
+    * than `maxPartitionBytes` — SCALING.md §6 finding 1). nFiles > 1:
+    * `<name>.parquet` as a DIRECTORY of part files, the realistic lake
+    * layout that keeps map parallelism at any split threshold.
     */
-  private def write(df: DataFrame, dstDir: String, name: String): Unit =
-    if (scaledFiles == 1) {
+  private def write(df: DataFrame, dstDir: String, name: String,
+      nFiles: Int): Unit =
+    if (nFiles == 1) {
       val staging = s"$dstDir/.staging_$name"
       df.coalesce(1).write.mode("overwrite").parquet(staging)
       val part = new java.io.File(staging).listFiles()
@@ -158,10 +161,7 @@ object ScaleUp {
       // — under the 128 MB maxPartitionBytes default that is ONE split,
       // one task, and a 4 GB heap OOM. repartition(id) keeps the replica
       // blocks interleaved so each file is a uniform sample.
-      df.repartition(scaledFiles).write.mode("overwrite")
+      df.repartition(nFiles).write.mode("overwrite")
         .parquet(s"$dstDir/$name.parquet")
     }
-
-  /** File count for the scaled tables (main's optional 4th arg). */
-  private var scaledFiles: Int = 1
 }
