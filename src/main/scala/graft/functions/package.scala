@@ -93,7 +93,10 @@ package object functions {
         LshBucketCodes(exprs.head, exprs(1), exprs(2))),
     ("sq8_cosine", classOf[Sq8Cosine],
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3))))
+        Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3))),
+    ("sign_bits", classOf[SignBits],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignBits(exprs.head)))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
@@ -159,6 +162,9 @@ package object functions {
     */
   def sq8_cosine(vec: Column, los: Column, his: Column, q: Column): Column =
     columnOf(Sq8Cosine(exprOf(vec), exprOf(los), exprOf(his), exprOf(q)))
+
+  /** Binary (sign) quantization to 32-bit-packed words. See [[SignBits]]. */
+  def sign_bits(vec: Column): Column = columnOf(SignBits(exprOf(vec)))
 
   /** Multi-table LSH bucket codes in one fused pass. See
     * [[LshBucketCodes]].

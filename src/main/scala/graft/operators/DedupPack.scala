@@ -39,8 +39,8 @@ object DedupPack extends QueryPack {
     * (1−e^(−kn/m))^k ≈ 0.5 % — production sizes m to the eval-gram
     * count the same way (m ≈ 10·kn keeps the rate sub-percent).
     */
-  private[operators] val BloomM = 1 << 16
-  private[operators] val BloomK = 3
+  private[graft] val BloomM = 1 << 16
+  private[graft] val BloomK = 3
   private val B = Seq(7L, 11L, 13L, 17L)
 
   /** (doc_id, band, minhash-sig) — the MinHash signature matrix. Shingle
@@ -773,17 +773,22 @@ object DedupPack extends QueryPack {
     * probe-hit counts. Shared verbatim by d9 and pipeline4's
     * decontamination gate.
     */
-  private[graft] def bloomHitCounts(s: SparkSession, dir: String): DataFrame = {
-    // m is config (`graft.bloom.m`, power of two), defaulting to the
-    // bench constant the oracle replays. Production sizes m to the
-    // EVAL-set gram count (m ≈ 10·k·n keeps the false-positive rate
-    // sub-percent) — an operating decision, not a dataflow change: the
-    // SCALING.md capture grows the eval set 30× with the corpus (a
-    // fixture-scaler artifact; real benchmark suites don't grow with
-    // training data), saturating a fixed m=2^16 bitmap to ~99 % FP rate
-    // so the hit-gate stops filtering; re-sized (2^20) the pass is flat
-    // per-doc again. The bitmap stays a driver-broadcast array of m/64
-    // longs — 2 MB at m=2^24, still broadcast-cheap.
+  /** The frozen decontamination artifact: the eval set's (doc_id % 97 = 0)
+    * 3-gram probe positions as an m-bit bitmap. m is config
+    * (`graft.bloom.m`, power of two), defaulting to the bench constant
+    * the oracle replays. Production sizes m to the EVAL-set gram count
+    * (m ≈ 10·k·n keeps the false-positive rate sub-percent) — an
+    * operating decision, not a dataflow change: the SCALING.md capture
+    * grows the eval set 30× with the corpus (a fixture-scaler artifact;
+    * real benchmark suites don't grow with training data), saturating a
+    * fixed m=2^16 bitmap to ~99 % FP rate so the hit-gate stops
+    * filtering; re-sized (2^20) the pass is flat per-doc again. The
+    * bitmap stays a driver-broadcast array of m/64 longs — 2 MB at
+    * m=2^24, still broadcast-cheap. Shared by the batch gate (d9,
+    * pipeline4) and the streaming ingest gate (s21), so the two paths
+    * probe bit-identical filters.
+    */
+  private[graft] def bloomBitmap(s: SparkSession, dir: String): Array[Long] = {
     val m = s.conf.getOption("graft.bloom.m").map(_.toInt).getOrElse(BloomM)
     val grams = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(shingle_hashes(col("text"), 3)).as("g"))
@@ -795,7 +800,11 @@ object DedupPack extends QueryPack {
     val setBits = grams.where(col("doc_id") % 97 === 0)
       .select(explode(array(positions(col("g")): _*)).as("pos"))
       .distinct().collect().map(_.getLong(0))
-    val bitmap = graft.functions.BloomHits.bitmap(m, setBits)
+    graft.functions.BloomHits.bitmap(m, setBits)
+  }
+
+  private[graft] def bloomHitCounts(s: SparkSession, dir: String): DataFrame = {
+    val bitmap = bloomBitmap(s, dir)
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.bloom_hits(

@@ -383,8 +383,49 @@ object SamplingPack extends QueryPack {
         .where(col("cum_tokens") <= TokenBudget)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
+    }),
+
+    // x11: token-BALANCED shard assignment — the data-loader layout step
+    // x4's hash shuffle deliberately ignores: W loader shards should see
+    // near-equal token totals, or the slowest shard gates every training
+    // step (the straggler is a WALL-CLOCK tax at any cluster size).
+    // Serpentine LPT: rank docs by n_tokens desc, deal rank blocks of W
+    // boustrophedon (forward, then reversed), so each consecutive
+    // W-block hands every shard exactly one doc and the snake ordering
+    // cancels the within-block slope — shard totals differ by at most
+    // one document's tokens (SamplingSpec pins it on the fixture).
+    // The global desc rank is NOT a global sort: rank = (docs with
+    // strictly more tokens) + (row_number within my token count). The
+    // first term broadcasts from the n_tokens HISTOGRAM (bounded by
+    // distinct doc lengths — ≤ max-doc-tokens rows at any corpus size;
+    // its one-partition cumulative window is over that bounded frame,
+    // the t19/x10 pattern); the second is a window PARTITIONED by
+    // n_tokens — scales out, skew bounded by one length-class.
+    "x11_shard_balance" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      val hist = d.groupBy("n_tokens").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = hist
+        .withColumn("base", sum(col("c")).over(wCum) - col("c"))
+        .select("n_tokens", "base")
+      val wIn = Window.partitionBy("n_tokens").orderBy("doc_id")
+      val W = BalanceShards
+      d.join(broadcast(base), Seq("n_tokens"))
+        .withColumn("rnk", col("base") + row_number().over(wIn))
+        .withColumn("pos", ((col("rnk") - 1) % W).cast("int"))
+        .withColumn("shard_id",
+          when(expr(s"(rnk - 1) div $W") % 2 === 0, col("pos"))
+            .otherwise(lit(W - 1) - col("pos")))
+        .select(col("doc_id"), col("n_tokens"), col("rnk"),
+          col("shard_id"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Loader shards for the x11 serpentine balance (W). */
+  private[operators] val BalanceShards = 6
 
   /** x10's per-source token budget — an ABSOLUTE volume, deliberately not
     * scaled with sf: more corpus means a more selective cut (the top
@@ -447,6 +488,26 @@ object SamplingPack extends QueryPack {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
+
+    // x11: the oracle states the spec as the single global window the
+    // histogram-offset rank is equivalent to — (n_tokens DESC, doc_id)
+    // is a total order, so base + within-class row_number = row_number
+    // over the whole order; the serpentine arithmetic is identical
+    // integer div/mod on both sides.
+    "x11_shard_balance" -> {
+      val w = BalanceShards
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, rnk,
+         |  CAST(CASE WHEN ((rnk - 1) // $w) % 2 = 0 THEN (rnk - 1) % $w
+         |            ELSE $w - 1 - (rnk - 1) % $w END AS INTEGER) AS shard_id
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

@@ -666,8 +666,80 @@ object SimilarityPack extends QueryPack {
         .map { case (v, i) => (i + 1, v, rel(v)) }.toSeq
         .toDF("rank", "vec_id", "rel6")
         .orderBy("rank")
+    }),
+
+    // e19: IVF index MAINTENANCE — the append/rebalance audit an ingest
+    // pipeline runs when a new vector batch lands on a served index
+    // (vec_id % 10 = 0 plays the batch; the rest is the standing index).
+    // Assignment of the new batch to the FROZEN coarse quantizer is e5's
+    // pure map-side projection; the question the operator answers is the
+    // maintenance decision FAISS calls list splitting: which posting
+    // lists exceed 2× the mean occupancy (n_total·k > 2·N,
+    // cross-multiplied exact integers — no float mean) after the append
+    // and must be split/re-trained before probe latency degrades. The
+    // whole result is k rows; the only shuffle is the k-bounded count
+    // agg. Here the standing-list sizes are recounted from the corpus
+    // (the fixture has no metadata store); at 100 TB they come from the
+    // cid-partitioned serving layout's own partition statistics
+    // ([[IvfIndex.servingCopy]] — one file-listing per cid, no scan),
+    // so the audit's data cost is assigning ONLY the new batch.
+    "e19_ivf_append" -> ((s, dir) => {
+      val k = IvfIndex.Pretrained.length
+      val asg = IvfIndex.assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
+        .select(col("cid"), (col("vec_id") % 10 === 0).cast("int").as("is_new"))
+      val total = asg.agg(count(lit(1)).as("n"))
+      asg.groupBy("cid")
+        .agg((count(lit(1)) - sum(col("is_new"))).as("n_existing"),
+          sum(col("is_new")).cast("long").as("n_new"))
+        .crossJoin(broadcast(total))
+        .withColumn("n_total", col("n_existing") + col("n_new"))
+        .withColumn("needs_split",
+          (col("n_total") * k > col("n") * 2).cast("int"))
+        .select(col("cid"), col("n_existing"), col("n_new"),
+          col("n_total"), col("needs_split"))
+        .orderBy("cid")
+    }),
+
+    // e20: BINARY (sign) quantization ANN — the 1-bit-per-dimension tier
+    // modern vector stores put UNDER scalar/product quantization: codes
+    // are 32× narrower than float32 (64 dims → two packed words), the
+    // shortlist scan is xor+popcount over those words (built-in
+    // codegen'd bit_count — the cheapest possible distance kernel), and
+    // a bounded exact-cosine re-rank recovers the final order. Packing
+    // is the compiled [[graft.functions.SignBits]] projection; at scale
+    // the code column is WRITTEN AT INGEST next to the vector (like the
+    // e5 serving copy), so the shortlist pass reads 1/32nd of the
+    // embedding bytes — an I/O tier, not just a compute trick. Both
+    // boundaries are deterministic: Hamming is an exact integer
+    // (vec_id ties), the re-rank compares round-6 micro-units (e1's
+    // boundary contract). The oracle replays the sign rule per
+    // DIMENSION — popcount(xor(pack(a), pack(q))) ≡ |{i : sign(a_i) ≠
+    // sign(q_i)}| by construction, so the word layout never leaks into
+    // values.
+    "e20_bq_knn" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"),
+          graft.functions.sign_bits(col("embedding")).as("qc"))
+      val words = (Dim + 31) / 32
+      val ham = (0 until words)
+        .map(w => bit_count(element_at(col("c"), w + 1)
+          .bitwiseXOR(element_at(col("qc"), w + 1))).cast("int"))
+        .reduce(_ + _)
+      e.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.sign_bits(col("embedding")).as("c"))
+        .crossJoin(broadcast(q))
+        .withColumn("hamming", ham)
+        .orderBy(col("hamming"), col("vec_id")).limit(BqShortlist)
+        .select(col("vec_id"), col("hamming"),
+          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id")).limit(20)
     })
   )
+
+  /** e20's Hamming shortlist size before the exact re-rank. */
+  private[operators] val BqShortlist = 100
 
   /** e16's shortlist size and diversified-result size. */
   private val MmrShortlist = 20
@@ -814,6 +886,53 @@ object SimilarityPack extends QueryPack {
          |  WHERE e.vec_id <> 0)
          |WHERE cos_sim >= $RangeTau
          |ORDER BY cos_sim DESC, vec_id""".stripMargin,
+
+    // e19: assignment replayed from the same centroid constants as e5's
+    // oracle (lowest-index argmin under list_distance's sqrt, which
+    // cannot reorder it); the split rule is the identical cross-
+    // multiplied integer comparison.
+    "e19_ivf_append" -> {
+      val k = IvfIndex.Pretrained.length
+      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+      s"""WITH asg AS (
+         |  SELECT vec_id, $distE AS d
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+         |c AS (
+         |  SELECT vec_id,
+         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |  FROM asg),
+         |g AS (
+         |  SELECT cid,
+         |    CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+         |    CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |  FROM c GROUP BY cid),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         |SELECT cid, n_existing, n_new,
+         |  n_existing + n_new AS n_total,
+         |  CAST((n_existing + n_new) * $k > 2 * n AS INTEGER) AS needs_split
+         |FROM g, t ORDER BY cid""".stripMargin
+    },
+
+    // e20: the sign rule replayed per dimension — popcount of the xor'd
+    // packed words equals the count of sign-disagreeing dimensions by
+    // construction, so the oracle never needs the word layout; Hamming
+    // ties are exact integers, the re-rank boundary is e1's round-6
+    // contract.
+    "e20_bq_knn" ->
+      s"""WITH q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |h AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |    CAST(len(list_filter(range(1, ${Dim + 1}), i ->
+         |      (e.embedding[i] > 0) <> (q.qe[i] > 0))) AS INTEGER) AS hamming
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |short AS (
+         |  SELECT vec_id, ev, hamming FROM h
+         |  ORDER BY hamming, vec_id LIMIT $BqShortlist)
+         |SELECT s.vec_id, s.hamming,
+         |  round(list_cosine_similarity(s.ev, q.qe), 6) AS cos_sim
+         |FROM short s, q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // e16: shortlist + pairwise sims in micro-units, then the greedy
     // MMR selection unrolled step-by-step (t17's unrolled-iteration

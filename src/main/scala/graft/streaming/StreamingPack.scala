@@ -974,6 +974,47 @@ object StreamingPack extends QueryPack {
           (col("drift_num") * 10 > col("n_w") * col("n_ref"))
             .cast("int").as("is_drift"))
         .orderBy("window_start")
+    }),
+
+    // s21: streaming INGEST decontamination — d9's Bloom gate run where a
+    // production pipeline actually runs it: on the document stream as it
+    // lands, not as a batch sweep after the corpus is assembled. The
+    // frozen artifact is the eval set's m-bit probe bitmap
+    // ([[graft.operators.DedupPack.bloomBitmap]] — the SAME builder as
+    // d9/pipeline4, so batch and stream probe bit-identical filters),
+    // built once before the stream starts and closed over as a broadcast
+    // literal; each micro-batch is then a pure stateless map+filter —
+    // no join, no streaming state, nothing accumulates at any ingest
+    // rate, and executors scale it embarrassingly. Delivery is 2
+    // parity-split micro-batches (s19's discipline), proving the flag
+    // depends only on the frozen bitmap, never on batching. Output ≡
+    // batch d9, so the oracle is shared verbatim.
+    "s21_stream_decontam" -> ((s, dir) => {
+      val tmp = scratch("graft-s21-")
+      val bitmap = graft.operators.DedupPack.bloomBitmap(s, dir)
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      docs.where(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      docs.where(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      val ss = tunedChild(s, width = 4, noData = false)
+      val q = ss.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$tmp/in")
+        .select(col("doc_id"),
+          graft.functions.bloom_hits(
+            graft.functions.shingle_hashes(col("text"), 3),
+            bitmap, graft.operators.DedupPack.BloomK).as("n_bloom_hits"))
+        .where(col("doc_id") % 97 =!= 0 && col("n_bloom_hits") > 0)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
     })
   )
 
@@ -1397,7 +1438,13 @@ object StreamingPack extends QueryPack {
         |SELECT w AS window_start, n_w, drift_num,
         |  CAST(drift_num AS DOUBLE) / CAST(2 * n_w * n_ref AS DOUBLE) AS tv,
         |  CAST(drift_num * 10 > n_w * n_ref AS INTEGER) AS is_drift
-        |FROM d ORDER BY window_start""".stripMargin
+        |FROM d ORDER BY window_start""".stripMargin,
+
+    // s21 ≡ batch d9 by construction (same bitmap builder, same compiled
+    // probe kernel, stateless per-doc gate) — the oracle is d9's, shared
+    // verbatim so the two can never drift.
+    "s21_stream_decontam" ->
+      graft.operators.DedupPack.oracles("d9_bloom_decontaminate")
   )
 
 }

@@ -107,6 +107,18 @@ class RecallSpec extends SparkSuite {
     assert(recall >= 0.7, s"e17 recall@20 degraded to $recall")
   }
 
+  test("e20 BQ KNN: recall@20 vs exact e1 >= 0.5 (coarsest 1-bit tier)") {
+    // sign quantization keeps 1 of 32 bits per dimension — on this
+    // near-random corpus it is the coarsest tier by far; the gate exists
+    // to catch a broken pack/popcount (which collapses recall to ~chance
+    // ≈ 20/n), not to promise SQ8-class fidelity.
+    val exact = topIds("e1_knn_brute")
+    val bq = topIds("e20_bq_knn")
+    val recall = (exact & bq).size.toDouble / exact.size
+    info(s"e20 recall@20 = $recall")
+    assert(recall >= 0.5, s"e20 recall@20 degraded to $recall")
+  }
+
   test("e8 SQ8 KNN: recall@20 vs exact e1 >= 0.9 (finest quantizer)") {
     val exact = topIds("e1_knn_brute")
     val sq = topIds("e8_sq_knn")

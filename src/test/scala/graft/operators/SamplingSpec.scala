@@ -318,4 +318,32 @@ class SamplingSpec extends SparkSuite {
       .filterNot(r => emitted.contains(r.getLong(0)))
       .foreach(r => assert(r.getString(1) != "de"))
   }
+
+  test("x11 histogram rank = naive global rank; serpentine balances within one doc") {
+    val dir = sf("sf0.001")
+    val got = q("x11_shard_balance").collect()
+    val W = 6
+
+    // the scalable histogram-offset rank must equal the one-partition
+    // global window it replaces
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val naive = t.withColumn("rnk",
+        row_number().over(Window.orderBy(desc("n_tokens"), col("doc_id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    got.foreach(r =>
+      assert(r.getAs[Long]("rnk") === naive(r.getAs[Long]("doc_id"))))
+
+    // serpentine guarantees: every shard populated, doc counts within 1,
+    // token totals within one document's tokens of each other
+    val byShard = got.groupBy(_.getAs[Int]("shard_id"))
+    assert(byShard.keySet === (0 until W).toSet)
+    val counts = byShard.view.mapValues(_.size).values.toSeq
+    assert(counts.max - counts.min <= 1)
+    val totals = byShard.view
+      .mapValues(_.map(_.getAs[Int]("n_tokens").toLong).sum).values.toSeq
+    val maxDoc = got.map(_.getAs[Int]("n_tokens")).max.toLong
+    assert(totals.max - totals.min <= maxDoc,
+      s"shard token totals ${totals.sorted} spread more than one doc ($maxDoc)")
+  }
 }

@@ -128,4 +128,25 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._2).toSet != topByRel,
       "MMR output equals the pure-relevance top-10: no diversification happened")
   }
+
+  test("e19 audit conserves the corpus and splits exactly the >2x-mean lists") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("e19_ivf_append")(spark, dir).collect()
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val k = IvfIndex.Pretrained.length
+
+    // conservation: every vector lands in exactly one list
+    assert(rows.map(_.getAs[Long]("n_total")).sum === n)
+    // the "new batch" really is the vec_id % 10 = 0 class
+    import org.apache.spark.sql.functions.col
+    assert(rows.map(_.getAs[Long]("n_new")).sum ===
+      emb.where(col("vec_id") % 10 === 0).count())
+    // the split flag is the exact integer rule, nothing else
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_total")
+      assert((r.getAs[Int]("needs_split") == 1) === (t * k > 2 * n),
+        s"cid ${r.getAs[Int]("cid")}: n_total=$t")
+    }
+  }
 }

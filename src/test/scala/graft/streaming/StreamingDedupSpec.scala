@@ -78,4 +78,14 @@ class StreamingDedupSpec extends SparkSuite {
     assert(out.count() == 500)
     assert(out.select("seq").distinct().count() == 500)
   }
+
+  test("s21 streaming bloom gate equals batch d9 row for row") {
+    val dir = sf("sf0.001")
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_bloom_hits")))
+        .toSeq
+    assert(rows("s21_stream_decontam") === rows("d9_bloom_decontaminate"),
+      "the streamed gate must be batch-equivalent: same bitmap, same kernel")
+  }
 }
