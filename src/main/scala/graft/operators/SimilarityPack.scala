@@ -687,12 +687,19 @@ object SimilarityPack extends QueryPack {
       val k = IvfIndex.Pretrained.length
       val asg = IvfIndex.assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
         .select(col("cid"), (col("vec_id") % 10 === 0).cast("int").as("is_new"))
-      val total = asg.agg(count(lit(1)).as("n"))
-      asg.groupBy("cid")
+      // materialize the k-row list census ONCE (e16's bounded-collect
+      // residency): it feeds both the corpus total and the output, and
+      // without the checkpoint each branch would re-run the assignment
+      // kernel over the whole corpus (the t19 lesson: totals ride the
+      // bounded frame, and the bounded frame computes once)
+      val byList = asg.groupBy("cid")
         .agg((count(lit(1)) - sum(col("is_new"))).as("n_existing"),
           sum(col("is_new")).cast("long").as("n_new"))
-        .crossJoin(broadcast(total))
         .withColumn("n_total", col("n_existing") + col("n_new"))
+        .localCheckpoint()
+      val total = byList.agg(sum(col("n_total")).as("n"))
+      byList
+        .crossJoin(broadcast(total))
         .withColumn("needs_split",
           (col("n_total") * k > col("n") * 2).cast("int"))
         .select(col("cid"), col("n_existing"), col("n_new"),
