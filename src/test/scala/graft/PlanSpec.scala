@@ -487,6 +487,38 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("x11 shard balance: rank offsets broadcast back, no corpus sort-merge") {
+    val p = plan("x11_shard_balance")
+    // the global desc rank must stay two-level: the bounded histogram's
+    // offsets broadcast onto the corpus (never a sort-merge exchange of
+    // the docs), and the only SinglePartition exchange is the one over
+    // the histogram — the corpus-sized stage is the PARTITIONED
+    // within-length-class window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("SinglePartition".r.findAllIn(p).size === 1, p)
+  }
+
+  test("e19 IVF append audit: the census computes once — no parquet scan in the serve plan") {
+    val p = plan("e19_ivf_append")
+    // the k-row census is localCheckpoint-materialized and feeds BOTH the
+    // corpus total and the output — if a parquet scan reappears here, one
+    // of the branches went back to re-assigning the whole corpus
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("e20 BQ KNN: popcount shortlist is a TakeOrderedAndProject, no global sort") {
+    val p = plan("e20_bq_knn")
+    // both boundaries (Hamming shortlist, cosine re-rank) are bounded
+    // top-K operators; the compiled pack + built-in popcount must appear
+    // in the plan (a lambda-based pack would run interpreted)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("sign_bits"), p)
+    assert(p.contains("bit_count"), p)
+  }
+
   test("a44 count-min probes join the bounded grid as a broadcast") {
     val p = plan("a44_count_min")
     // grid side: partial+final agg (map-side combine caps task output at
