@@ -178,6 +178,26 @@ object HttpServe {
   def startLive(spark: SparkSession, proj: StreamingProjection, port: Int): HttpServer =
     start(spark, new LiveViewSource(proj), port)
 
+  /** Retry-once policy for serving-set reads: a TRANSIENT failure
+    * (in-flight generation files aged out by retention, or any other
+    * NonFatal read failure) rebuilds the serving set and retries the
+    * request once — a second failure is real and propagates to the 500
+    * path with the first failure chained as a suppressed exception so
+    * its diagnostics survive. Fatal JVM errors (OutOfMemoryError,
+    * LinkageError, interrupts) must NOT trigger a second full collect —
+    * that can worsen an OOM — so they propagate immediately: `rebuild`
+    * is by-name and is never evaluated on the fatal path.
+    */
+  private[graft] def retryOnce[A, T](firstSet: => A, rebuild: => A)(body: A => T): T =
+    try body(firstSet)
+    catch { case scala.util.control.NonFatal(first) =>
+      try body(rebuild)
+      catch { case scala.util.control.NonFatal(second) =>
+        second.addSuppressed(first)
+        throw second
+      }
+    }
+
   def start(spark: SparkSession, source: ViewSource, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -190,12 +210,17 @@ object HttpServe {
     // reachable) — `attempt` below covers that residual window by
     // retrying ONCE on a freshly-resolved serving set before failing the
     // request.
+    // Per-start lock: servers started in the same JVM must not share a
+    // rebuild lock (a failure storm on one endpoint would serialize
+    // serving-set rebuilds across ALL servers), so synchronize on a lock
+    // owned by this start() call, never on the HttpServe singleton.
+    val rebuildLock = new Object
     @volatile var serving: Serving = null
     def current(): Serving = {
       val g = source.generation
       val s = serving
       if (s != null && s.gen == g) s
-      else this.synchronized {
+      else rebuildLock.synchronized {
         val again = serving
         val g2 = source.generation
         if (again != null && again.gen == g2) again
@@ -203,17 +228,10 @@ object HttpServe {
       }
     }
     def attempt[T](body: Serving => T): T =
-      try body(current())
-      catch { case _: Throwable =>
-        // in-flight files aged out (or any transient read failure):
-        // rebuild against the store's CURRENT generation set and retry
-        // once — a second failure is real and propagates to the 500 path
-        val n = this.synchronized {
-          val f = new Serving(source.generation, source.view)
-          serving = f; f
-        }
-        body(n)
-      }
+      retryOnce(current(), rebuildLock.synchronized {
+        val f = new Serving(source.generation, source.view)
+        serving = f; f
+      })(body)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -68,25 +68,35 @@ object BpeTokenCount {
     * t17/t20's trained ones) running concurrently on one executor would
     * thrash a single slot on alternating rows, reintroducing the per-row
     * rebuild the memo exists to remove. Correctness never depends on a
-    * hit; a fifth concurrent table just evicts the LRU entry.
+    * hit; a fifth concurrent table just evicts the LRU entry. The list
+    * lives in an AtomicReference and every promotion/insert is a
+    * compareAndSet loop — a plain @volatile read-modify-write could drop
+    * a concurrent insert, reintroducing the per-row rebuild under exactly
+    * the concurrent multi-table load the memo exists for.
     */
   private final val MemoCap = 4
-  @volatile private var cachedEntries
-      : List[(ArrayData, ArrayData, Array[String], Array[String])] = Nil
+  private val cachedEntries = new java.util.concurrent.atomic.AtomicReference[
+    List[(ArrayData, ArrayData, Array[String], Array[String])]](Nil)
 
   private def patterns(
       lefts: ArrayData, rights: ArrayData): (Array[String], Array[String]) = {
-    val cs = cachedEntries
+    val cs = cachedEntries.get()
     val hit = cs.find(c => (c._1 eq lefts) && (c._2 eq rights))
     if (hit.isDefined) {
       // promote to head so eviction is genuinely least-RECENT: without
       // this the list ages by insertion order (FIFO), and the documented
       // 5-table round-robin evicts exactly the next-needed entry every
-      // time. The unsynchronized copy-on-write can drop a concurrent
-      // promotion/insert — acceptable: a lost promotion only costs a
-      // future rebuild, never correctness.
-      if (cs.head ne hit.get)
-        cachedEntries = hit.get :: cs.filterNot(_ eq hit.get)
+      // time. CAS-loop so a concurrent promotion/insert is never lost;
+      // if another thread evicts our entry meanwhile the promotion is
+      // moot (the arrays in `hit` stay valid regardless) and we stop.
+      var cur = cs
+      var done = cur.head eq hit.get
+      while (!done) {
+        if (!cur.exists(_ eq hit.get)) done = true
+        else if (cachedEntries.compareAndSet(
+            cur, hit.get :: cur.filterNot(_ eq hit.get))) done = true
+        else cur = cachedEntries.get()
+      }
       (hit.get._3, hit.get._4)
     } else {
       val m = lefts.numElements()
@@ -100,9 +110,13 @@ object BpeTokenCount {
         reps(i) = " " + l + r + " "
         i += 1
       }
-      cachedEntries =
-        ((lefts, rights, pats, reps) :: cs.filterNot(
-          c => (c._1 eq lefts) && (c._2 eq rights))).take(MemoCap)
+      val entry = (lefts, rights, pats, reps)
+      var cur = cs
+      while (!cachedEntries.compareAndSet(cur,
+          (entry :: cur.filterNot(
+            c => (c._1 eq lefts) && (c._2 eq rights))).take(MemoCap))) {
+        cur = cachedEntries.get()
+      }
       (pats, reps)
     }
   }

@@ -159,7 +159,22 @@ object IvfIndex {
           s"$servingRoot/.tmp-$fp-${java.util.UUID.randomUUID}")
         assign(graft.Tables(spark, dir, "embeddings"), Pretrained)
           .write.partitionBy("cid").mode("overwrite").parquet(tmp.toString)
-        if (!destFs.rename(tmp, dest)) destFs.delete(tmp, true)
+        // Cross-JVM race: check for an existing winner BEFORE renaming —
+        // RawLocalFileSystem's rename falls back to FileUtil.copy when
+        // File.renameTo fails against an existing dest, which would COPY
+        // tmp INTO dest (as dest/.tmp-*) and return true, leaking the
+        // losing build nested where the top-level .tmp-* sweep can't see
+        // it. Then re-check after: if tmp still exists for any reason
+        // (lost the window between the check and the rename), delete it
+        // unconditionally — the winner's copy is bit-identical.
+        if (destFs.exists(dest) || !destFs.rename(tmp, dest)) destFs.delete(tmp, true)
+        if (destFs.exists(tmp)) destFs.delete(tmp, true)
+        // residual window: if the other JVM renamed between our exists()
+        // and rename(), the copy-fallback may have nested our build as
+        // dest/.tmp-* (deleting tmp itself) — sweep any such nested dirs
+        destFs.listStatus(dest)
+          .filter(_.getPath.getName.startsWith(".tmp-"))
+          .foreach(s => destFs.delete(s.getPath, true))
         // sweep abandoned build dirs (a crashed JVM's .tmp-*): anything
         // older than an hour can't belong to a live build. Published
         // fingerprint dirs are NOT swept — another JVM may be serving an

