@@ -124,14 +124,49 @@ object IvfIndex {
     * follows; the lazy first-call build here keeps the library's
     * (spark, dir) query contract for the correctness/bench harness.
     */
-  def servingCopy(spark: SparkSession, dir: String): DataFrame = {
+  def servingCopy(spark: SparkSession, dir: String): DataFrame =
+    contentKeyedCopy(spark, dir, "layout-v1",
+      Pretrained.iterator.flatMap(_.iterator).map(java.lang.Float.toString)) {
+      tmp =>
+        assign(graft.Tables(spark, dir, "embeddings"), Pretrained)
+          .write.partitionBy("cid").mode("overwrite").parquet(tmp)
+    }
+
+  /** Sign-code SERVING copy (the e20 "written at ingest" tier): one
+    * `(vec_id, code)` parquet copy of the corpus where `code` is the
+    * packed [[graft.functions.SignBits]] sign bitmap — 1 bit per
+    * dimension, 32× narrower than the float32 embedding. The binary-
+    * quantization shortlist pass (e20) scans THIS copy, so its xor+
+    * popcount kernel reads 1/32nd of the embedding bytes from disk — an
+    * I/O tier, not just a compute trick. Same content-keyed atomic
+    * publish as [[servingCopy]]: the key folds every source file plus a
+    * layout tag, so a regenerated fixture rebuilds instead of serving
+    * stale codes. In production this copy is written by the ingest
+    * pipeline next to the vectors, amortized over every query.
+    */
+  def signCodeCopy(spark: SparkSession, dir: String): DataFrame =
+    contentKeyedCopy(spark, dir, "bq-codes-v1", Nil) { tmp =>
+      graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), graft.functions.sign_bits(col("embedding")).as("code"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Content-keyed, atomically-published derived copy of the embeddings
+    * table. The fingerprint folds `layoutTag`, every source file's
+    * (name, length, mtime), and `extraKey` (e.g. the centroid constants)
+    * so staleness is impossible by construction; publication is
+    * build-in-tmp + rename with the cross-JVM races handled below.
+    */
+  private def contentKeyedCopy(spark: SparkSession, dir: String,
+      layoutTag: String, extraKey: IterableOnce[String])(
+      build: String => Unit): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val srcFs = src.getFileSystem(hconf)
     val md = java.security.MessageDigest.getInstance("SHA-1")
     def fold(s: String): Unit =
       md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    fold("layout-v1")
+    fold(layoutTag)
     fold(src.toString)
     val it = srcFs.listFiles(src, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -140,7 +175,7 @@ object IvfIndex {
       entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
     }
     entries.sorted.foreach(fold)
-    Pretrained.foreach(c => c.foreach(v => fold(java.lang.Float.toString(v))))
+    extraKey.iterator.foreach(fold)
     val fp = md.digest().map("%02x".format(_)).mkString
     val dest = new org.apache.hadoop.fs.Path(s"$servingRoot/$fp")
     val destFs = dest.getFileSystem(hconf)
@@ -157,8 +192,7 @@ object IvfIndex {
         // same fingerprint = same inputs + same deterministic assign).
         val tmp = new org.apache.hadoop.fs.Path(
           s"$servingRoot/.tmp-$fp-${java.util.UUID.randomUUID}")
-        assign(graft.Tables(spark, dir, "embeddings"), Pretrained)
-          .write.partitionBy("cid").mode("overwrite").parquet(tmp.toString)
+        build(tmp.toString)
         // Cross-JVM race: check for an existing winner BEFORE renaming —
         // RawLocalFileSystem's rename falls back to FileUtil.copy when
         // File.renameTo fails against an existing dest, which would COPY

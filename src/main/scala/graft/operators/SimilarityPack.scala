@@ -678,24 +678,33 @@ object SimilarityPack extends QueryPack {
     // cross-multiplied exact integers — no float mean) after the append
     // and must be split/re-trained before probe latency degrades. The
     // whole result is k rows; the only shuffle is the k-bounded count
-    // agg. Here the standing-list sizes are recounted from the corpus
-    // (the fixture has no metadata store); at 100 TB they come from the
-    // cid-partitioned serving layout's own partition statistics
-    // ([[IvfIndex.servingCopy]] — one file-listing per cid, no scan),
-    // so the audit's data cost is assigning ONLY the new batch.
+    // agg. The standing census comes from the cid-partitioned serving
+    // layout's OWN partition statistics ([[IvfIndex.servingCopy]]): cid
+    // is a partition column there, so the per-list count reads ZERO data
+    // columns — directory listing + parquet footer row counts
+    // (PlanSpec pins ReadSchema struct<> on the census scan). The only
+    // data-column work is assigning the NEW batch to the frozen
+    // quantizer — at 100 TB the audit's cost is the batch, not the
+    // corpus.
     "e19_ivf_append" -> ((s, dir) => {
       val k = IvfIndex.Pretrained.length
-      val asg = IvfIndex.assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
-        .select(col("cid"), (col("vec_id") % 10 === 0).cast("int").as("is_new"))
+      // the new batch: the only scan that touches embedding bytes
+      val newBatch = IvfIndex.assign(
+          Tables(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
+          IvfIndex.Pretrained)
+        .groupBy("cid").agg(count(lit(1)).as("n_new_raw"))
+      // standing census from partition statistics: zero data columns
+      val census = ivfListCensus(s, dir)
       // materialize the k-row list census ONCE (e16's bounded-collect
       // residency): it feeds both the corpus total and the output, and
-      // without the checkpoint each branch would re-run the assignment
-      // kernel over the whole corpus (the t19 lesson: totals ride the
-      // bounded frame, and the bounded frame computes once)
-      val byList = asg.groupBy("cid")
-        .agg((count(lit(1)) - sum(col("is_new"))).as("n_existing"),
-          sum(col("is_new")).cast("long").as("n_new"))
-        .withColumn("n_total", col("n_existing") + col("n_new"))
+      // without the checkpoint each branch would re-run the census +
+      // batch assignment (the t19 lesson: totals ride the bounded
+      // frame, and the bounded frame computes once)
+      val byList = census
+        .join(newBatch, Seq("cid"), "left")
+        .withColumn("n_new", coalesce(col("n_new_raw"), lit(0L)))
+        .select(col("cid"), (col("n_total") - col("n_new")).as("n_existing"),
+          col("n_new"), col("n_total"))
         .localCheckpoint()
       val total = byList.agg(sum(col("n_total")).as("n"))
       byList
@@ -713,10 +722,14 @@ object SimilarityPack extends QueryPack {
     // shortlist scan is xor+popcount over those words (built-in
     // codegen'd bit_count — the cheapest possible distance kernel), and
     // a bounded exact-cosine re-rank recovers the final order. Packing
-    // is the compiled [[graft.functions.SignBits]] projection; at scale
-    // the code column is WRITTEN AT INGEST next to the vector (like the
-    // e5 serving copy), so the shortlist pass reads 1/32nd of the
-    // embedding bytes — an I/O tier, not just a compute trick. Both
+    // is the compiled [[graft.functions.SignBits]] projection, WRITTEN
+    // AT INGEST into the [[IvfIndex.signCodeCopy]] serving copy (the e5
+    // pattern): the shortlist pass scans that copy and so reads 1/32nd
+    // of the embedding bytes from disk — an I/O tier, not just a
+    // compute trick (PlanSpec pins the shortlist scan's ReadSchema to
+    // the packed code column). The re-rank then point-fetches ONLY the
+    // shortlisted rows from the float corpus via a pushed In(vec_id)
+    // filter — ≤ BqShortlist rows of wide data move, ever. Both
     // boundaries are deterministic: Hamming is an exact integer
     // (vec_id ties), the re-rank compares round-6 micro-units (e1's
     // boundary contract). The oracle replays the sign rule per
@@ -724,21 +737,18 @@ object SimilarityPack extends QueryPack {
     // sign(q_i)}| by construction, so the word layout never leaks into
     // values.
     "e20_bq_knn" -> ((s, dir) => {
+      // shortlist: narrow-column scan, bounded top-BqShortlist collect
+      // (e16's bounded-collect precedent — 100 (vec_id, hamming) pairs)
+      val shortlist = bqShortlist(s, dir).collect()
+      import s.implicits._
+      val shortDf = shortlist.map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .toDF("vec_id", "hamming")
       val e = Tables(s, dir, "embeddings")
-      val q = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("qe"),
-          graft.functions.sign_bits(col("embedding")).as("qc"))
-      val words = (Dim + 31) / 32
-      val ham = (0 until words)
-        .map(w => bit_count(element_at(col("c"), w + 1)
-          .bitwiseXOR(element_at(col("qc"), w + 1))).cast("int"))
-        .reduce(_ + _)
-      e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"),
-          graft.functions.sign_bits(col("embedding")).as("c"))
-        .crossJoin(broadcast(q))
-        .withColumn("hamming", ham)
-        .orderBy(col("hamming"), col("vec_id")).limit(BqShortlist)
+      val qe = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      // re-rank: pushed In-filter point fetch of the shortlisted rows
+      e.where(col("vec_id").isin(shortlist.map(_.getLong(0)): _*))
+        .join(broadcast(shortDf), "vec_id")
+        .crossJoin(broadcast(qe))
         .select(col("vec_id"), col("hamming"),
           round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id")).limit(20)
@@ -747,6 +757,37 @@ object SimilarityPack extends QueryPack {
 
   /** e20's Hamming shortlist size before the exact re-rank. */
   private[operators] val BqShortlist = 100
+
+  /** e19's standing-list census, taken from the serving layout's own
+    * partition statistics: cid is a PARTITION column of
+    * [[IvfIndex.servingCopy]], so this per-list count reads ZERO data
+    * columns — directory listing + parquet footer row counts (PlanSpec
+    * pins ReadSchema struct<> on the scan). Shared with PlanSpec so the
+    * pin runs on the query's actual census frame.
+    */
+  private[graft] def ivfListCensus(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.servingCopy(s, dir)
+      .groupBy("cid").agg(count(lit(1)).as("n_total"))
+
+  /** e20's Hamming-shortlist frame (pre-collect): xor+popcount over the
+    * ingest-written packed sign codes ([[IvfIndex.signCodeCopy]]) — the
+    * scan reads only the 1/32-width code column, never the float
+    * embeddings (PlanSpec pins the ReadSchema). Shared with PlanSpec.
+    */
+  private[graft] def bqShortlist(s: SparkSession, dir: String): DataFrame = {
+    val codes = IvfIndex.signCodeCopy(s, dir)
+    val q = codes.where(col("vec_id") === 0).select(col("code").as("qc"))
+    val words = (Dim + 31) / 32
+    val ham = (0 until words)
+      .map(w => bit_count(element_at(col("code"), w + 1)
+        .bitwiseXOR(element_at(col("qc"), w + 1))).cast("int"))
+      .reduce(_ + _)
+    codes.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", ham)
+      .orderBy(col("hamming"), col("vec_id")).limit(BqShortlist)
+      .select(col("vec_id"), col("hamming"))
+  }
 
   /** e16's shortlist size and diversified-result size. */
   private val MmrShortlist = 20

@@ -508,15 +508,44 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ExistingRDD"), p)
   }
 
-  test("e20 BQ KNN: popcount shortlist is a TakeOrderedAndProject, no global sort") {
-    val p = plan("e20_bq_knn")
-    // both boundaries (Hamming shortlist, cosine re-rank) are bounded
-    // top-K operators; the compiled pack + built-in popcount must appear
-    // in the plan (a lambda-based pack would run interpreted)
+  test("e20 BQ KNN: shortlist scans ONLY the packed code column of the ingest-written copy") {
+    // The "written at ingest" I/O claim made physical: the Hamming
+    // shortlist serves from IvfIndex.signCodeCopy, so its scan's
+    // ReadSchema carries vec_id + the packed code words and NEVER the
+    // float embedding — the pass reads 1/32nd of the embedding bytes.
+    // The popcount kernel is the built-in codegen'd bit_count, and the
+    // shortlist boundary is a bounded top-K, not a global sort.
+    val p = graft.operators.SimilarityPack.bqShortlist(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
-    assert(p.contains("sign_bits"), p)
     assert(p.contains("bit_count"), p)
+    assert("ReadSchema: [^\n]*code".r.findFirstIn(p).isDefined, p)
+    assert(!"ReadSchema: [^\n]*embedding".r.findFirstIn(p).isDefined,
+      s"shortlist scan must not read the float embeddings:\n$p")
+  }
+
+  test("e20 BQ KNN: re-rank point-fetches the shortlist via a pushed In(vec_id) filter") {
+    // The wide-column fetch is bounded: ≤ BqShortlist rows leave the
+    // float corpus, selected by a scan-level pushed In filter (row-group
+    // skipping on vec_id stats at scale), then a bounded top-K re-rank.
+    val p = plan("e20_bq_knn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(p).isDefined,
+      s"re-rank must push the shortlist In(vec_id) filter to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e19 census reads zero data columns from the serving layout (partition statistics)") {
+    // The standing-list census counts rows per cid on the cid-PARTITIONED
+    // serving copy: the scan's ReadSchema must be empty (struct<>) — the
+    // census is directory listing + footer row counts, never a data scan.
+    val p = graft.operators.SimilarityPack.ivfListCensus(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<>"),
+      s"census scan must read no data columns:\n$p")
   }
 
   test("a44 count-min probes join the bounded grid as a broadcast") {
