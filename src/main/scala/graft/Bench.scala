@@ -52,12 +52,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Cluster-topology capture (SCALING.md §8): SPARK_GRAFT_MASTER points
+    // the SAME bench at a real multi-JVM standalone cluster
+    // (tools/cluster.sh) instead of local[N] — shuffle blocks then
+    // serialize over loopback TCP between executor processes and
+    // executors are killable. SPARK_GRAFT_JARS ships the graft classes
+    // jar to the executors (launch-time conf — SPARK_GRAFT_CONF applies
+    // too late for it). The driver never sets either.
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(builder.config("spark.executor.memory", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev-loop conf injection: SPARK_GRAFT_CONF=k=v,k=v applies runtime
     // confs before any query runs — the scaling capture uses it to force
@@ -146,11 +156,14 @@ object Bench {
       val rows = metricRows.reverse.map { case (n, (m, d, s, pk)) =>
         s""""$n":{"mem_spill":$m,"disk_spill":$d,"shuffle_write":$s,"peak_exec":$pk}"""
       }.mkString("{", ",", "}")
+      // SPARK_GRAFT_SPILL_OUT redirects the metrics file so a topology
+      // capture doesn't clobber the committed §7 SPILL.local.json record.
+      val spillPath = sys.env.getOrElse("SPARK_GRAFT_SPILL_OUT", "SPILL.local.json")
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("SPILL.local.json"),
+        java.nio.file.Paths.get(spillPath),
         (rows + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write SPILL.local.json: ${e.getMessage}")
+        System.err.println(s"[bench] could not write $spillPath: ${e.getMessage}")
       }
     }
     val total = results.map(_._2).sum
