@@ -29,9 +29,14 @@ for p in "${ADD_OPENS[@]}"; do
   EXEC_OPENS="$EXEC_OPENS --add-opens=$p=ALL-UNNAMED"
 done
 
+# Force cross-executor shuffle reads over TCP (see clusterbench.sh): the
+# chaos case must sever block availability when the executor dies, so the
+# survivors' fetches fail over the wire and the stage genuinely resubmits
+# — not quietly read the corpse's files off the shared local disk.
 SPARK_GRAFT_CPUS=16 SPARK_GRAFT_EXECUTOR_MEM="$EXEC_MEM" \
 SPARK_GRAFT_KILL_DELAY_MS="$DELAY" \
 exec java -Xmx4g -XX:+UseG1GC "${JOPTS[@]}" \
+  -Dspark.shuffle.readHostLocalDisk=false \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.driver.host=127.0.0.1 \
   -Dspark.executor.extraJavaOptions="$EXEC_OPENS" \

@@ -34,13 +34,22 @@ for p in "${ADD_OPENS[@]}"; do
   EXEC_OPENS="$EXEC_OPENS --add-opens=$p=ALL-UNNAMED"
 done
 
+# GRAFT_TCP=1 forces every cross-executor shuffle read onto the wire:
+# on one box Spark's host-local optimization (spark.shuffle.readHostLocalDisk,
+# default true) reads the other executor's shuffle files straight off disk —
+# great for co-located executors in production, but it would let this
+# capture dodge the serialized-network-fetch path a multi-NODE cluster
+# pays. Core conf, so it rides a -D (launch-time), not SPARK_GRAFT_CONF.
+TCP_OPT=""
+[ "${GRAFT_TCP:-0}" = "1" ] && TCP_OPT="-Dspark.shuffle.readHostLocalDisk=false"
+
 SPARK_GRAFT_MASTER=spark://127.0.0.1:7077 \
 SPARK_GRAFT_JARS="$JAR" \
 SPARK_GRAFT_EXECUTOR_MEM="$EXEC_MEM" \
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS=16 SPARK_GRAFT_METRICS=1 \
 SPARK_GRAFT_QUERIES="$Q" SPARK_GRAFT_CONF="$CONF" \
 SPARK_GRAFT_SPILL_OUT="$SPILL_OUT" \
-exec java -Xmx4g -XX:+UseG1GC "${JOPTS[@]}" \
+exec java -Xmx4g -XX:+UseG1GC "${JOPTS[@]}" $TCP_OPT \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.driver.host=127.0.0.1 \
   -Dspark.executor.extraJavaOptions="$EXEC_OPENS" \
