@@ -96,7 +96,10 @@ package object functions {
         Sq8Cosine(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("sign_bits", classOf[SignBits],
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SignBits(exprs.head)))
+        SignBits(exprs.head)),
+    ("scrub_spans", classOf[ScrubSpans],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ScrubSpans(exprs.head, exprs(1), exprs(2))))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
@@ -192,6 +195,12 @@ package object functions {
     */
   def bigram_context_hashes(text: Column): Column =
     columnOf(BigramContextHashes(exprOf(text)))
+
+  /** Rebuild a document with its hot w-gram spans excised — one compiled
+    * pass returning (n_words, n_scrubbed, clean_text). See [[ScrubSpans]].
+    */
+  def scrub_spans(text: Column, starts: Column, w: Int): Column =
+    columnOf(ScrubSpans(exprOf(text), exprOf(starts), exprOf(lit(w))))
 
   /** Compiled bag-count of tokens appearing in a small literal word list
     * (marker/stopword counting). See [[CountIn]].

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{count_in, md5Prefix60, shingle_hashes, shingle_hashes_bag, tokens, winnow_fingerprints, WinnowFingerprints}
+import graft.functions.{count_in, md5Prefix60, scrub_spans, shingle_hashes, shingle_hashes_bag, tokens, winnow_fingerprints, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -536,26 +536,27 @@ object TextPack extends QueryPack {
     // rewrites the document). A word position is scrubbed when any
     // covering 3-gram occurs in more than [[ScrubMaxDf]] distinct docs;
     // the retained words reassemble (space-joined, original order) into
-    // the cleaned text a curation pipeline feeds downstream. Dataflow,
-    // all linear: (1) positional gram hashes from the compiled
-    // ShingleHashesBag pass (one hash per start, document order — the
-    // d14 kernel); (2) corpus df per gram — distinct(doc, g) then a
-    // count keyed by g, map-side combined; (3) hot grams join back to
-    // their start positions — keyed by g, and the hot side is the DF
-    // TAIL (boilerplate grams), the same bounded-hot-set shape as d13's
-    // cap, with AQE skew split as the runtime backstop for a mega-viral
-    // span; (4) covered positions = starts × [0,w) exploded, distinct;
-    // (5) one left join words⋈covered on (doc, pos) and a per-doc fold.
-    // Reassembly uses listagg WITHIN GROUP (ORDER BY pos) — an ordered
-    // built-in aggregate, no corpus-wide sort, no HOF lambda; a fully
-    // scrubbed doc yields '' (coalesce), not a dropped row. Exact
-    // integer keys end-to-end; the oracle replays the identical
-    // poly-hash, so the output is hash-checked including the rewritten
-    // text itself.
+    // the cleaned text a curation pipeline feeds downstream. Dataflow:
+    // (1) positional gram hashes from the compiled ShingleHashesBag pass
+    // (one hash per start, document order — the d14 kernel); (2) corpus
+    // df per gram — distinct(doc, g) then a count keyed by g, map-side
+    // combined; (3) hot grams join back to their start positions — keyed
+    // by g, with AQE skew split as the runtime backstop for a mega-viral
+    // span; (4) collect the hot starts per doc — the ONLY post-df
+    // corpus shuffle, and it carries one INT per hot occurrence, bounded
+    // per group by words-per-document; (5) one compiled [[ScrubSpans]]
+    // pass over the original text rebuilds the document. Round 11 ran
+    // (4)-(5) relationally — explode covered positions ×3, distinct the
+    // corpus-sized (doc, pos) frame, left-join the posexploded words,
+    // corpus-wide ordered listagg — and §3c measured its external sorts
+    // spilling 256 GB at x1000m (slope 4.4 vs 3.33 linear); the compiled
+    // scrub removes all three corpus-sized shuffles and the SortAggregate
+    // entirely. Output IDENTICAL (TextSpec pins the equivalence on the
+    // fixture); exact integer keys end-to-end; the oracle replays the
+    // identical poly-hash, so the output is hash-checked including the
+    // rewritten text itself.
     "t23_span_scrub" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val words = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       val grams = docs
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"),
@@ -564,17 +565,15 @@ object TextPack extends QueryPack {
         .groupBy("g").agg(count(lit(1)).as("df"))
         .where(col("df") > ScrubMaxDf)
         .select("g")
-      val covered = grams.join(hot, "g")
+      val starts = grams.join(hot, "g")
+        .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+      docs.join(starts, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + 2)).as("pos"))
-        .distinct()
-      words.join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          count(col("cov")).as("n_scrubbed"),
-          coalesce(
-            expr("listagg(CASE WHEN cov IS NULL THEN w END, ' ') " +
-              "WITHIN GROUP (ORDER BY pos)"), lit("")).as("clean_text"))
+          scrub_spans(col("text"),
+            coalesce(col("starts"), array().cast("array<int>")), 3).as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_scrubbed").as("n_scrubbed"),
+          col("r.clean_text").as("clean_text"))
         .orderBy("doc_id")
     })
   )

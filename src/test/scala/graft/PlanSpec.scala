@@ -576,4 +576,17 @@ class PlanSpec extends SparkSuite {
         s"$name contains interpreted HOF lambdas: ${lambdas.mkString("; ")}")
     }
   }
+
+  test("t23 scrub: compiled rewrite, no corpus-wide ordered listagg") {
+    // Round 11's relational tail (explode covered positions ×3, distinct
+    // the (doc,pos) frame, re-join the posexploded words, ordered listagg)
+    // spilled 256 GB of external sort state at x1000m (§3c slope 4.4 vs
+    // 3.33 linear). The rewrite scrubs in one compiled ScrubSpans pass;
+    // this pin keeps the SortAggregate-based listagg (and the second
+    // corpus-sized position join) out of the plan for good.
+    val p = plan("t23_span_scrub")
+    assert(p.contains("scrub_spans"), p)
+    assert(!p.contains("listagg"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
