@@ -127,11 +127,16 @@ object Bench {
       } else None
     var metricRows = List.empty[(String, (Long, Long, Long, Long))]
     var failed = List.empty[String]
+    // SPARK_GRAFT_REPS: per-query repetitions (default 2 = the min-of-2
+    // discipline). The multi-hour x3000m scaling captures set 1 — a
+    // 50-minute single query on a calm box is low-variance, and the
+    // rep count + load label in the JSON record exactly what was run.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val before = metrics.map { l => l.settle(); l.snapshot }
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
@@ -168,7 +173,7 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val load1End = load1
-    val loadJson = s""""load1_start":$load1Start,"load1_end":$load1End"""
+    val loadJson = s""""load1_start":$load1Start,"load1_end":$load1End,"reps":$reps"""
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision line → BENCH.local.json (committed per round): the
     // durable record, never truncated. FULL runs only — a filtered
