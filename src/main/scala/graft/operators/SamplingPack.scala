@@ -421,8 +421,58 @@ object SamplingPack extends QueryPack {
         .select(col("doc_id"), col("n_tokens"), col("rnk"),
           col("shard_id"))
         .orderBy("doc_id")
+    }),
+
+    // x12: CONVERSATION assembly — the SFT/dialogue analogue of x2's
+    // document packing: cut each user's time-ordered event stream into
+    // conversations at inactivity gaps (a13's sessionization rule,
+    // 30 min), truncate each conversation to its most RECENT
+    // [[MaxTurns]] turns (context-window truncation keeps the tail — the
+    // turns the next response actually conditioned on), and emit one
+    // training row per conversation: the ordered turn string plus the
+    // span and counts a packer downstream consumes. Dataflow at 100 TB:
+    // ONE shuffle on user_id feeds every step — the gap flags, the
+    // running conversation id, and the per-conversation ranks are all
+    // windows over the same (user, time) order; the truncation FILTER
+    // runs before the assembly agg, so the ordered listagg state is
+    // ≤ MaxTurns rows per group by construction (the bounded-group
+    // exception to t23's no-corpus-listagg rule — the corpus-sized
+    // variant is exactly what t23 had to remove). Every ordering key is
+    // an exact integer pair (us, event_id), so conversation boundaries,
+    // membership, and the assembled string replay bit-identically in
+    // the oracle.
+    "x12_conversation_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          (col("prev").isNull || col("us") - col("prev") > ConvGapUs)
+            .cast("long"))
+        .withColumn("conv_seq", sum(col("brk")).over(w))
+      val wc = Window.partitionBy("user_id", "conv_seq")
+        .orderBy("us", "event_id")
+      val wcAll = Window.partitionBy("user_id", "conv_seq")
+      ev.withColumn("rn", row_number().over(wc))
+        .withColumn("n_turns", count(lit(1)).over(wcAll))
+        .where(col("rn") > col("n_turns") - MaxTurns)
+        .groupBy("user_id", "conv_seq")
+        .agg(max(col("n_turns")).as("n_turns"),
+          count(lit(1)).as("n_kept"),
+          min(col("us")).as("t_start_us"),
+          max(col("us")).as("t_end_us"),
+          expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY rn)")
+            .as("dialogue"))
+        .orderBy("user_id", "conv_seq")
     })
   )
+
+  /** x12's inactivity gap (30 min, a13's sessionization constant) and
+    * per-conversation turn cap (most-recent-kept truncation).
+    */
+  private[operators] val ConvGapUs = 30L * 60 * 1000000
+  private[operators] val MaxTurns = 8
 
   /** Loader shards for the x11 serpentine balance (W). */
   private[operators] val BalanceShards = 6
@@ -508,6 +558,37 @@ object SamplingPack extends QueryPack {
          |            ELSE $w - 1 - (rnk - 1) % $w END AS INTEGER) AS shard_id
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // x12: sessionize → running conversation id → rank-from-end
+    // truncation → ordered string assembly, every boundary an exact
+    // integer on (us, event_id); string_agg ORDER BY rn is the same
+    // bounded ordered listagg.
+    "x12_conversation_pack" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+         |  FROM events),
+         |b AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $ConvGapUs
+         |            THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |c AS (
+         |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_seq
+         |  FROM b),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY user_id, conv_seq
+         |                       ORDER BY us, event_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY user_id, conv_seq) AS BIGINT) AS n_turns
+         |  FROM c)
+         |SELECT user_id, conv_seq, max(n_turns) AS n_turns,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  min(us) AS t_start_us, max(us) AS t_end_us,
+         |  string_agg(event_type, '>' ORDER BY rn) AS dialogue
+         |FROM r WHERE rn > n_turns - $MaxTurns
+         |GROUP BY user_id, conv_seq ORDER BY user_id, conv_seq""".stripMargin,
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

@@ -752,6 +752,32 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id"), col("hamming"),
           round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id")).limit(20)
+    }),
+
+    // e21: IVF index DELETE maintenance — e19's counterpart for the other
+    // mutation an ingest pipeline applies to a served index (FAISS
+    // remove_ids / a vector store's vacuum decision). A delete ledger
+    // (vec_id % 13 = 5 plays the batch) tombstones rows in place; dead
+    // rows still burn probe bandwidth inside their posting list until the
+    // list is compacted, so the operator answers each list's dead count
+    // and which lists must compact now — needs_compact when tombstones
+    // exceed 20 % of the list (n_deleted·5 > n_total, cross-multiplied
+    // exact integers like e19's split rule). I/O shape at 100 TB: the
+    // id→list lookup reads exactly ONE narrow i64 column — cid is a
+    // PARTITION column of [[IvfIndex.servingCopy]] and vec_id the only
+    // data column touched (PlanSpec pins the scan's ReadSchema to
+    // struct<vec_id:bigint>); the census side reads ZERO data columns
+    // (e19's partition-statistics path). Both sides shuffle k-bounded
+    // aggregates only — the audit never reads an embedding byte.
+    "e21_ivf_delete" -> ((s, dir) => {
+      val tomb = ivfTombstoneCensus(s, dir)
+      ivfListCensus(s, dir)
+        .join(tomb, Seq("cid"), "left")
+        .withColumn("n_deleted", coalesce(col("n_del_raw"), lit(0L)))
+        .select(col("cid"), col("n_total"), col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_live"),
+          (col("n_deleted") * 5 > col("n_total")).cast("int").as("needs_compact"))
+        .orderBy("cid")
     })
   )
 
@@ -768,6 +794,17 @@ object SimilarityPack extends QueryPack {
   private[graft] def ivfListCensus(s: SparkSession, dir: String): DataFrame =
     IvfIndex.servingCopy(s, dir)
       .groupBy("cid").agg(count(lit(1)).as("n_total"))
+
+  /** e21's per-list tombstone census: the delete ledger's id→list lookup
+    * against the serving copy, reading only the narrow vec_id column
+    * (cid is the partition column — PlanSpec pins the ReadSchema).
+    * Shared with PlanSpec so the pin runs on the query's actual frame.
+    */
+  private[graft] def ivfTombstoneCensus(s: SparkSession, dir: String): DataFrame =
+    IvfIndex.servingCopy(s, dir)
+      .select(col("vec_id"), col("cid"))
+      .where(col("vec_id") % 13 === 5)
+      .groupBy("cid").agg(count(lit(1)).as("n_del_raw"))
 
   /** e20's Hamming-shortlist frame (pre-collect): xor+popcount over the
     * ingest-written packed sign codes ([[IvfIndex.signCodeCopy]]) — the
@@ -981,6 +1018,29 @@ object SimilarityPack extends QueryPack {
          |  round(list_cosine_similarity(s.ev, q.qe), 6) AS cos_sim
          |FROM short s, q
          |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // e21: the serving copy's cid is e5/e19's frozen-quantizer
+    // assignment, so the oracle recomputes it from the raw embeddings
+    // and replays ledger membership + the 20 % compaction rule in exact
+    // integers (cross-multiplied — no float fraction to disagree on).
+    "e21_ivf_delete" -> {
+      val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
+      s"""WITH asg AS (
+         |  SELECT vec_id, $distE AS d
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+         |c AS (
+         |  SELECT vec_id,
+         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |  FROM asg),
+         |g AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN vec_id % 13 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+         |  FROM c GROUP BY cid)
+         |SELECT cid, n_total, n_deleted,
+         |  n_total - n_deleted AS n_live,
+         |  CAST(n_deleted * 5 > n_total AS INTEGER) AS needs_compact
+         |FROM g ORDER BY cid""".stripMargin
+    },
 
     // e16: shortlist + pairwise sims in micro-units, then the greedy
     // MMR selection unrolled step-by-step (t17's unrolled-iteration

@@ -575,8 +575,75 @@ object TextPack extends QueryPack {
           col("r.n_scrubbed").as("n_scrubbed"),
           col("r.clean_text").as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // t24: TRAINED language-ID — the fastText-class profile classifier
+    // real pipelines run where t13's fixed marker lists stop: train
+    // add-one-smoothed unigram profiles per language ON the corpus (the
+    // labeled `lang` column plays the supervision), score every document
+    // against all profiles, report the argmax plus the top1−top2 margin
+    // pipelines threshold on (t13's lesson: confidence, not just argmax).
+    // Decision math rides the t19 discipline: each (token, label)
+    // probability quantizes to integer micro-units BEFORE the per-doc
+    // sum — score_l = Σ_tokens round(1e6·(c_{t,l}+1)/(N_l+V)) — the
+    // linear-probability variant of naive Bayes (sums of quantized
+    // probabilities, not log-products), chosen so no transcendental and
+    // no float-sum order enters the decision: scores, argmax (label-asc
+    // ties), and margin are exact longs cross-engine. Dataflow at
+    // 100 TB: tokens are compiled 8-byte hashes from ONE
+    // shingle_hashes_bag(text,1) pass (t12's narrow-shuffle-key trick);
+    // the model is one hash-keyed count agg PIVOTED to a wide
+    // vocab-bounded profile table (one row per distinct token, one INT
+    // column per label — the artifact a deployment trains once and
+    // publishes); scoring is ONE hash equi-join — no per-label row
+    // fan-out, the wide row carries every label's count — plus one
+    // per-doc fold; label totals and V are a six-number broadcast.
+    "t24_lang_profile" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(shingle_hashes_bag(col("text"), 1)).as("h"))
+      val prof = LangLabels.foldLeft(
+          toks.groupBy("h").pivot("lang", LangLabels).agg(count(lit(1)))
+            .na.fill(0L)) {
+        (df, l) => df.withColumnRenamed(l, s"c_$l") }
+      val totAggs = LangLabels.map(l =>
+        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l")) :+
+        countDistinct(col("h")).as("v")
+      val tot = toks.agg(totAggs.head, totAggs.tail: _*)
+      val q6 = LangLabels.map { l =>
+        round(lit(1000000.0) *
+          ((col(s"c_$l") + lit(1)).cast("double") /
+           (col(s"n_$l") + col("v")).cast("double")), 0)
+          .cast("long").as(s"q_$l") }
+      val scoreAggs = count(lit(1)).as("n_tokens") +:
+        LangLabels.map(l => sum(col(s"q_$l")).as(s"s_$l"))
+      val scored = toks
+        .join(prof, "h")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id") +: col("lang") +: q6: _*)
+        .groupBy("doc_id", "lang")
+        .agg(scoreAggs.head, scoreAggs.tail: _*)
+      val sArr = array(LangLabels.map(l => col(s"s_$l")): _*)
+      // argmax with label-asc ties: first label (alphabetical) whose
+      // score equals the max wins — exact long compares, no boundary
+      val pred = LangLabels.init.foldRight(lit(LangLabels.last): Column) {
+        (l, els) => when(col(s"s_$l") === col("best"), lit(l)).otherwise(els) }
+      scored
+        .withColumn("best", array_max(sArr))
+        .withColumn("margin6",
+          col("best") - element_at(sort_array(sArr, asc = false), 2))
+        .withColumn("pred", pred)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pred"),
+          (col("pred") === col("lang")).cast("int").as("correct"),
+          col("margin6"))
+        .orderBy("doc_id")
     })
   )
+
+  /** t24's label set — the corpus's language values, ALPHABETICAL: the
+    * order is the argmax tiebreak and the oracle states the same chain.
+    */
+  private[operators] val LangLabels = Seq("de", "en", "es", "fr", "zh")
 
   /** t23's corpus-df scrub threshold: a 3-gram claimed by more than this
     * many distinct docs is boilerplate and its occurrences are excised.
@@ -1057,7 +1124,60 @@ object TextPack extends QueryPack {
         |  coalesce(string_agg(wd.w, ' ' ORDER BY wd.pos)
         |    FILTER (WHERE c.pos IS NULL), '') AS clean_text
         |FROM words wd LEFT JOIN cov c ON wd.doc_id = c.doc_id AND wd.pos = c.pos
-        |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin
+        |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin,
+
+    // t24: the profile training + quantized scoring replayed end-to-end
+    // on the shared poly-hash; the argmax tiebreak is the same
+    // label-ascending CASE chain the Spark side folds, and every
+    // compared quantity is an exact BIGINT.
+    "t24_lang_profile" -> {
+      val caseChain = LangLabels.init
+        .map(l => s"WHEN s_$l = best THEN '$l'")
+        .mkString(" ") + s" ELSE '${LangLabels.last}'"
+      val cCols = LangLabels.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+        .mkString(",\n        |    ")
+      val nCols = LangLabels.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+        .mkString(",\n        |    ")
+      val qCols = LangLabels.map(l =>
+        s"CAST(round(1000000.0 * (CAST(c_$l + 1 AS DOUBLE) / " +
+          s"CAST(n_$l + v AS DOUBLE)), 0) AS BIGINT) AS q_$l")
+        .mkString(",\n        |    ")
+      val sCols = LangLabels.map(l => s"CAST(sum(q_$l) AS BIGINT) AS s_$l")
+        .mkString(", ")
+      val sList = LangLabels.map(l => s"s_$l").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(ws, sh -> ${DedupPack.polyHashSql})) AS h
+        |  FROM w),
+        |prof AS (
+        |  SELECT h,
+        |    $cCols
+        |  FROM tok GROUP BY h),
+        |tot AS (
+        |  SELECT
+        |    $nCols,
+        |    count(DISTINCT h) AS v
+        |  FROM tok),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    $qCols
+        |  FROM tok JOIN prof USING (h), tot),
+        |sc AS (
+        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, $sCols
+        |  FROM q GROUP BY doc_id, lang),
+        |fin AS (
+        |  SELECT *, greatest($sList) AS best,
+        |    list_sort([$sList])[${LangLabels.size - 1}] AS second
+        |  FROM sc)
+        |SELECT doc_id, lang, n_tokens,
+        |  CASE $caseChain END AS pred,
+        |  CAST((CASE $caseChain END) = lang AS INTEGER) AS correct,
+        |  best - second AS margin6
+        |FROM fin ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

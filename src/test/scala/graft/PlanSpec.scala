@@ -548,6 +548,19 @@ class PlanSpec extends SparkSuite {
       s"census scan must read no data columns:\n$p")
   }
 
+  test("e21 tombstone lookup reads ONLY the narrow vec_id column of the serving copy") {
+    // The delete audit's id→list lookup: cid is the partition column, so
+    // the ledger join's scan carries exactly one i64 data column — the
+    // audit never reads an embedding byte (the e19/e20 I/O discipline).
+    val p = graft.operators.SimilarityPack.ivfTombstoneCensus(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"tombstone scan must read only vec_id:\n$p")
+    assert(!"ReadSchema: [^\n]*embedding".r.findFirstIn(p).isDefined,
+      s"tombstone scan must not read the float embeddings:\n$p")
+  }
+
   test("a44 count-min probes join the bounded grid as a broadcast") {
     val p = plan("a44_count_min")
     // grid side: partial+final agg (map-side combine caps task output at

@@ -148,4 +148,65 @@ class CorpusOpsSpec extends SparkSuite {
       assert(c >= i.toDouble / (na + nb - i) - 1e-12)
     }
   }
+
+  test("e21: delete audit arithmetic — ledger total, live counts, the 20% rule") {
+    val rows = SparkEntry.queries("e21_ivf_delete")(spark, dir).collect()
+    val emb = graft.Tables(spark, dir, "embeddings")
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    assert(rows.map(_.getLong(2)).sum ==
+      emb.where(col("vec_id") % 13 === 5).count())
+    rows.foreach { r =>
+      val (total, del, live, compact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(live == total - del)
+      assert(compact == (if (del * 5 > total) 1 else 0))
+    }
+  }
+
+  test("t24: one row per doc, exact token counts, nonnegative margin, argmax flag") {
+    val rows = SparkEntry.queries("t24_lang_profile")(spark, dir).collect()
+    val docs = graft.Tables(spark, dir, "documents")
+    assert(rows.length == docs.count())
+    val nToks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { r =>
+      assert(TextPack.LangLabels.contains(r.getString(3)))
+      assert(r.getLong(2) == nToks(r.getLong(0)))
+      assert(r.getLong(5) >= 0L, "top1-top2 margin is nonnegative by definition")
+      assert((r.getInt(4) == 1) == (r.getString(3) == r.getString(1)))
+    }
+  }
+
+  test("x12: driver replay — sessionization, truncation, assembly for every user") {
+    val rows = SparkEntry.queries("x12_conversation_pack")(spark, dir).collect()
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).toVector
+      val convs = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[(Long, Long, Long, String)]]
+      sorted.foreach { e =>
+        if (convs.isEmpty || e._3 - convs.last.last._3 > SamplingPack.ConvGapUs)
+          convs += Vector(e)
+        else convs(convs.size - 1) = convs.last :+ e
+      }
+      convs.zipWithIndex.map { case (c, i) =>
+        val kept = c.takeRight(SamplingPack.MaxTurns)
+        (u, (i + 1).toLong) ->
+          ((c.size.toLong, kept.size.toLong, kept.head._3, kept.last._3,
+            kept.map(_._4).mkString(">")))
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nt, nk, ts, te, dlg) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == nt && r.getLong(3) == nk)
+      assert(r.getLong(4) == ts && r.getLong(5) == te)
+      assert(r.getString(6) == dlg)
+    }
+  }
 }
