@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -253,6 +254,57 @@ object ExtrasPack extends QueryPack {
       cmsEstimates(cmsProbes(perUser), sketch)
     }),
 
+    // a45: median/MAD robust outlier screen per event_type — the robust
+    // twin of a38's z-score rule: mean and σ are dragged by the very
+    // outliers they are supposed to flag, median ± 3·MAD (Hampel's rule)
+    // is not. Both statistics are EXACT DISCRETE quantiles computed
+    // t22-style: values quantize to cents (their native precision,
+    // a38's convention), the corpus folds to a (type, cents) HISTOGRAM
+    // whose row count is bounded by the cents VALUE SPACE — never the
+    // event count — and the lower median is the smallest cents value
+    // whose running count reaches ceil(n/2): one ordered pass over the
+    // bounded histogram per type, no global sort, no percentile_approx
+    // error bound, exactly replayable cross-engine (which t-digest/GK
+    // are not). The deviation histogram derives FROM the value histogram
+    // (|x − med| re-keys it, counts re-aggregate — both frames bounded),
+    // so the corpus is scanned and shuffled ONCE; the outlier census is
+    // a filtered sum over the same bounded frame. Every output is an
+    // exact integer — no IEEE boundary anywhere in median, MAD, or the
+    // |x − med| > 3·MAD census.
+    "a45_median_mad" -> ((s, dir) => {
+      // the one corpus-sized stage: one (type, cents) partial+final agg,
+      // materialized once — median, deviation histogram, and census all
+      // derive from this bounded frame
+      val hist = Tables(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        .groupBy("event_type", "x").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+      def lowerMedian(h: DataFrame, key: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum(col("c")).over(w))
+          .join(broadcast(tot), "event_type")
+          .where(col("cum") * 2 >= col("n"))
+          .groupBy("event_type").agg(min(col(key)).as(out))
+      }
+      val med = lowerMedian(hist, "x", "med")
+      val dev = hist.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("x") - col("med")).as("d"), col("c"))
+        .groupBy("event_type", "d").agg(sum(col("c")).as("c"))
+      val mad = lowerMedian(dev, "d", "mad")
+      val outliers = dev.join(broadcast(mad), "event_type")
+        .where(col("d") > col("mad") * 3)
+        .groupBy("event_type").agg(sum(col("c")).as("n_out_raw"))
+      tot.join(med, "event_type").join(mad, "event_type")
+        .join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          col("med").as("median_cents"), col("mad").as("mad_cents"),
+          coalesce(col("n_out_raw"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // t6: stable train/val split — hash-based deterministic sharding (the
     // training-data staple: reproducible splits that survive reshuffling
     // and scale-out, no RNG). 90/10 by md5 bucket.
@@ -413,6 +465,43 @@ object ExtrasPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // a45: the identical bounded-histogram discrete quantiles — lower
+    // median = smallest key whose running count reaches ceil(n/2)
+    // (cum·2 ≥ n), replayed for the value and deviation histograms, then
+    // the same integer census.
+    "a45_median_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |med AS (
+        |  SELECT event_type, min(x) AS med FROM (
+        |    SELECT h.event_type, x, n,
+        |      sum(c) OVER (PARTITION BY h.event_type ORDER BY x) AS cum
+        |    FROM hist h JOIN tot USING (event_type))
+        |  WHERE cum * 2 >= n GROUP BY event_type),
+        |dev AS (
+        |  SELECT h.event_type, abs(x - med) AS d, CAST(sum(c) AS BIGINT) AS c
+        |  FROM hist h JOIN med USING (event_type) GROUP BY 1, 2),
+        |mad AS (
+        |  SELECT event_type, min(d) AS mad FROM (
+        |    SELECT v.event_type, d, n,
+        |      sum(c) OVER (PARTITION BY v.event_type ORDER BY d) AS cum
+        |    FROM dev v JOIN tot USING (event_type))
+        |  WHERE cum * 2 >= n GROUP BY event_type),
+        |outl AS (
+        |  SELECT v.event_type, CAST(sum(c) AS BIGINT) AS n_out
+        |  FROM dev v JOIN mad USING (event_type)
+        |  WHERE d > mad * 3 GROUP BY 1)
+        |SELECT t.event_type, n, med AS median_cents, mad AS mad_cents,
+        |  coalesce(n_out, CAST(0 AS BIGINT)) AS n_outliers
+        |FROM tot t JOIN med USING (event_type) JOIN mad USING (event_type)
+        |  LEFT JOIN outl USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "a18_multiset_ops" ->
       """WITH l AS (SELECT l_suppkey AS key FROM lineitem WHERE l_quantity > 45),
         |     r AS (SELECT l_suppkey AS key FROM lineitem WHERE l_discount >= 0.08)

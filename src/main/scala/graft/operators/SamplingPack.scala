@@ -465,6 +465,52 @@ object SamplingPack extends QueryPack {
           expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY rn)")
             .as("dialogue"))
         .orderBy("user_id", "conv_seq")
+    }),
+
+    // x13: per-source DATASET CARD — the audit table a training run
+    // publishes before committing to a mixture (Gebru et al.'21's
+    // datasheets, operationalized): per source, document/token/char
+    // volume, language spread with the dominant language, and the
+    // exact-duplicate mass (d1's md5 fingerprint rule), all in one
+    // report a mixture spec (x1/x6/x10) is then written against.
+    // Dataflow: ONE corpus-sized shuffle — the scan folds straight into
+    // a (source, lang, fp) partial+final agg, so each map task emits at
+    // most its distinct (source, lang, fp) triples, and every downstream
+    // stat (volume sums, distinct-fingerprint count, language counts,
+    // dominant-language argmax) derives from that reduced frame, which
+    // is one row per distinct text per (source, lang) — duplicate mass
+    // compresses BEFORE the shuffle, the d1 shape. The dominant-language
+    // window partitions over the ≤|sources|×|langs| frame, never the
+    // corpus; dup_ratio is the one terminal IEEE division. At 100 TB the
+    // exact-distinct column is the only corpus-keyed stage; its
+    // bounded-state alternative is a20b's KMV per source (same report,
+    // ±1/√K), which this card trades away for exactness the oracle can
+    // hash-check.
+    "x13_source_data_card" -> ((s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(tokens(col("text"))).as("n_tokens"),
+          md5Prefix60(col("text")).as("fp"))
+        .groupBy("source", "lang", "fp")
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"),
+          sum(col("n_chars")).as("ch"))
+      val base = g.groupBy("source").agg(
+        sum(col("c")).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"),
+        countDistinct(col("fp")).as("n_unique"))
+      val lc = g.groupBy("source", "lang").agg(sum(col("c")).as("lc"))
+      val wl = Window.partitionBy("source").orderBy(col("lc").desc, col("lang"))
+      val top = lc.withColumn("rn", row_number().over(wl))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val nl = lc.groupBy("source").agg(count(lit(1)).as("n_langs"))
+      base.join(top, "source").join(nl, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("top_lang"),
+          (col("n_docs") - col("n_unique")).as("n_exact_dup"),
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_ratio"))
+        .orderBy("source")
     })
   )
 
@@ -589,6 +635,37 @@ object SamplingPack extends QueryPack {
          |  string_agg(event_type, '>' ORDER BY rn) AS dialogue
          |FROM r WHERE rn > n_turns - $MaxTurns
          |GROUP BY user_id, conv_seq ORDER BY user_id, conv_seq""".stripMargin,
+
+    // x13: t4's md5-prefix fingerprint, the same (source, lang, fp)
+    // reduction, dominant language by (count DESC, lang) row_number,
+    // one terminal division.
+    "x13_source_data_card" ->
+      """WITH f AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, fp, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(n_tokens) AS BIGINT) AS t, CAST(sum(n_chars) AS BIGINT) AS ch
+        |  FROM f GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(t) AS BIGINT) AS n_tokens, CAST(sum(ch) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+        |  FROM g GROUP BY 1),
+        |lc AS (
+        |  SELECT source, lang, CAST(sum(c) AS BIGINT) AS lc
+        |  FROM g GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang FROM lc
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang) = 1),
+        |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_chars, n_langs, top_lang,
+        |  n_docs - n_unique AS n_exact_dup,
+        |  round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_ratio
+        |FROM base JOIN top USING (source) JOIN nl USING (source)
+        |ORDER BY source""".stripMargin,
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

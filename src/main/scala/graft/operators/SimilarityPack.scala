@@ -778,6 +778,52 @@ object SimilarityPack extends QueryPack {
           (col("n_total") - col("n_deleted")).as("n_live"),
           (col("n_deleted") * 5 > col("n_total")).cast("int").as("needs_compact"))
         .orderBy("cid")
+    }),
+
+    // e22: IVF index DRIFT audit — the third index mutation signal after
+    // append (e19) and delete (e21): as the corpus distribution moves
+    // away from the frozen quantizer's training distribution, vectors
+    // land ever further from their assigned centroid, recall decays with
+    // no error anywhere, and the operational fix is retraining — IF
+    // someone measures the drift. Per posting list: member count, the
+    // exact sum of cosine distortions to the list's own centroid
+    // (1e6 − cos6 per row, quantized to micro-units BEFORE the sum —
+    // t19's fixed-point discipline, so the corpus sum is partial-agg-
+    // order-free and hash-checked), and the retrain flag when the list's
+    // MEAN distortion exceeds 1.5× the global mean — cross-multiplied in
+    // DECIMAL(38,0) (2·sum_l·n_global > 3·sum_global·n_l; a38's
+    // HUGEINT-replayed guard against both float means and long overflow
+    // at 10¹²-row lists). Dataflow: one scan of the cid-partitioned
+    // serving copy (the embedding bytes ARE the audit's input), the
+    // per-row distortion a compiled cosine against
+    // element_at(centroid-literal, cid) — no join, no row fan-out — and
+    // the only shuffle the k-bounded partial+final agg; the global mean
+    // is a 2-number broadcast off the k-row frame. At 100 TB the same
+    // audit runs on a per-list hash sample (a43's bounded sampler) —
+    // the mean estimate is all the decision needs; the fixture runs it
+    // exhaustively so the oracle can be exact.
+    "e22_ivf_drift" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val centLit = IvfIndex.centroidsLit(IvfIndex.Pretrained)
+      val per = IvfIndex.servingCopy(s, dir)
+        .select(col("cid"),
+          (lit(1000000L) -
+            round(cosine_similarity(col("embedding"),
+              element_at(centLit, col("cid") + 1)) * 1000000, 0).cast("long"))
+            .as("d6"))
+      // k rows; feeds both the totals and the output (e19's bounded-
+      // frame-computes-once discipline)
+      val byList = per.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d6")).as("sum_d6"))
+        .localCheckpoint()
+      val tot = byList.agg(sum(col("n_vecs")).as("ng"), sum(col("sum_d6")).as("sg"))
+      byList.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"), col("sum_d6"),
+          (col("sum_d6").cast("double") / col("n_vecs").cast("double")).as("mean_d6"),
+          (col("sum_d6").cast(dec) * col("ng").cast(dec) * 2 >
+            col("sg").cast(dec) * col("n_vecs").cast(dec) * 3)
+            .cast("int").as("needs_retrain"))
+        .orderBy("cid")
     })
   )
 
@@ -1040,6 +1086,44 @@ object SimilarityPack extends QueryPack {
          |  n_total - n_deleted AS n_live,
          |  CAST(n_deleted * 5 > n_total AS INTEGER) AS needs_compact
          |FROM g ORDER BY cid""".stripMargin
+    },
+
+    // e22: assignment replayed from the e5/e19 centroid constants, the
+    // per-row distortion the same round-6→micro-unit quantization as
+    // every e-family cosine, the retrain rule the identical HUGEINT
+    // cross-multiply.
+    "e22_ivf_drift" -> {
+      val cents = IvfIndex.Pretrained
+      val distE = IvfIndex.distListSql(cents, "e")
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(_.toDouble.toString).mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH asg AS (
+         |  SELECT vec_id, e, $distE AS d
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+         |c AS (
+         |  SELECT vec_id, e,
+         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |  FROM asg),
+         |cv AS (SELECT * FROM (VALUES
+         |    $centRows) t(cid, cv)),
+         |per AS (
+         |  SELECT c.cid,
+         |    1000000 - CAST(round(list_cosine_similarity(c.e, cv.cv) * 1000000, 0) AS BIGINT) AS d6
+         |  FROM c JOIN cv USING (cid)),
+         |g AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(d6) AS BIGINT) AS sum_d6
+         |  FROM per GROUP BY cid),
+         |t AS (
+         |  SELECT CAST(sum(n_vecs) AS BIGINT) AS ng,
+         |    CAST(sum(sum_d6) AS BIGINT) AS sg
+         |  FROM g)
+         |SELECT cid, n_vecs, sum_d6,
+         |  CAST(sum_d6 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_d6,
+         |  CAST(CAST(sum_d6 AS HUGEINT) * CAST(ng AS HUGEINT) * 2
+         |       > CAST(sg AS HUGEINT) * CAST(n_vecs AS HUGEINT) * 3 AS INTEGER) AS needs_retrain
+         |FROM g, t ORDER BY cid""".stripMargin
     },
 
     // e16: shortlist + pairwise sims in micro-units, then the greedy

