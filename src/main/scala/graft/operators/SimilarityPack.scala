@@ -804,16 +804,9 @@ object SimilarityPack extends QueryPack {
     // exhaustively so the oracle can be exact.
     "e22_ivf_drift" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val centLit = IvfIndex.centroidsLit(IvfIndex.Pretrained)
-      val per = IvfIndex.servingCopy(s, dir)
-        .select(col("cid"),
-          (lit(1000000L) -
-            round(cosine_similarity(col("embedding"),
-              element_at(centLit, col("cid") + 1)) * 1000000, 0).cast("long"))
-            .as("d6"))
       // k rows; feeds both the totals and the output (e19's bounded-
       // frame-computes-once discipline)
-      val byList = per.groupBy("cid")
+      val byList = e22PerRow(s, dir).groupBy("cid")
         .agg(count(lit(1)).as("n_vecs"), sum(col("d6")).as("sum_d6"))
         .localCheckpoint()
       val tot = byList.agg(sum(col("n_vecs")).as("ng"), sum(col("sum_d6")).as("sg"))
@@ -824,8 +817,94 @@ object SimilarityPack extends QueryPack {
             col("sg").cast(dec) * col("n_vecs").cast(dec) * 3)
             .cast("int").as("needs_retrain"))
         .orderBy("cid")
+    }),
+
+    // e23: margin-based BITEXT MINING (Artetxe & Schwenk '19, the
+    // LASER/CCMatrix recipe behind every mined parallel corpus): find
+    // translation pairs across two sides of an embedding space by
+    // MUTUAL k-NN with margin scoring — raw cosine over-selects hubs
+    // (vectors near everything), so each pair's score is normalized by
+    // the two endpoints' own neighborhood similarity: margin(x, y) =
+    // cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2). Labels 0/1 play the
+    // two languages. Dataflow is e9's batch-KNN shape run BOTH
+    // directions: the one corpus-sized stage is the compiled-cosine
+    // score pass; each side's top-k then folds through the K-bounded
+    // [[graft.functions.TopKAggregator]] heap (map-side partial
+    // aggregation — shuffle volume k·|side|, never |A|·|B|), the
+    // mutual-pair join and margin arithmetic run on those K-bounded
+    // frames. The margin is stated in exact integers — num = 2k·cos6,
+    // den = sumTopK6(x) + sumTopK6(y) (sums, not averages, so nothing
+    // divides before the one terminal IEEE division) — and membership/
+    // ranks are (cos6 DESC, id) deterministic, so every mined pair
+    // hash-checks. Emitting ALL mutual pairs (id-ordered) rather than a
+    // margin-sorted top-N keeps the float ratio out of row selection —
+    // thresholding by margin is the consumer's one comparison. At
+    // 100 TB the all-pairs score pass composes with the IVF serving
+    // layout exactly like e5 (probe lists only, per-list local cross);
+    // the margin math is unchanged.
+    "e23_bitext_mine" -> ((s, dir) => {
+      import s.implicits._
+      implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[KnnScore]] =
+        org.apache.spark.sql.Encoders.kryo[Seq[KnnScore]]
+      val k = BitextK
+      val emb = Tables(s, dir, "embeddings")
+      val a = emb.where(col("label") === 0)
+        .select(col("vec_id").as("x_id"), col("embedding").as("xe"))
+      val b = emb.where(col("label") === 1)
+        .select(col("vec_id").as("y_id"), col("embedding").as("ye"))
+      val scores = a.crossJoin(broadcast(b))
+        .select(col("x_id"), col("y_id"),
+          round(cosine_similarity(col("xe"), col("ye")) * 1e6, 0)
+            .cast("long").as("cos6"))
+        .localCheckpoint() // feeds both direction folds once
+      def topSide(qCol: String, cCol: String): DataFrame = {
+        val topk = new graft.functions.TopKAggregator[KnnScore](
+          k, _.cos6, _.vec_id)
+        scores.select(col(qCol).as("q_id"), col(cCol).as("vec_id"), col("cos6"))
+          .as[KnnScore]
+          .groupByKey(_.q_id)
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (_, rows) =>
+            val sum6 = rows.map(_.cos6).sum
+            rows.zipWithIndex.map { case (r, i) =>
+              (r.q_id, r.vec_id, r.cos6, i + 1, sum6) } }
+          .toDF("q_id", "vec_id", "cos6", "rn", "sum6")
+      }
+      val ta = topSide("x_id", "y_id")
+        .select(col("q_id").as("x_id"), col("vec_id").as("y_id"),
+          col("cos6"), col("rn").as("rank_ab"), col("sum6").as("sx"))
+      val tb = topSide("y_id", "x_id")
+        .select(col("vec_id").as("x_id"), col("q_id").as("y_id"),
+          col("rn").as("rank_ba"), col("sum6").as("sy"))
+      ta.join(tb, Seq("x_id", "y_id"))
+        .select(col("x_id"), col("y_id"), col("cos6"),
+          col("rank_ab"), col("rank_ba"),
+          ((col("cos6") * (2 * k)).cast("double") /
+            (col("sx") + col("sy")).cast("double")).as("margin"))
+        .orderBy("x_id", "y_id")
     })
   )
+
+  /** e23's per-side neighborhood size (Artetxe & Schwenk use 4 for the
+    * margin denominator).
+    */
+  private[operators] val BitextK = 4
+
+  /** e22's per-row distortion frame (pre-aggregation): the compiled
+    * cosine against the row's OWN centroid (element_at of the centroid
+    * literal by the serving copy's cid partition column) quantized to
+    * micro-units — no join, no row fan-out. Shared with PlanSpec so the
+    * pin runs on the query's actual frame.
+    */
+  private[graft] def e22PerRow(s: SparkSession, dir: String): DataFrame = {
+    val centLit = IvfIndex.centroidsLit(IvfIndex.Pretrained)
+    IvfIndex.servingCopy(s, dir)
+      .select(col("cid"),
+        (lit(1000000L) -
+          round(cosine_similarity(col("embedding"),
+            element_at(centLit, col("cid") + 1)) * 1000000, 0).cast("long"))
+          .as("d6"))
+  }
 
   /** e20's Hamming shortlist size before the exact re-rank. */
   private[operators] val BqShortlist = 100
@@ -1125,6 +1204,36 @@ object SimilarityPack extends QueryPack {
          |       > CAST(sg AS HUGEINT) * CAST(n_vecs AS HUGEINT) * 3 AS INTEGER) AS needs_retrain
          |FROM g, t ORDER BY cid""".stripMargin
     },
+
+    // e23: both directions' top-k replayed as rank windows over the same
+    // micro-unit scores (ties by id — the heap's own rule), neighborhood
+    // SUMS kept integer, one terminal division for the margin.
+    "e23_bitext_mine" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xe
+         |  FROM embeddings WHERE label = 0),
+         |b AS (
+         |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS ye
+         |  FROM embeddings WHERE label = 1),
+         |sc AS (
+         |  SELECT x_id, y_id,
+         |    CAST(round(list_cosine_similarity(xe, ye) * 1e6, 0) AS BIGINT) AS cos6
+         |  FROM a, b),
+         |ta AS (
+         |  SELECT x_id, y_id, cos6,
+         |    CAST(row_number() OVER (PARTITION BY x_id ORDER BY cos6 DESC, y_id) AS INTEGER) AS rank_ab
+         |  FROM sc QUALIFY rank_ab <= $BitextK),
+         |sa AS (SELECT x_id, CAST(sum(cos6) AS BIGINT) AS sx FROM ta GROUP BY 1),
+         |tb AS (
+         |  SELECT x_id, y_id,
+         |    CAST(row_number() OVER (PARTITION BY y_id ORDER BY cos6 DESC, x_id) AS INTEGER) AS rank_ba
+         |  FROM sc QUALIFY rank_ba <= $BitextK),
+         |sb AS (SELECT y_id, CAST(sum(cos6) AS BIGINT) AS sy
+         |       FROM tb JOIN sc USING (x_id, y_id) GROUP BY y_id)
+         |SELECT x_id, y_id, cos6, rank_ab, rank_ba,
+         |  CAST(cos6 * ${2 * BitextK} AS DOUBLE) / CAST(sx + sy AS DOUBLE) AS margin
+         |FROM ta JOIN tb USING (x_id, y_id) JOIN sa USING (x_id) JOIN sb USING (y_id)
+         |ORDER BY x_id, y_id""".stripMargin,
 
     // e16: shortlist + pairwise sims in micro-units, then the greedy
     // MMR selection unrolled step-by-step (t17's unrolled-iteration

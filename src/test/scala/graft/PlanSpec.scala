@@ -602,4 +602,43 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("listagg"), p)
     assert(!p.contains("SortAggregate"), p)
   }
+
+  test("t25 blocklist gate: one compiled projection — no join, no aggregate, no window") {
+    // the C4-style gate must stay a scan-bandwidth map pass: CountIn
+    // compiled into the projection, the only exchange the output sort
+    val p = plan("t25_blocklist_gate")
+    assert(p.contains("count_in"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("e22 drift audit: compiled per-row distortion, k-bounded agg computed once") {
+    val p = plan("e22_ivf_drift")
+    // the k-row byList frame is localCheckpoint-materialized and feeds
+    // both the totals and the output — a parquet scan here means a
+    // branch went back to re-scoring the corpus (e19's pin, same reason)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+    // the per-row stage (pre-checkpoint) is the compiled cosine against
+    // the centroid literal — no join, no row fan-out
+    val per = graft.operators.SimilarityPack.e22PerRow(spark, sf("sf0.001"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(per.contains("cosine_similarity"), per)
+    assert(!per.contains("Join"), per)
+    assert(!per.contains("Generate"), per)
+  }
+
+  test("e23 bitext mining folds both directions through the bounded heap, no window sort") {
+    val p = plan("e23_bitext_mine")
+    // e9's contract, both directions: candidates bound map-side in the
+    // typed TopK aggregate — a windowed row_number here would sort every
+    // |side|-sized partition in full
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // (the mutual-pair join of the two k·|side| frames may legitimately
+    // sort-merge — both sides grow with the corpus; what must NOT appear
+    // is a window sort over the |A|·|B| score matrix, pinned above)
+  }
 }

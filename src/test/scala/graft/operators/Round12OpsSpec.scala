@@ -110,4 +110,45 @@ class Round12OpsSpec extends SparkSuite {
     // the boundary across sf0.001/sf0.01's 32 lists.
     assert(rows.count(_.getInt(4) == 1) * 2 <= rows.length)
   }
+
+  test("e23: mutual top-k membership, ranks, and margin replay from the score matrix") {
+    val got = SparkEntry.queries("e23_bitext_mine")(spark, dir).collect()
+    assert(got.nonEmpty)
+    // replay from the same compiled-cosine scores the query folds (the
+    // heap/mutual/margin logic is what this pins; cosine ulp-equality to
+    // DuckDB is the crosscheck's job)
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val a = emb.where(col("label") === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xe"))
+    val b = emb.where(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("ye"))
+    val sc = a.crossJoin(b).select(col("x_id"), col("y_id"),
+        round(graft.functions.cosine_similarity(col("xe"), col("ye")) * 1e6, 0)
+          .cast("long").as("cos6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = 4
+    def topk(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] = // (other, cos6)
+      pairs.sortBy { case (id, c) => (-c, id) }.take(k)
+    val ta = sc.groupBy(_._1).view.mapValues(v =>
+      topk(v.map(t => (t._2, t._3)).toSeq)).toMap
+    val tb = sc.groupBy(_._2).view.mapValues(v =>
+      topk(v.map(t => (t._1, t._3)).toSeq)).toMap
+    val mutual = for {
+      (x, ys) <- ta.toSeq; ((y, c), i) <- ys.zipWithIndex
+      j = tb(y).indexWhere(_._1 == x) if j >= 0
+    } yield ((x, y), (c, i + 1, j + 1,
+      ys.map(_._2).sum + tb(y).map(_._2).sum))
+    val exp = mutual.toMap
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val (c, rab, rba, den) = exp((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == c)
+      assert(r.getInt(3) == rab && r.getInt(4) == rba)
+      assert(math.abs(r.getDouble(5) - (2.0 * k * c) / den) < 1e-12)
+      // the margin normalization is meaningful: mined pairs sit ABOVE
+      // their neighborhoods' average similarity or below it, but the
+      // ratio is finite (top-k sums are positive on this fixture)
+      assert(den > 0)
+    }
+  }
 }
