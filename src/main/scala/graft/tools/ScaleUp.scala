@@ -39,17 +39,22 @@ import graft.Tables
   *     under measurement don't read them; relational queries stay
   *     comparable at the source scale).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [nFiles]
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [nFiles] [tables]
   * (nFiles > 1 writes each scaled table as a directory of part files —
-  * the realistic lake layout; see `write`.)
+  * the realistic lake layout; see `write`. The optional comma-separated
+  * `tables` filter scales/copies ONLY the named tables — the x10000-class
+  * points only exercise one table's queries and the untouched events
+  * replica would dominate the write cost 4:1.)
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val (srcDir, dstDir, factor, nFiles) = args match {
-      case Array(s, d, f) => (s, d, f.toInt, 1)
-      case Array(s, d, f, n) => (s, d, f.toInt, n.toInt)
-      case _ => sys.error("usage: ScaleUp <srcDir> <dstDir> <factor> [nFiles]")
+    val (srcDir, dstDir, factor, nFiles, tables) = args match {
+      case Array(s, d, f) => (s, d, f.toInt, 1, Tables.all.toSet)
+      case Array(s, d, f, n) => (s, d, f.toInt, n.toInt, Tables.all.toSet)
+      case Array(s, d, f, n, t) =>
+        (s, d, f.toInt, n.toInt, t.split(",").map(_.trim).toSet)
+      case _ => sys.error("usage: ScaleUp <srcDir> <dstDir> <factor> [nFiles] [tables]")
     }
     require(factor >= 1, s"factor must be >= 1, got $factor")
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
@@ -63,21 +68,24 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dstDir))
 
-    writeScaled(spark, srcDir, dstDir, factor, nFiles)
+    writeScaled(spark, srcDir, dstDir, factor, nFiles, tables)
 
-    Tables.all.filterNot(Set("events", "documents", "embeddings")).foreach { t =>
-      Files.copy(Paths.get(s"$srcDir/$t.parquet"), Paths.get(s"$dstDir/$t.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    Tables.all.filter(tables)
+      .filterNot(Set("events", "documents", "embeddings")).foreach { t =>
+        Files.copy(Paths.get(s"$srcDir/$t.parquet"), Paths.get(s"$dstDir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
     println(s"[scaleup] wrote $dstDir at ${factor}x $srcDir")
     spark.stop()
   }
 
   def writeScaled(spark: SparkSession, srcDir: String, dstDir: String,
-      factor: Int, nFiles: Int = 1): Unit = {
+      factor: Int, nFiles: Int = 1,
+      tables: Set[String] = Set("events", "documents", "embeddings")): Unit = {
     val ks = spark.range(factor).toDF("k")
 
     // events: offset ids and users per replica, keep the time window
+    if (tables("events")) {
     val ev = Tables.raw(spark, srcDir, "events")
     val evN = ev.agg(max("event_id"), max("user_id")).head()
     val (evMax, userMax) = (evN.getLong(0) + 1, evN.getLong(1) + 1)
@@ -87,8 +95,10 @@ object ScaleUp {
       (col("user_id") + col("k") * userMax).as("user_id"),
       col("event_type"), col("value"), col("props")),
       dstDir, "events", nFiles)
+    }
 
     // documents: per-replica deterministic word shuffle (k=0 identity)
+    if (tables("documents")) {
     val docs = Tables.raw(spark, srcDir, "documents")
     val docMax = docs.agg(max("doc_id")).head().getLong(0) + 1
     val shuffleWords = udf { (text: String, seed: Long) =>
@@ -112,8 +122,10 @@ object ScaleUp {
         .as("text"),
       col("lang"), col("source"), col("n_chars")),
       dstDir, "documents", nFiles)
+    }
 
     // embeddings: per-replica fixed dimension permutation (k=0 identity)
+    if (tables("embeddings")) {
     val emb = Tables(spark, srcDir, "embeddings")
     val vecMax = emb.agg(max("vec_id")).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -131,6 +143,7 @@ object ScaleUp {
       permute(col("embedding"), col("k").cast("int")).as("embedding"),
       col("label")),
       dstDir, "embeddings", nFiles)
+    }
   }
 
   /** nFiles == 1: single-file `<name>.parquet`, the driver-fixture
