@@ -838,57 +838,118 @@ object SimilarityPack extends QueryPack {
     // ranks are (cos6 DESC, id) deterministic, so every mined pair
     // hash-checks. Emitting ALL mutual pairs (id-ordered) rather than a
     // margin-sorted top-N keeps the float ratio out of row selection —
-    // thresholding by margin is the consumer's one comparison. At
-    // 100 TB the all-pairs score pass composes with the IVF serving
-    // layout exactly like e5 (probe lists only, per-list local cross);
-    // the margin math is unchanged.
+    // thresholding by margin is the consumer's one comparison. The
+    // exhaustive A×B score pass is the EXACT tier; the blocked/sharded
+    // form production mining actually runs at scale is e24 below — same
+    // margin machinery (shared marginMine), candidates restricted to
+    // co-assigned IVF lists.
     "e23_bitext_mine" -> ((s, dir) => {
-      import s.implicits._
-      implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[KnnScore]] =
-        org.apache.spark.sql.Encoders.kryo[Seq[KnnScore]]
-      val k = BitextK
       val emb = Tables(s, dir, "embeddings")
       val a = emb.where(col("label") === 0)
         .select(col("vec_id").as("x_id"), col("embedding").as("xe"))
       val b = emb.where(col("label") === 1)
         .select(col("vec_id").as("y_id"), col("embedding").as("ye"))
-      val scores = a.crossJoin(broadcast(b))
+      marginMine(s, a.crossJoin(broadcast(b))
         .select(col("x_id"), col("y_id"),
           round(cosine_similarity(col("xe"), col("ye")) * 1e6, 0)
-            .cast("long").as("cos6"))
-        .localCheckpoint() // feeds both direction folds once
-      def topSide(qCol: String, cCol: String): DataFrame = {
-        val topk = new graft.functions.TopKAggregator[KnnScore](
-          k, _.cos6, _.vec_id)
-        scores.select(col(qCol).as("q_id"), col(cCol).as("vec_id"), col("cos6"))
-          .as[KnnScore]
-          .groupByKey(_.q_id)
-          .agg(topk.toColumn.name("top"))
-          .flatMap { case (_, rows) =>
-            val sum6 = rows.map(_.cos6).sum
-            rows.zipWithIndex.map { case (r, i) =>
-              (r.q_id, r.vec_id, r.cos6, i + 1, sum6) } }
-          .toDF("q_id", "vec_id", "cos6", "rn", "sum6")
-      }
-      val ta = topSide("x_id", "y_id")
-        .select(col("q_id").as("x_id"), col("vec_id").as("y_id"),
-          col("cos6"), col("rn").as("rank_ab"), col("sum6").as("sx"))
-      val tb = topSide("y_id", "x_id")
-        .select(col("vec_id").as("x_id"), col("q_id").as("y_id"),
-          col("rn").as("rank_ba"), col("sum6").as("sy"))
-      ta.join(tb, Seq("x_id", "y_id"))
-        .select(col("x_id"), col("y_id"), col("cos6"),
-          col("rank_ab"), col("rank_ba"),
-          ((col("cos6") * (2 * k)).cast("double") /
-            (col("sx") + col("sy")).cast("double")).as("margin"))
-        .orderBy("x_id", "y_id")
+            .cast("long").as("cos6")))
+    }),
+
+    // e24: BLOCKED bitext mining — e23's margin machinery with the
+    // candidate set production mining actually scores at scale
+    // (CCMatrix/CCAligned shard the space and mine within shards): both
+    // sides assign to the frozen coarse quantizer (e5's compiled
+    // map-side projection — no training at mine time), and candidate
+    // pairs are generated ONLY within co-assigned posting lists, so the
+    // pair stage is one cid equi-join — shuffle-partitioned by cid, each
+    // task scoring one list's local cross — instead of e23's |A|×|B|
+    // cross. On the cid-partitioned serving layout (e5) the join is
+    // I/O-local per list. Everything after the candidate set is
+    // byte-identical to e23 (shared [[marginMine]]): K-bounded heap
+    // folds both directions, integer margins, mutual pairs id-ordered.
+    // The blocking is the recall trade, stated honestly: a pair whose
+    // endpoints land in different lists is invisible (Round12OpsSpec
+    // measures the overlap vs exact e23 and pins blocked ⊆ plausible
+    // mutual structure); production tunes list count / multi-probe for
+    // that recall, the margin math never changes.
+    "e24_bitext_blocked" -> ((s, dir) => {
+      val asg = IvfIndex.assign(Tables(s, dir, "embeddings"), IvfIndex.Pretrained)
+      val a = asg.where(col("label") === 0)
+        .select(col("cid"), col("vec_id").as("x_id"), col("embedding").as("xe"))
+      val b = asg.where(col("label") === 1)
+        .select(col("cid"), col("vec_id").as("y_id"), col("embedding").as("ye"))
+      marginMine(s, a.join(b, "cid")
+        .select(col("x_id"), col("y_id"),
+          round(cosine_similarity(col("xe"), col("ye")) * 1e6, 0)
+            .cast("long").as("cos6")))
     })
   )
+
+  /** e23/e24's shared mining tail: fold a (x_id, y_id, cos6) candidate
+    * frame through the K-bounded top-k heap in BOTH directions, keep
+    * mutual pairs, and score the Artetxe-Schwenk margin in exact
+    * integers (num = 2k·cos6, den = neighborhood sums) with one terminal
+    * IEEE division. The candidate frame is the only stage the exact and
+    * blocked tiers differ on.
+    */
+  private def marginMine(s: SparkSession, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[KnnScore]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[KnnScore]]
+    val k = BitextK
+    val scores = cand.localCheckpoint() // feeds both direction folds once
+    def topSide(qCol: String, cCol: String): DataFrame = {
+      val topk = new graft.functions.TopKAggregator[KnnScore](
+        k, _.cos6, _.vec_id)
+      scores.select(col(qCol).as("q_id"), col(cCol).as("vec_id"), col("cos6"))
+        .as[KnnScore]
+        .groupByKey(_.q_id)
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (_, rows) =>
+          val sum6 = rows.map(_.cos6).sum
+          rows.zipWithIndex.map { case (r, i) =>
+            (r.q_id, r.vec_id, r.cos6, i + 1, sum6) } }
+        .toDF("q_id", "vec_id", "cos6", "rn", "sum6")
+    }
+    val ta = topSide("x_id", "y_id")
+      .select(col("q_id").as("x_id"), col("vec_id").as("y_id"),
+        col("cos6"), col("rn").as("rank_ab"), col("sum6").as("sx"))
+    val tb = topSide("y_id", "x_id")
+      .select(col("vec_id").as("x_id"), col("q_id").as("y_id"),
+        col("rn").as("rank_ba"), col("sum6").as("sy"))
+    ta.join(tb, Seq("x_id", "y_id"))
+      .select(col("x_id"), col("y_id"), col("cos6"),
+        col("rank_ab"), col("rank_ba"),
+        ((col("cos6") * (2 * k)).cast("double") /
+          (col("sx") + col("sy")).cast("double")).as("margin"))
+      .orderBy("x_id", "y_id")
+  }
 
   /** e23's per-side neighborhood size (Artetxe & Schwenk use 4 for the
     * margin denominator).
     */
   private[operators] val BitextK = 4
+
+  /** e23/e24's shared oracle tail appended to a candidate-CTE prefix
+    * ending in `sc(x_id, y_id, cos6)` — the SQL twin of [[marginMine]].
+    */
+  private def bitextMineSql(candCtes: String): String =
+    s"""$candCtes,
+       |ta AS (
+       |  SELECT x_id, y_id, cos6,
+       |    CAST(row_number() OVER (PARTITION BY x_id ORDER BY cos6 DESC, y_id) AS INTEGER) AS rank_ab
+       |  FROM sc QUALIFY rank_ab <= $BitextK),
+       |sa AS (SELECT x_id, CAST(sum(cos6) AS BIGINT) AS sx FROM ta GROUP BY 1),
+       |tb AS (
+       |  SELECT x_id, y_id,
+       |    CAST(row_number() OVER (PARTITION BY y_id ORDER BY cos6 DESC, x_id) AS INTEGER) AS rank_ba
+       |  FROM sc QUALIFY rank_ba <= $BitextK),
+       |sb AS (SELECT y_id, CAST(sum(cos6) AS BIGINT) AS sy
+       |       FROM tb JOIN sc USING (x_id, y_id) GROUP BY y_id)
+       |SELECT x_id, y_id, cos6, rank_ab, rank_ba,
+       |  CAST(cos6 * ${2 * BitextK} AS DOUBLE) / CAST(sx + sy AS DOUBLE) AS margin
+       |FROM ta JOIN tb USING (x_id, y_id) JOIN sa USING (x_id) JOIN sb USING (y_id)
+       |ORDER BY x_id, y_id""".stripMargin
 
   /** e22's per-row distortion frame (pre-aggregation): the compiled
     * cosine against the row's OWN centroid (element_at of the centroid
@@ -1205,35 +1266,37 @@ object SimilarityPack extends QueryPack {
          |FROM g, t ORDER BY cid""".stripMargin
     },
 
-    // e23: both directions' top-k replayed as rank windows over the same
-    // micro-unit scores (ties by id — the heap's own rule), neighborhood
-    // SUMS kept integer, one terminal division for the margin.
-    "e23_bitext_mine" ->
-      s"""WITH a AS (
-         |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xe
-         |  FROM embeddings WHERE label = 0),
-         |b AS (
-         |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS ye
-         |  FROM embeddings WHERE label = 1),
+    // e23/e24: both directions' top-k replayed as rank windows over the
+    // same micro-unit scores (ties by id — the heap's own rule),
+    // neighborhood SUMS kept integer, one terminal division for the
+    // margin; the two oracles differ ONLY in the candidate CTEs (exact
+    // cross vs within-co-assigned-list join), mirroring the queries.
+    "e23_bitext_mine" -> bitextMineSql(
+      """WITH a AS (
+        |  SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS xe
+        |  FROM embeddings WHERE label = 0),
+        |b AS (
+        |  SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS ye
+        |  FROM embeddings WHERE label = 1),
+        |sc AS (
+        |  SELECT x_id, y_id,
+        |    CAST(round(list_cosine_similarity(xe, ye) * 1e6, 0) AS BIGINT) AS cos6
+        |  FROM a, b)""".stripMargin),
+
+    "e24_bitext_blocked" -> bitextMineSql(
+      s"""WITH asg AS (
+         |  SELECT vec_id, label, e, ${IvfIndex.distListSql(IvfIndex.Pretrained, "e")} AS d
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+         |c AS (
+         |  SELECT vec_id, label, e,
+         |    CAST(list_position(d, list_min(d)) - 1 AS INTEGER) AS cid
+         |  FROM asg),
+         |a AS (SELECT cid, vec_id AS x_id, e AS xe FROM c WHERE label = 0),
+         |b AS (SELECT cid, vec_id AS y_id, e AS ye FROM c WHERE label = 1),
          |sc AS (
          |  SELECT x_id, y_id,
          |    CAST(round(list_cosine_similarity(xe, ye) * 1e6, 0) AS BIGINT) AS cos6
-         |  FROM a, b),
-         |ta AS (
-         |  SELECT x_id, y_id, cos6,
-         |    CAST(row_number() OVER (PARTITION BY x_id ORDER BY cos6 DESC, y_id) AS INTEGER) AS rank_ab
-         |  FROM sc QUALIFY rank_ab <= $BitextK),
-         |sa AS (SELECT x_id, CAST(sum(cos6) AS BIGINT) AS sx FROM ta GROUP BY 1),
-         |tb AS (
-         |  SELECT x_id, y_id,
-         |    CAST(row_number() OVER (PARTITION BY y_id ORDER BY cos6 DESC, x_id) AS INTEGER) AS rank_ba
-         |  FROM sc QUALIFY rank_ba <= $BitextK),
-         |sb AS (SELECT y_id, CAST(sum(cos6) AS BIGINT) AS sy
-         |       FROM tb JOIN sc USING (x_id, y_id) GROUP BY y_id)
-         |SELECT x_id, y_id, cos6, rank_ab, rank_ba,
-         |  CAST(cos6 * ${2 * BitextK} AS DOUBLE) / CAST(sx + sy AS DOUBLE) AS margin
-         |FROM ta JOIN tb USING (x_id, y_id) JOIN sa USING (x_id) JOIN sb USING (y_id)
-         |ORDER BY x_id, y_id""".stripMargin,
+         |  FROM a JOIN b USING (cid))""".stripMargin),
 
     // e16: shortlist + pairwise sims in micro-units, then the greedy
     // MMR selection unrolled step-by-step (t17's unrolled-iteration

@@ -151,4 +151,26 @@ class Round12OpsSpec extends SparkSuite {
       assert(den > 0)
     }
   }
+
+  test("e24: blocked pairs co-assign; co-assigned exact mutual pairs always survive blocking") {
+    val blocked = SparkEntry.queries("e24_bitext_blocked")(spark, dir).collect()
+    val exact = SparkEntry.queries("e23_bitext_mine")(spark, dir).collect()
+    assert(blocked.nonEmpty)
+    val cids = IvfIndex.assign(
+        graft.Tables(spark, dir, "embeddings"), IvfIndex.Pretrained)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // blocking invariant: every mined pair's endpoints share a list
+    blocked.foreach(r =>
+      assert(cids(r.getLong(0)) == cids(r.getLong(1))))
+    // containment: restricting candidates to a SUBSET can only improve a
+    // surviving candidate's rank, so an exact-mutual pair whose
+    // endpoints co-assign is necessarily blocked-mutual too — the recall
+    // loss is EXACTLY the cross-list pairs, nothing else
+    val blockedPairs = blocked.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coAssigned = exact.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => cids(x) == cids(y) }
+    coAssigned.foreach(p =>
+      assert(blockedPairs.contains(p), s"co-assigned exact pair $p lost"))
+  }
 }
