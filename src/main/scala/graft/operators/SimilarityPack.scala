@@ -832,10 +832,11 @@ object SimilarityPack extends QueryPack {
     // [[graft.functions.TopKAggregator]] heap (map-side partial
     // aggregation — shuffle volume k·|side|, never |A|·|B|), the
     // mutual-pair join and margin arithmetic run on those K-bounded
-    // frames. The margin is stated in exact integers — num = 2k·cos6,
-    // den = sumTopK6(x) + sumTopK6(y) (sums, not averages, so nothing
-    // divides before the one terminal IEEE division) — and membership/
-    // ranks are (cos6 DESC, id) deterministic, so every mined pair
+    // frames. The margin is stated in exact integers — num =
+    // 2·cos6·nx·ny, den = sx·ny + sy·nx over the ACTUAL per-side
+    // neighbor counts (see [[marginMine]]; nothing divides before the
+    // one terminal IEEE division) — and membership/ranks are
+    // (cos6 DESC, id) deterministic, so every mined pair
     // hash-checks. Emitting ALL mutual pairs (id-ordered) rather than a
     // margin-sorted top-N keeps the float ratio out of row selection —
     // thresholding by margin is the consumer's one comparison. The
@@ -888,40 +889,64 @@ object SimilarityPack extends QueryPack {
   /** e23/e24's shared mining tail: fold a (x_id, y_id, cos6) candidate
     * frame through the K-bounded top-k heap in BOTH directions, keep
     * mutual pairs, and score the Artetxe-Schwenk margin in exact
-    * integers (num = 2k·cos6, den = neighborhood sums) with one terminal
-    * IEEE division. The candidate frame is the only stage the exact and
-    * blocked tiers differ on.
+    * integers with one terminal IEEE division.
+    *
+    * The margin is the RATIO form, cos(x,y) over the MEAN of the two
+    * neighborhood averages — margin = cos6 / ((sx/nx + sy/ny) / 2) —
+    * carried as exact integers: num = 2·cos6·nx·ny, den = sx·ny+sy·nx,
+    * where nx/ny are the ACTUAL neighbor counts each side's heap held
+    * (≤ [[BitextK]]). Round 12 hardcoded the numerator to 2k·cos6,
+    * which silently inflates the margin by k/n whenever a side has
+    * fewer than k candidates — routine in e24, where a small co-
+    * assigned posting list can hold under k cross-side vectors — so
+    * margins were not comparable across lists and a downstream
+    * threshold would over-select pairs from sparse lists (r12 ADVICE).
+    * With nx = ny = k the two forms coincide: 2k²·cos6 / k·(sx+sy) =
+    * 2k·cos6 / (sx+sy), so dense-corpus results are unchanged;
+    * Round13OpsSpec pins a sparse-list fixture where they differ.
+    *
+    * The candidate frame is the only stage the exact and blocked tiers
+    * differ on, and it is deliberately NOT materialized: each direction
+    * fold recomputes the score pass (two corpus passes), because
+    * checkpointing it would store the FULL candidate cross — |A|×|B|
+    * for e23, the sum of per-list crosses for e24 — on executor
+    * storage, turning a shuffle-bounded operator (k·|side| after the
+    * heaps) into a corpus-product-sized storage footprint (r12 ADVICE).
+    * Two compiled-cosine passes are the at-scale trade: CPU is linear
+    * and redoable, corpus-product storage is not.
     */
-  private def marginMine(s: SparkSession, cand: DataFrame): DataFrame = {
+  private[operators] def marginMine(s: SparkSession, cand: DataFrame): DataFrame = {
     import s.implicits._
     implicit val seqEnc: org.apache.spark.sql.Encoder[Seq[KnnScore]] =
       org.apache.spark.sql.Encoders.kryo[Seq[KnnScore]]
     val k = BitextK
-    val scores = cand.localCheckpoint() // feeds both direction folds once
     def topSide(qCol: String, cCol: String): DataFrame = {
       val topk = new graft.functions.TopKAggregator[KnnScore](
         k, _.cos6, _.vec_id)
-      scores.select(col(qCol).as("q_id"), col(cCol).as("vec_id"), col("cos6"))
+      cand.select(col(qCol).as("q_id"), col(cCol).as("vec_id"), col("cos6"))
         .as[KnnScore]
         .groupByKey(_.q_id)
         .agg(topk.toColumn.name("top"))
         .flatMap { case (_, rows) =>
           val sum6 = rows.map(_.cos6).sum
+          val n = rows.size
           rows.zipWithIndex.map { case (r, i) =>
-            (r.q_id, r.vec_id, r.cos6, i + 1, sum6) } }
-        .toDF("q_id", "vec_id", "cos6", "rn", "sum6")
+            (r.q_id, r.vec_id, r.cos6, i + 1, sum6, n) } }
+        .toDF("q_id", "vec_id", "cos6", "rn", "sum6", "n")
     }
     val ta = topSide("x_id", "y_id")
       .select(col("q_id").as("x_id"), col("vec_id").as("y_id"),
-        col("cos6"), col("rn").as("rank_ab"), col("sum6").as("sx"))
+        col("cos6"), col("rn").as("rank_ab"), col("sum6").as("sx"),
+        col("n").as("nx"))
     val tb = topSide("y_id", "x_id")
       .select(col("vec_id").as("x_id"), col("q_id").as("y_id"),
-        col("rn").as("rank_ba"), col("sum6").as("sy"))
+        col("rn").as("rank_ba"), col("sum6").as("sy"), col("n").as("ny"))
     ta.join(tb, Seq("x_id", "y_id"))
       .select(col("x_id"), col("y_id"), col("cos6"),
         col("rank_ab"), col("rank_ba"),
-        ((col("cos6") * (2 * k)).cast("double") /
-          (col("sx") + col("sy")).cast("double")).as("margin"))
+        ((col("cos6") * lit(2) * col("nx") * col("ny")).cast("double") /
+          (col("sx") * col("ny") + col("sy") * col("nx")).cast("double"))
+          .as("margin"))
       .orderBy("x_id", "y_id")
   }
 
@@ -939,15 +964,17 @@ object SimilarityPack extends QueryPack {
        |  SELECT x_id, y_id, cos6,
        |    CAST(row_number() OVER (PARTITION BY x_id ORDER BY cos6 DESC, y_id) AS INTEGER) AS rank_ab
        |  FROM sc QUALIFY rank_ab <= $BitextK),
-       |sa AS (SELECT x_id, CAST(sum(cos6) AS BIGINT) AS sx FROM ta GROUP BY 1),
+       |sa AS (SELECT x_id, CAST(sum(cos6) AS BIGINT) AS sx,
+       |              CAST(count(*) AS BIGINT) AS nx FROM ta GROUP BY 1),
        |tb AS (
        |  SELECT x_id, y_id,
        |    CAST(row_number() OVER (PARTITION BY y_id ORDER BY cos6 DESC, x_id) AS INTEGER) AS rank_ba
        |  FROM sc QUALIFY rank_ba <= $BitextK),
-       |sb AS (SELECT y_id, CAST(sum(cos6) AS BIGINT) AS sy
+       |sb AS (SELECT y_id, CAST(sum(cos6) AS BIGINT) AS sy,
+       |              CAST(count(*) AS BIGINT) AS ny
        |       FROM tb JOIN sc USING (x_id, y_id) GROUP BY y_id)
        |SELECT x_id, y_id, cos6, rank_ab, rank_ba,
-       |  CAST(cos6 * ${2 * BitextK} AS DOUBLE) / CAST(sx + sy AS DOUBLE) AS margin
+       |  CAST(2 * cos6 * nx * ny AS DOUBLE) / CAST(sx * ny + sy * nx AS DOUBLE) AS margin
        |FROM ta JOIN tb USING (x_id, y_id) JOIN sa USING (x_id) JOIN sb USING (y_id)
        |ORDER BY x_id, y_id""".stripMargin
 

@@ -536,46 +536,11 @@ object TextPack extends QueryPack {
     // rewrites the document). A word position is scrubbed when any
     // covering 3-gram occurs in more than [[ScrubMaxDf]] distinct docs;
     // the retained words reassemble (space-joined, original order) into
-    // the cleaned text a curation pipeline feeds downstream. Dataflow:
-    // (1) positional gram hashes from the compiled ShingleHashesBag pass
-    // (one hash per start, document order — the d14 kernel); (2) corpus
-    // df per gram — distinct(doc, g) then a count keyed by g, map-side
-    // combined; (3) hot grams join back to their start positions — keyed
-    // by g, with AQE skew split as the runtime backstop for a mega-viral
-    // span; (4) collect the hot starts per doc — the ONLY post-df
-    // corpus shuffle, and it carries one INT per hot occurrence, bounded
-    // per group by words-per-document; (5) one compiled [[ScrubSpans]]
-    // pass over the original text rebuilds the document. Round 11 ran
-    // (4)-(5) relationally — explode covered positions ×3, distinct the
-    // corpus-sized (doc, pos) frame, left-join the posexploded words,
-    // corpus-wide ordered listagg — and §3c measured its external sorts
-    // spilling 256 GB at x1000m (slope 4.4 vs 3.33 linear); the compiled
-    // scrub removes all three corpus-sized shuffles and the SortAggregate
-    // entirely. Output IDENTICAL (TextSpec pins the equivalence on the
-    // fixture); exact integer keys end-to-end; the oracle replays the
-    // identical poly-hash, so the output is hash-checked including the
-    // rewritten text itself.
-    "t23_span_scrub" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val grams = docs
-        .where(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"),
-          posexplode(shingle_hashes_bag(col("text"), 3)).as(Seq("start", "g")))
-      val hot = grams.select("doc_id", "g").distinct()
-        .groupBy("g").agg(count(lit(1)).as("df"))
-        .where(col("df") > ScrubMaxDf)
-        .select("g")
-      val starts = grams.join(hot, "g")
-        .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
-      docs.join(starts, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          scrub_spans(col("text"),
-            coalesce(col("starts"), array().cast("array<int>")), 3).as("r"))
-        .select(col("doc_id"), col("r.n_words").as("n_words"),
-          col("r.n_scrubbed").as("n_scrubbed"),
-          col("r.clean_text").as("clean_text"))
-        .orderBy("doc_id")
-    }),
+    // the cleaned text a curation pipeline feeds downstream.
+    // See [[spanScrub]] for the dataflow and the scratch-bounded shard
+    // mode; output is identical at every shard count, so the oracle
+    // replays one definition and the rewritten text itself hash-checks.
+    "t23_span_scrub" -> ((s, dir) => spanScrub(s, dir)),
 
     // t24: TRAINED language-ID — the fastText-class profile classifier
     // real pipelines run where t13's fixed marker lists stop: train
@@ -687,6 +652,116 @@ object TextPack extends QueryPack {
     * not the span scrubber's).
     */
   private[operators] val ScrubMaxDf = 2
+
+  /** t23's dataflow (round 13 — the §3d scratch fix, output-identical):
+    *
+    *  1. Per-doc DISTINCT gram hashes via `array_distinct` over the
+    *     compiled ShingleHashesBag pass, applied BEFORE the explode — a
+    *     document's grams live in one row, so the per-doc dedup the df
+    *     definition needs (df = distinct DOCS claiming g) costs zero
+    *     shuffle. The round-12 form shuffled the corpus-sized
+    *     distinct(doc, g) frame first (~2.6 B 24-byte rows at x10000m —
+    *     the single biggest scratch consumer §3d measured) and then
+    *     re-shuffled its output to count; this form goes straight to
+    *     (2) with the identical df.
+    *  2. Corpus df per gram — ONE count keyed by g, map-side combined.
+    *  3. Hot grams (df > [[ScrubMaxDf]]) join back to their start
+    *     positions — keyed by g; when the materialized hot set is small
+    *     (shard mode measures it; the boilerplate vocabulary of a real
+    *     crawl is orders below the corpus) it broadcasts and the
+    *     position side never shuffles at all. AQE skew split stays the
+    *     runtime backstop for a mega-viral span.
+    *  4. Collect the hot starts per doc — one INT per hot occurrence,
+    *     bounded per group by words-per-document.
+    *  5. One compiled [[graft.functions.ScrubSpans]] pass over the
+    *     original text rebuilds the document where it lives.
+    *
+    * == Scratch-bounded shard mode (`graft.scrub.dfShards`) ==
+    *
+    * The df count's shuffle is irreducible for an EXACT df: ~one row
+    * per distinct (map partition, gram), and a crawl's gram stream is
+    * mostly-unique, so stage (2) writes O(corpus) shuffle bytes no
+    * matter how it is expressed. §3d measured the consequence: at
+    * x10000m (50 M docs) the round-12 plan demanded more simultaneous
+    * shuffle scratch than this box's 74 GB and died; a cluster
+    * provisions per-node shuffle disk for exactly this, but the
+    * operator should also RUN when it must fit a fixed scratch budget.
+    * `graft.scrub.dfShards = G` (default 1: the one-pass plan above)
+    * partitions the GRAM KEY SPACE by `pmod(g, G)` and runs stages
+    * (1)-(4) once per shard: each pass re-scans the corpus (scan +
+    * compiled hashing — the cheap part) but shuffles only 1/G of the
+    * gram stream, so peak scratch is ~1/G of the one-pass plan plus the
+    * accumulated per-shard hot starts (hot occurrences only). Shard
+    * results are `localCheckpoint`ed (lineage truncated — the upstream
+    * shuffle files become collectable) and an explicit GC nudge between
+    * shards makes the ContextCleaner drop them NOW rather than at the
+    * next periodic sweep — that bound is what lets shard G+1's shuffle
+    * reuse shard G's disk. Exactness: pmod partitions the gram space,
+    * every (doc, start) carries exactly one gram, so the union of
+    * per-shard hot starts IS the global hot-start set — no overlap, no
+    * loss; TextSpec pins shards ∈ {1, 3} bit-identical on the fixture,
+    * and the sf0.001/sf0.01 crosschecks hash the sharded plan against
+    * the unchanged one-definition oracle.
+    *
+    * The hot side of (3) is materialized per shard, so its size is
+    * KNOWN before the join strategy is chosen: ≤
+    * `graft.scrub.broadcastHotMax` rows (default 8 M ≈ 64 MB of longs)
+    * broadcasts — the realistic shape at 100 TB, where hot = the
+    * boilerplate vocabulary — else it stays a shuffle join keyed by g
+    * (1/G of the gram stream per shard either way).
+    */
+  private[graft] def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    val shards = s.conf.getOption("graft.scrub.dfShards").map(_.toInt).getOrElse(1)
+    val bcastMax = s.conf.getOption("graft.scrub.broadcastHotMax")
+      .map(_.toLong).getOrElse(8000000L)
+    require(shards >= 1, s"graft.scrub.dfShards must be >= 1, got $shards")
+    val docs = Tables(s, dir, "documents")
+    val eligible = docs.where(size(split(col("text"), " ")) >= 3)
+    def shardOf(g: DataFrame, i: Int): DataFrame =
+      if (shards == 1) g else g.where(pmod(col("g"), lit(shards)) === i)
+    // (1) per-doc-distinct grams, dedup BEFORE explode: zero-shuffle
+    def docGrams(i: Int): DataFrame = shardOf(
+      eligible.select(col("doc_id"),
+        explode(array_distinct(shingle_hashes_bag(col("text"), 3))).as("g")), i)
+    // positional grams for the join-back (one gram per start position)
+    def posGrams(i: Int): DataFrame = shardOf(
+      eligible.select(col("doc_id"),
+        posexplode(shingle_hashes_bag(col("text"), 3)).as(Seq("start", "g"))), i)
+    // (2) the df count — the operator's one corpus-sized shuffle
+    def hotOf(dg: DataFrame): DataFrame =
+      dg.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") > ScrubMaxDf).select("g")
+    val starts: DataFrame =
+      if (shards == 1)
+        // one-pass plan: lazy end-to-end, AQE picks the join strategy
+        posGrams(0).join(hotOf(docGrams(0)), "g")
+          .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+      else {
+        val parts = (0 until shards).map { i =>
+          val hot = hotOf(docGrams(i)).localCheckpoint(true)
+          val hotSide = if (hot.count() <= bcastMax) broadcast(hot) else hot
+          val p = posGrams(i).join(hotSide, "g")
+            .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+            .localCheckpoint(true)
+          // checkpoint truncated the lineage: this shard's shuffle
+          // dependencies are now unreferenced — collect them before the
+          // next shard allocates scratch (local-mode bound; a cluster's
+          // periodic ContextCleaner GC / shuffle service ages them out)
+          System.gc()
+          p
+        }
+        parts.reduce(_ union _)
+          .groupBy("doc_id").agg(flatten(collect_list(col("starts"))).as("starts"))
+      }
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        scrub_spans(col("text"),
+          coalesce(col("starts"), array().cast("array<int>")), 3).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_scrubbed").as("n_scrubbed"),
+        col("r.clean_text").as("clean_text"))
+      .orderBy("doc_id")
+  }
 
   /** t19's scorer as a frame-in/frame-out stage (pipeline5 composes it):
     * (doc_id, n_trans, min_p6, avg_p6, avgq) per doc with ≥ 1 transition.

@@ -58,6 +58,13 @@ object ScaleUp {
     }
     require(factor >= 1, s"factor must be >= 1, got $factor")
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    // A typo'd table name would otherwise be silently ignored and the
+    // destination would be missing the intended table while the success
+    // line still prints (r12 ADVICE).
+    val unknown = tables -- Tables.all.toSet
+    require(unknown.isEmpty,
+      s"unknown tables: ${unknown.toSeq.sorted.mkString(",")} " +
+        s"(known: ${Tables.all.mkString(",")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

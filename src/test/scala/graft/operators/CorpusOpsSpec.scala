@@ -121,6 +121,28 @@ class CorpusOpsSpec extends SparkSuite {
       assert(out(id)._3 == ws.mkString(" ")) }
   }
 
+  test("t23: shard mode and the forced shuffle-join hot path are bit-identical to one-pass") {
+    // graft.scrub.dfShards partitions the GRAM KEY SPACE and loops —
+    // the scratch-bounded form §3d's x10000m ceiling demands. Exactness
+    // argument (pmod partitions, one gram per start) is in the
+    // spanScrub scaladoc; this pins it on the fixture, including the
+    // non-broadcast join branch (broadcastHotMax = 0).
+    def run(): Seq[(Long, Long, Long, String)] =
+      SparkEntry.queries("t23_span_scrub")(spark, dir).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val onePass = run()
+    assert(onePass.exists(_._3 > 0)) // non-degenerate
+    try {
+      spark.conf.set("graft.scrub.dfShards", "3")
+      assert(run() == onePass, "dfShards=3 diverged from the one-pass plan")
+      spark.conf.set("graft.scrub.broadcastHotMax", "0")
+      assert(run() == onePass, "forced shuffle-join hot path diverged")
+    } finally {
+      spark.conf.unset("graft.scrub.dfShards")
+      spark.conf.unset("graft.scrub.broadcastHotMax")
+    }
+  }
+
   test("d16: containment direction, bounds, and exact intersection (driver replay)") {
     val rows = SparkEntry.queries("d16_containment_dedup")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -137,19 +137,47 @@ class Round12OpsSpec extends SparkSuite {
       (x, ys) <- ta.toSeq; ((y, c), i) <- ys.zipWithIndex
       j = tb(y).indexWhere(_._1 == x) if j >= 0
     } yield ((x, y), (c, i + 1, j + 1,
-      ys.map(_._2).sum + tb(y).map(_._2).sum))
+      ys.map(_._2).sum, ys.size, tb(y).map(_._2).sum, tb(y).size))
     val exp = mutual.toMap
     assert(got.length == exp.size)
     got.foreach { r =>
-      val (c, rab, rba, den) = exp((r.getLong(0), r.getLong(1)))
+      val (c, rab, rba, sx, nx, sy, ny) = exp((r.getLong(0), r.getLong(1)))
       assert(r.getLong(2) == c)
       assert(r.getInt(3) == rab && r.getInt(4) == rba)
-      assert(math.abs(r.getDouble(5) - (2.0 * k * c) / den) < 1e-12)
-      // the margin normalization is meaningful: mined pairs sit ABOVE
-      // their neighborhoods' average similarity or below it, but the
-      // ratio is finite (top-k sums are positive on this fixture)
+      // the actual-count margin (r12 ADVICE): cos over the mean of the
+      // two per-side neighborhood AVERAGES, exact-integer num/den
+      val den = sx.toDouble * ny + sy.toDouble * nx
+      assert(math.abs(r.getDouble(5) - (2.0 * c * nx * ny) / den) < 1e-12)
+      // the margin normalization is meaningful: the ratio is finite
+      // (top-k sums are positive on this fixture)
       assert(den > 0)
     }
+  }
+
+  test("marginMine: sparse neighborhoods use ACTUAL counts, not a fixed 2k numerator") {
+    // A side with fewer than k candidates (routine in e24's small
+    // co-assigned lists) must be normalized by its real neighborhood
+    // average — the r12 form's fixed 2k numerator inflated sparse-list
+    // margins by k/n, making them incomparable across lists (ADVICE).
+    import spark.implicits._
+    // x=1 sees two candidates (sparse: n < k = 4); y=10/y=20 each see
+    // only x=1. Every neighborhood is sparse, so the fixed-2k form
+    // would disagree on every pair.
+    val cand = Seq((1L, 10L, 900000L), (1L, 20L, 500000L))
+      .toDF("x_id", "y_id", "cos6")
+    val got = SimilarityPack.marginMine(spark, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.size == 2)
+    // x-side: nx=2, sx=1400000; y-sides: ny=1, sy=cos6 of the pair.
+    // margin = 2*cos6*nx*ny / (sx*ny + sy*nx)
+    val m10 = 2.0 * 900000 * 2 * 1 / (1400000.0 * 1 + 900000.0 * 2)
+    val m20 = 2.0 * 500000 * 2 * 1 / (1400000.0 * 1 + 500000.0 * 2)
+    assert(math.abs(got((1L, 10L)) - m10) < 1e-12)
+    assert(math.abs(got((1L, 20L)) - m20) < 1e-12)
+    // and the old fixed-2k convention would have produced a DIFFERENT
+    // (inflated) number — this is the case the fixture now covers
+    val old10 = 2.0 * 4 * 900000 / (1400000.0 + 900000.0)
+    assert(math.abs(got((1L, 10L)) - old10) > 1e-3)
   }
 
   test("e24: blocked pairs co-assign; co-assigned exact mutual pairs always survive blocking") {
