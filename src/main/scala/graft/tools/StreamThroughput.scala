@@ -55,10 +55,16 @@ object StreamThroughput {
     val n = args(1).toLong
     val nBatches = args(3).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val load1 = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def load1: Double = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load1Start = load1
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_JARS: same contract as Bench —
+    // point the SAME capture at the tools/cluster.sh standalone cluster
+    // so the sustained-throughput loop crosses real process boundaries
+    // (SCALING §9's cluster row; §8 prices the per-batch RPC it adds).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       // micro-batch-sized shuffles: the tunedChild discipline
       // (StreamingPack.scala) — small state width, AQE off (pure
       // per-batch planning overhead at micro-batch volumes).
@@ -66,7 +72,10 @@ object StreamThroughput {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(builder.config("spark.executor.memory", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("graft-stream-tp-").toString
@@ -184,7 +193,8 @@ object StreamThroughput {
       s""","first_batch_ms":${batches.headOption.map(_.ms).getOrElse(0L)}""" +
       s""","p50_batch_ms":$p50""" +
       s""","state_bytes":$stateBytes,"state_rows":$stateRows,"max_gen":$maxGen""" +
-      s""","load1_start":${r3(load1)}}""")
+      s""","master":"$master"""" +
+      s""","load1_start":${r3(load1Start)},"load1_end":${r3(load1)}}""")
 
     spark.stop()
     // best-effort scratch cleanup (multi-GB fixtures)

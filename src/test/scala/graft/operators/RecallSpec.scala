@@ -47,6 +47,63 @@ class RecallSpec extends SparkSuite {
       "the index has degenerated toward a full scan; retune planes/tables")
   }
 
+  test("e24 blocked bitext mining: pair recall vs exact e23, at 1-probe and 2-probe") {
+    // The r12 containment proof said co-assigned exact pairs SURVIVE
+    // blocking; this measures how many mutual pairs the blocking LOSES
+    // (r12 verdict ask #3). Recall is the list-count trade: nlist=16
+    // over ~50 vectors/side is deliberately aggressive blocking; a
+    // production deployment tunes nlist (and multi-probe) so each list
+    // holds enough cross-side candidates. The 2-probe variant re-mines
+    // over pairs sharing ANY of each endpoint's 2 nearest lists — the
+    // cheap recall lever that never touches the margin math.
+    import org.apache.spark.sql.functions._
+    def pairsOf(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(SimilarityPack.queries("e23_bitext_mine")(spark, dir).collect())
+    val blocked = pairsOf(SimilarityPack.queries("e24_bitext_blocked")(spark, dir).collect())
+    val r1 = (exact & blocked).size.toDouble / exact.size
+    info(f"e24 pair recall @1-probe (nlist=${IvfIndex.Pretrained.length}) = $r1%.3f " +
+      s"(${(exact & blocked).size}/${exact.size})")
+    // 2-probe: candidate pairs share at least one of each side's 2
+    // nearest lists; cos6 comes from the same compiled kernel, the
+    // mining tail is the same shared marginMine.
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .where(col("label").isin(0, 1))
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val probe2 = emb.map { case (id, _, v) =>
+      id -> IvfIndex.probeCids(IvfIndex.Pretrained, v, 2).toSet }.toMap
+    val aIds = emb.filter(_._2 == 0).map(_._1)
+    val bIds = emb.filter(_._2 == 1).map(_._1)
+    val cand = for {
+      x <- aIds.toSeq; y <- bIds.toSeq
+      if (probe2(x) & probe2(y)).nonEmpty
+    } yield (x, y)
+    val candDf = cand.toDF("x_id", "y_id")
+      .join(graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("x_id"), col("embedding").as("xe")), "x_id")
+      .join(graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("y_id"), col("embedding").as("ye")), "y_id")
+      .select(col("x_id"), col("y_id"),
+        round(graft.functions.cosine_similarity(col("xe"), col("ye")) * 1e6, 0)
+          .cast("long").as("cos6"))
+    val mined2 = pairsOf(SimilarityPack.marginMine(spark, candDf).collect())
+    val r2 = (exact & mined2).size.toDouble / exact.size
+    info(f"e24 pair recall @2-probe = $r2%.3f (${(exact & mined2).size}/${exact.size})")
+    // Measured on this fixture: 0.200 @1-probe, 0.433 @2-probe. The
+    // corpus is near-i.i.d. (no real translation-pair clustering), so
+    // 16-way blocking over ~3-vector cross-side lists is the WORST case
+    // for blocking recall — real multilingual embeddings co-locate
+    // translation pairs and the same nlist recovers far more; the
+    // deterministic fixture makes these floors regression pins, not
+    // quality claims. (2-probe ≥ 1-probe is not a theorem — extra
+    // candidates can evict a pair from a k-heap — but it holds on this
+    // fixture and a flip would be worth seeing.)
+    assert(r1 >= 0.15, f"1-probe blocking recall collapsed: $r1%.3f")
+    assert(r2 >= r1, "2-probe lost pairs vs 1-probe on the pinned fixture")
+    assert(r2 >= 0.35, f"2-probe recall floor: $r2%.3f")
+  }
+
   test("e5 IVF KNN: recall@20 vs exact e1 >= 0.8") {
     val exact = topIds("e1_knn_brute")
     val ivf = topIds("e5_ivf_knn")
