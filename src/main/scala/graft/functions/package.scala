@@ -99,7 +99,10 @@ package object functions {
         SignBits(exprs.head)),
     ("scrub_spans", classOf[ScrubSpans],
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ScrubSpans(exprs.head, exprs(1), exprs(2))))
+        ScrubSpans(exprs.head, exprs(1), exprs(2))),
+    ("alpha_word_count", classOf[AlphaWordCount],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AlphaWordCount(exprs.head)))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
@@ -201,6 +204,12 @@ package object functions {
     */
   def scrub_spans(text: Column, starts: Column, w: Int): Column =
     columnOf(ScrubSpans(exprOf(text), exprOf(starts), exprOf(lit(w))))
+
+  /** Compiled count of space-separated words containing an ASCII letter
+    * (the Gopher alpha-word rule). See [[AlphaWordCount]].
+    */
+  def alpha_word_count(text: Column): Column =
+    columnOf(AlphaWordCount(exprOf(text)))
 
   /** Compiled bag-count of tokens appearing in a small literal word list
     * (marker/stopword counting). See [[CountIn]].

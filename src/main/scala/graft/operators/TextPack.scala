@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.functions.{count_in, md5Prefix60, scrub_spans, shingle_hashes, shingle_hashes_bag, tokens, winnow_fingerprints, WinnowFingerprints}
+import graft.functions.{alpha_word_count, count_in, md5Prefix60, scrub_spans, shingle_hashes, shingle_hashes_bag, tokens, winnow_fingerprints, WinnowFingerprints}
 
 /** Text analysis for training-data pipelines over the `documents` table:
   * token stats, quality scoring, language-ID heuristic, document
@@ -629,8 +629,53 @@ object TextPack extends QueryPack {
           round(col("n_block").cast("double") / col("n_tokens").cast("double"), 6)
             .as("block_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // t26: the Gopher STRUCTURAL rule set (Rae et al. '21 A1.1 — the
+    // MassiveText filter every later pipeline inherits), as one
+    // compiled projection with per-rule diagnostics. t2 SCORES quality;
+    // this GATES on the named rules, each decided in exact integers so
+    // the flags hash cross-engine: word count in [50, 100k]; mean word
+    // length in [3, 10] stated cross-multiplied (3n ≤ sumLen ≤ 10n —
+    // sumLen = length(text) − (n−1) EXACTLY, words are single-space
+    // joined by the split semantics themselves, so no per-word length
+    // pass is needed); ≥ 2 stopwords (the Gopher "stop word" sanity
+    // rule, compiled CountIn); ≥ 80 % of words contain an ASCII letter
+    // (10·n_alpha ≥ 8·n, the compiled [[graft.functions.AlphaWordCount]]
+    // byte scan — no HOF lambda, no array materialization). Like t25
+    // the whole gate is scan-bandwidth: no shuffle, no join, no state —
+    // PlanSpec pins the shape — so it composes into the streaming
+    // ingest edge unchanged.
+    "t26_gopher_rules" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(ws).as("n_words"),
+          (length(col("text")) - (size(ws) - 1)).as("sum_word_chars"),
+          countIn(ws, stopwords).as("n_stop"),
+          alpha_word_count(col("text")).as("n_alpha"))
+        .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
+          col("n_stop"), col("n_alpha"),
+          (col("n_words") >= GopherMinWords &&
+            col("n_words") <= GopherMaxWords).cast("int").as("ok_words"),
+          (col("sum_word_chars") >= col("n_words") * 3 &&
+            col("sum_word_chars") <= col("n_words") * 10).cast("int").as("ok_word_len"),
+          (col("n_stop") >= GopherMinStop).cast("int").as("ok_stop"),
+          (col("n_alpha") * 10 >= col("n_words") * 8).cast("int").as("ok_alpha"))
+        .withColumn("pass",
+          (col("ok_words") + col("ok_word_len") + col("ok_stop") + col("ok_alpha") === 4)
+            .cast("int"))
+        .orderBy("doc_id")
     })
   )
+
+  /** t26's rule constants — Gopher's published thresholds (word-count
+    * window and the ≥ 2-stopword sanity rule; the 80 % alpha-word and
+    * 3-10 mean-word-length bounds are stated inline cross-multiplied).
+    */
+  private[operators] val GopherMinWords = 50
+  private[operators] val GopherMaxWords = 100000
+  private[operators] val GopherMinStop = 2
 
   /** t25's policy blocklist. Contents are the deployment's policy call —
     * these four exercise the fixture (two present, two absent, so the
@@ -1298,7 +1343,30 @@ object TextPack extends QueryPack {
          |  CAST(${countInSql(Blocklist)} * 16 > len($wsSql) AS INTEGER) AS flagged,
          |  round(CAST(${countInSql(Blocklist)} AS DOUBLE)
          |        / CAST(len($wsSql) AS DOUBLE), 6) AS block_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t26: the same splits, counts, and cross-multiplied integer rule
+    // boundaries; RE2's [A-Za-z] is the kernel's ASCII class.
+    "t26_gopher_rules" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len($wsSql) AS INTEGER) AS n_words,
+         |    CAST(length(text) - (len($wsSql) - 1) AS INTEGER) AS sum_word_chars,
+         |    CAST(${countInSql(stopwords)} AS INTEGER) AS n_stop,
+         |    CAST(len(list_filter($wsSql,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha
+         |  FROM documents),
+         |r AS (
+         |  SELECT *,
+         |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS INTEGER) AS ok_words,
+         |    CAST(sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS INTEGER) AS ok_word_len,
+         |    CAST(n_stop >= $GopherMinStop AS INTEGER) AS ok_stop,
+         |    CAST(n_alpha * 10 >= n_words * 8 AS INTEGER) AS ok_alpha
+         |  FROM b)
+         |SELECT doc_id, n_words, sum_word_chars, n_stop, n_alpha,
+         |  ok_words, ok_word_len, ok_stop, ok_alpha,
+         |  CAST(ok_words + ok_word_len + ok_stop + ok_alpha = 4 AS INTEGER) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

@@ -613,6 +613,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("t26 Gopher gate: compiled kernels, scan-bandwidth — no join/aggregate/window/lambda") {
+    // same contract as t25: the rule set must stay a map pass (CountIn +
+    // AlphaWordCount compiled into the projection) so it composes into
+    // the streaming ingest edge unchanged
+    val p = plan("t26_gopher_rules")
+    assert(p.contains("count_in"), p)
+    assert(p.contains("alpha_word_count"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    val opt = SparkEntry.queries("t26_gopher_rules")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val lambdas = opt.collect { case node =>
+      node.expressions.flatMap(_.collect { case l: LambdaFunction => l })
+    }.flatten
+    assert(lambdas.isEmpty, s"t26 contains interpreted HOF lambdas: $lambdas")
+  }
+
   test("e22 drift audit: compiled per-row distortion, k-bounded agg computed once") {
     val p = plan("e22_ivf_drift")
     // the k-row byList frame is localCheckpoint-materialized and feeds

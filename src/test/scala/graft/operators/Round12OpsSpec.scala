@@ -154,6 +154,37 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("t26: every rule replays the literal split-and-count definition; gate is non-degenerate") {
+    val rows = SparkEntry.queries("t26_gopher_rules")(spark, dir).collect()
+    val texts = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val stop = TextPack.stopwords.toSet
+    var passed = 0
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      val n = ws.length
+      val sumLen = ws.map(_.length).sum
+      val nStop = ws.count(stop)
+      val nAlpha = ws.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+      assert(r.getInt(1) == n)
+      assert(r.getInt(2) == sumLen, s"sum_word_chars doc ${r.getLong(0)}")
+      assert(r.getInt(3) == nStop)
+      assert(r.getInt(4) == nAlpha, s"n_alpha doc ${r.getLong(0)}")
+      assert(r.getInt(5) == (if (n >= 50 && n <= 100000) 1 else 0))
+      assert(r.getInt(6) == (if (sumLen >= 3 * n && sumLen <= 10 * n) 1 else 0))
+      assert(r.getInt(7) == (if (nStop >= 2) 1 else 0))
+      assert(r.getInt(8) == (if (nAlpha * 10 >= n * 8) 1 else 0))
+      val pass = if (r.getInt(5) + r.getInt(6) + r.getInt(7) + r.getInt(8) == 4) 1 else 0
+      assert(r.getInt(9) == pass)
+      passed += pass
+    }
+    // the gate bites both ways on the synthetic corpus
+    assert(passed > 0 && passed < rows.length)
+  }
+
   test("marginMine: sparse neighborhoods use ACTUAL counts, not a fixed 2k numerator") {
     // A side with fewer than k candidates (routine in e24's small
     // co-assigned lists) must be normalized by its real neighborhood

@@ -41,8 +41,21 @@ for p in "${ADD_OPENS[@]}"; do
 done
 
 run() {
+  # settle gap BEFORE every run (the slope.sh discipline): back-to-back
+  # JVMs otherwise inherit the previous capture's load-average residue
+  # and the cell's load1_start label reads contended on an idle box.
+  MAXLOAD=${GRAFT_MAXLOAD:-3.0}
+  for _ in $(seq 1 60); do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$L" -v m="$MAXLOAD" 'BEGIN{exit !(l<m)}' && break
+    sleep 10
+  done
   echo "=== $(date -u +%FT%TZ) $LABEL $*" >> "$OUT"
-  java -Xmx24g -XX:+UseG1GC "${JOPTS[@]}" \
+  # GRAFT_TCP=1: cluster captures force cross-executor shuffle reads
+  # onto loopback TCP (see clusterbench.sh) — core conf, launch-time -D.
+  TCP_OPT=""
+  [ "${GRAFT_TCP:-0}" = "1" ] && TCP_OPT="-Dspark.shuffle.readHostLocalDisk=false"
+  java -Xmx24g -XX:+UseG1GC "${JOPTS[@]}" $TCP_OPT \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Dspark.driver.host=127.0.0.1 \
     -Dspark.executor.extraJavaOptions="$EXEC_OPENS" \
