@@ -741,7 +741,13 @@ object TextPack extends QueryPack {
     * shuffle files become collectable) and an explicit GC nudge between
     * shards makes the ContextCleaner drop them NOW rather than at the
     * next periodic sweep — that bound is what lets shard G+1's shuffle
-    * reuse shard G's disk. Exactness: pmod partitions the gram space,
+    * reuse shard G's disk. The checkpoint trade under executor loss is
+    * measured, not assumed (SCALING §8, r13): shard mode FAILS LOUDLY
+    * (`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`) if an executor dies holding
+    * shard blocks — never wrong output — and the posture is
+    * rerun-the-job (pure batch function) or reliable `checkpoint()` on
+    * durable storage, the same stance [[graft.operators.DedupPack]]'s
+    * lshPairs documents. Exactness: pmod partitions the gram space,
     * every (doc, start) carries exactly one gram, so the union of
     * per-shard hot starts IS the global hot-start set — no overlap, no
     * loss; TextSpec pins shards ∈ {1, 3} bit-identical on the fixture,

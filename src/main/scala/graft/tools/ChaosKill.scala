@@ -71,6 +71,17 @@ object ChaosKill {
     if (args.length > 3) builder.config("spark.jars", args(3))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF: same contract as Bench — runtime confs applied
+    // before the runs, so operator knobs (e.g. graft.scrub.dfShards)
+    // can be chaos-tested in the exact configuration they ship in.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        }
+      }
+    }
 
     // ---- calm run: the oracle-side hash ----
     val t0 = System.nanoTime()
