@@ -102,7 +102,10 @@ package object functions {
         ScrubSpans(exprs.head, exprs(1), exprs(2))),
     ("alpha_word_count", classOf[AlphaWordCount],
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        AlphaWordCount(exprs.head)))
+        AlphaWordCount(exprs.head)),
+    ("nearest_centroids", classOf[NearestCentroids],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroids(exprs.head, exprs(1), exprs(2))))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
@@ -210,6 +213,12 @@ package object functions {
     */
   def alpha_word_count(text: Column): Column =
     columnOf(AlphaWordCount(exprOf(text)))
+
+  /** The p nearest centroid indices, closest first — the multi-probe
+    * assignment projection. See [[NearestCentroids]].
+    */
+  def nearest_centroids(vec: Column, centroids: Column, p: Int): Column =
+    columnOf(NearestCentroids(exprOf(vec), exprOf(centroids), exprOf(lit(p))))
 
   /** Compiled bag-count of tokens appearing in a small literal word list
     * (marker/stopword counting). See [[CountIn]].

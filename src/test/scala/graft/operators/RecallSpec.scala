@@ -90,6 +90,11 @@ class RecallSpec extends SparkSuite {
     val mined2 = pairsOf(SimilarityPack.marginMine(spark, candDf).collect())
     val r2 = (exact & mined2).size.toDouble / exact.size
     info(f"e24 pair recall @2-probe = $r2%.3f (${(exact & mined2).size}/${exact.size})")
+    // e25 IS the shipped 2-probe form: its mined pair set must equal
+    // this driver-side replay (pins the compiled NearestCentroids top-2
+    // against probeCids, and the dedup-before-heap discipline)
+    val e25 = pairsOf(SimilarityPack.queries("e25_bitext_probe2")(spark, dir).collect())
+    assert(e25 == mined2, "e25 diverged from the 2-probe replay")
     // Measured on this fixture: 0.200 @1-probe, 0.433 @2-probe. The
     // corpus is near-i.i.d. (no real translation-pair clustering), so
     // 16-way blocking over ~3-vector cross-side lists is the WORST case
