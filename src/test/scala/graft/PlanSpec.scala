@@ -613,6 +613,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("e25 multi-probe assignment is the compiled projection — no window, no cartesian") {
+    // the relational top-2 (explode ×k + rank window) would multiply
+    // the corpus ×k and shuffle it; the kernel keeps assignment a map
+    // pass fused into the scan — only the probe explode (×2 on the
+    // narrow stream) and the candidate join remain
+    val p = plan("e25_bitext_probe2")
+    assert(p.contains("nearest_centroids"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t26 Gopher gate: compiled kernels, scan-bandwidth — no join/aggregate/window/lambda") {
     // same contract as t25: the rule set must stay a map pass (CountIn +
     // AlphaWordCount compiled into the projection) so it composes into
