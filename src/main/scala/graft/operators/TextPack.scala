@@ -714,8 +714,18 @@ object TextPack extends QueryPack {
     *     positions — keyed by g; when the materialized hot set is small
     *     (shard mode measures it; the boilerplate vocabulary of a real
     *     crawl is orders below the corpus) it broadcasts and the
-    *     position side never shuffles at all. AQE skew split stays the
-    *     runtime backstop for a mega-viral span.
+    *     position side never shuffles at all. The mega-viral-gram
+    *     backstop at shards=1 is AQE's runtime SMJ→broadcast conversion
+    *     of the df-filtered hot side — then a viral gram CANNOT create
+    *     a hot join partition because its occurrences stay spread
+    *     across the scan (CorpusOpsSpec pins this on a planted viral
+    *     corpus). Note AQE's skew-JOIN split can never match this join
+    *     (the df aggregate sits between the hot side's shuffle and its
+    *     sort, and the rule only matches sort-over-shuffle-stage
+    *     children) — a round-13 measurement, not an assumption; if the
+    *     hot set ever outgrows broadcast AND carries a viral gram, the
+    *     shard loop bounds the damage to 1/G of the stream per pass and
+    *     the residual is a straggler task, not a failure.
     *  4. Collect the hot starts per doc — one INT per hot occurrence,
     *     bounded per group by words-per-document.
     *  5. One compiled [[graft.functions.ScrubSpans]] pass over the

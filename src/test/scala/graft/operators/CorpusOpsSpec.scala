@@ -143,6 +143,51 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("t23: the viral-gram backstop is AQE's runtime broadcast of the hot side — measured") {
+    // Round-13 finding (from trying to spec the OLD claim): AQE's
+    // skew-JOIN split can never fire on t23's join-back — the rule only
+    // matches SMJ whose children are Sort-over-ShuffleQueryStage
+    // DIRECTLY, and the hot side has the df aggregate+filter between
+    // its shuffle and the sort. The REAL backstop when one gram goes
+    // viral across the crawl is one level simpler: after the df filter
+    // the hot side is small (the boilerplate vocabulary), so AQE's
+    // runtime SMJ→broadcast conversion replaces the g-shuffle join with
+    // a broadcast — the position stream then never shuffles on g at
+    // all, and a viral gram CANNOT create a hot join partition because
+    // its occurrences stay spread across the scan partitions. This pins
+    // exactly that on a planted mega-viral corpus, plus output identity
+    // against the forced-shuffle plan.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t23-viral-").toString
+    val viral = "viral boiler plate"
+    val docs = (0L until 3000L).map { i =>
+      val filler = (0 until 4).map(j => s"u${i}w$j").mkString(" ")
+      val text = (Seq.fill(48)(viral) :+ filler).mkString(" ")
+      (i, text, "en", "synthetic", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(4).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // default confs (AQE on, broadcast threshold default): the hot side
+    // must runtime-convert to broadcast despite the viral skew
+    val q = TextPack.spanScrub(spark, tmp)
+    val converted = q.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(converted.forall(_._3 >= 24), "viral span must be scrubbed everywhere")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE must broadcast the df-filtered hot side at runtime:\n${plan.take(4000)}")
+    // and the forced shuffle-join plan (broadcast disabled) must agree
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = TextPack.spanScrub(spark, tmp).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(forced == converted, "broadcast and shuffle-join plans diverged")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("d16: containment direction, bounds, and exact intersection (driver replay)") {
     val rows = SparkEntry.queries("d16_containment_dedup")(spark, dir).collect()
     assert(rows.nonEmpty)
