@@ -511,8 +511,60 @@ object SamplingPack extends QueryPack {
           round((col("n_docs") - col("n_unique")).cast("double") /
             col("n_docs").cast("double"), 6).as("dup_ratio"))
         .orderBy("source")
+    }),
+
+    // x14: data-constrained mixture BUDGETING — the planner's question
+    // before any sampling runs: given a declared mixture (the x1 Rates,
+    // ONE policy table shared with the sampler) and a total training
+    // budget, does each source hold enough UNIQUE data, and how many
+    // epochs of it does the mixture imply? Muennighoff et al.'23
+    // ("Scaling Data-Constrained Language Models") put the usable limit
+    // near 4 epochs of unique tokens — beyond that, repeats stop buying
+    // loss — so the gate flags sources whose target allocation exceeds
+    // [[MaxUniqueEpochs]] × their deduped token mass (dedup = d1's
+    // exact-fingerprint rule: x13's card counts the dup mass, this
+    // prices its consequence). All decisions exact: unique tokens from
+    // a (source, fp) partial+final agg (fp groups are identical texts,
+    // so max(n_tokens) is THE value, not a choice), target_tokens =
+    // (budget × rate) div Σrates in integer div (DuckDB `//`), the cap
+    // cross-multiplied — repeat_x is the one terminal display division.
+    // Scale shape: one (source, fp) shuffle (the x13 discipline — dup
+    // mass compresses map-side), then |sources|-bounded frames and a
+    // one-row broadcast for Σrates.
+    "x14_mix_budget" -> ((s, dir) => {
+      val uniq = Tables(s, dir, "documents")
+        .select(col("source"), size(tokens(col("text"))).as("n_tokens"),
+          md5Prefix60(col("text")).as("fp"))
+        .groupBy("source", "fp").agg(max(col("n_tokens")).as("ut"))
+        .groupBy("source").agg(count(lit(1)).as("n_unique"),
+          sum(col("ut")).as("unique_tokens"))
+      val grp = expr("CAST(substring(source, 4) AS INT) div 5")
+      val rate = Rates.zipWithIndex.tail
+        .foldLeft(when(grp === 0, Rates.head)) { case (c, (r, i)) =>
+          c.when(grp === i, r) }
+        .otherwise(Rates.last)
+      val withRate = uniq.withColumn("rate", rate.cast("long"))
+      val tot = withRate.agg(sum(col("rate")).as("sum_rates"))
+      withRate.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr(s"($TrainBudgetTokens * rate) div sum_rates"))
+        .select(col("source"), col("n_unique"), col("unique_tokens"),
+          col("rate"), col("target_tokens"),
+          (col("target_tokens") > lit(MaxUniqueEpochs) * col("unique_tokens"))
+            .cast("int").as("data_capped"),
+          (col("target_tokens").cast("double") /
+            col("unique_tokens").cast("double")).as("repeat_x"))
+        .orderBy("source")
     })
   )
+
+  /** x14's planning constants: the run's total token budget (sized so
+    * the fixture exercises BOTH flag values) and the unique-epoch cap
+    * (Muennighoff et al.'23: ~4 epochs of unique data is where repeats
+    * stop paying).
+    */
+  private[operators] val TrainBudgetTokens = 90000L
+  private[operators] val MaxUniqueEpochs = 4
 
   /** x12's inactivity gap (30 min, a13's sessionization constant) and
     * per-conversation turn cap (most-recent-kept truncation).
@@ -666,6 +718,34 @@ object SamplingPack extends QueryPack {
         |  round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_ratio
         |FROM base JOIN top USING (source) JOIN nl USING (source)
         |ORDER BY source""".stripMargin,
+
+    // x14: the same fingerprint dedup, the x1 rate CASE, integer div
+    // (`//`) for the allocation, cross-multiplied cap.
+    "x14_mix_budget" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+         |  FROM documents),
+         |u AS (SELECT source, fp, max(n_tokens) AS ut FROM f GROUP BY 1, 2),
+         |b AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+         |    CAST(sum(ut) AS BIGINT) AS unique_tokens
+         |  FROM u GROUP BY 1),
+         |r AS (
+         |  SELECT source, n_unique, unique_tokens,
+         |    CAST(CASE (CAST(substring(source, 4) AS INT) // 5)
+         |      ${Rates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
+         |      ELSE ${Rates.last} END AS BIGINT) AS rate
+         |  FROM b),
+         |t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM r)
+         |SELECT source, n_unique, unique_tokens, rate,
+         |  CAST(($TrainBudgetTokens * rate) // sum_rates AS BIGINT) AS target_tokens,
+         |  CAST(($TrainBudgetTokens * rate) // sum_rates
+         |       > $MaxUniqueEpochs * unique_tokens AS INTEGER) AS data_capped,
+         |  CAST(($TrainBudgetTokens * rate) // sum_rates AS DOUBLE)
+         |    / CAST(unique_tokens AS DOUBLE) AS repeat_x
+         |FROM r, t ORDER BY source""".stripMargin,
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

@@ -185,6 +185,38 @@ class Round12OpsSpec extends SparkSuite {
     assert(passed > 0 && passed < rows.length)
   }
 
+  test("x14: budget allocation, dedup mass, and the 4-epoch cap replay exactly") {
+    val rows = SparkEntry.queries("x14_mix_budget")(spark, dir).collect()
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == docs.map(_._1).distinct.length)
+    val budget = SamplingPack.TrainBudgetTokens
+    val rates = Seq(1000L, 500L, 250L, 750L)
+    def rateOf(src: String): Long = {
+      val g = src.stripPrefix("src").toInt / 5
+      if (g < rates.length) rates(g) else rates.last
+    }
+    val sumRates = docs.map(_._1).distinct.map(rateOf).sum
+    var capped = 0
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val uniq = docs.filter(_._1 == src).map(_._2).distinct
+      val uniqTokens = uniq.map(_.split(" ", -1).length.toLong).sum
+      assert(r.getLong(1) == uniq.length, s"n_unique $src")
+      assert(r.getLong(2) == uniqTokens, s"unique_tokens $src")
+      assert(r.getLong(3) == rateOf(src))
+      val target = budget * rateOf(src) / sumRates
+      assert(r.getLong(4) == target, s"target_tokens $src")
+      val cap = if (target > SamplingPack.MaxUniqueEpochs * uniqTokens) 1 else 0
+      assert(r.getInt(5) == cap, s"data_capped $src")
+      assert(math.abs(r.getDouble(6) - target.toDouble / uniqTokens) < 1e-12)
+      capped += cap
+    }
+    // the planner's gate bites both ways on the fixture
+    assert(capped > 0 && capped < rows.length)
+  }
+
   test("marginMine: sparse neighborhoods use ACTUAL counts, not a fixed 2k numerator") {
     // A side with fewer than k candidates (routine in e24's small
     // co-assigned lists) must be normalized by its real neighborhood
