@@ -306,18 +306,28 @@ object IvfIndex {
       "    Array(" + c.map(v => v.toString + "f").mkString(", ") + ")")
       .mkString(",\n")
 
-  /** DuckDB SQL fragment: the list of distances from a DOUBLE[] expression
-    * `e` to every centroid, replayed from the same centroid floats
-    * (rendered via toDouble so the SQL literal parses to exactly the value
-    * the compiled expression computes with). Name it once in a CTE, then
-    * `list_position(d, list_min(d)) - 1` is the 0-based assignment —
-    * first minimum, the same lowest-index tie rule as
-    * [[graft.functions.NearestCentroid]]; `list_distance` is the sqrt of
-    * our squared distance, which cannot reorder an argmin.
+  /** DuckDB SQL fragment: the list of SQUARED distances from a DOUBLE[]
+    * expression `e` to every centroid — the IDENTICAL values the compiled
+    * kernels compute ([[graft.functions.NearestCentroid]]/[[graft.functions.NearestCentroids]]:
+    * left-to-right double accumulation of `(a-b)*(a-b)`), so both engines
+    * rank the same bits and tie resolution cannot diverge. Name it once in
+    * a CTE, then `list_position(d, list_min(d)) - 1` is the 0-based
+    * assignment — first minimum, the kernels' lowest-index tie rule.
+    *
+    * Replayed bit-exactly (r13 ADVICE: the earlier `list_distance` form
+    * was only argmin-monotone — a correctly-rounded sqrt can collapse
+    * distinct squared distances into a tie). Three measured DuckDB
+    * pitfalls this form avoids: bare numeric literals parse as
+    * DECIMAL→DOUBLE (off by 1 ulp — string CAST is correctly rounded);
+    * `list_sum` accumulates SIMD/pairwise, not sequentially
+    * (`list_reduce` is sequential by contract); and the fold seeds with
+    * `0.0` exactly like the kernels' accumulator.
     */
   def distListSql(centroids: Array[Array[Float]], e: String): String =
     centroids.map { c =>
-      val lit = c.map(_.toDouble.toString).mkString(", ")
-      s"list_distance($e, [$lit])"
+      val lit = c.map(v => s"'${v.toDouble.toString}'").mkString(", ")
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+         |        list_zip($e, CAST([$lit] AS DOUBLE[])),
+         |        s -> (s[1] - s[2]) * (s[1] - s[2]))), (acc, x) -> acc + x)""".stripMargin
     }.mkString("[\n      ", ",\n      ", "\n    ]")
 }

@@ -1220,9 +1220,9 @@ object SimilarityPack extends QueryPack {
          |ORDER BY cos_sim DESC, vec_id""".stripMargin,
 
     // e19: assignment replayed from the same centroid constants as e5's
-    // oracle (lowest-index argmin under list_distance's sqrt, which
-    // cannot reorder it); the split rule is the identical cross-
-    // multiplied integer comparison.
+    // oracle (lowest-index argmin over distListSql's bit-exact squared
+    // distances); the split rule is the identical cross-multiplied
+    // integer comparison.
     "e19_ivf_append" -> {
       val k = IvfIndex.Pretrained.length
       val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")
@@ -1362,9 +1362,10 @@ object SimilarityPack extends QueryPack {
     // e25: top-2 probes replayed as first-position-of-min twice — the
     // second min over the list with rank-1's slot masked to +inf, so
     // every rank's (distance, index) tiebreak is the kernel's
-    // (list_distance is the monotone sqrt of the kernel's squared
-    // distance — argmin order identical); candidate pairs dedup BEFORE
-    // scoring, then the shared mining tail.
+    // (distListSql replays the kernel's squared distances bit-exactly —
+    // r13 ADVICE: the sqrt form could collapse near-tied ranks, flipping
+    // the masked second-min); candidate pairs dedup BEFORE scoring, then
+    // the shared mining tail.
     "e25_bitext_probe2" -> bitextMineSql(
       s"""WITH asg AS (
          |  SELECT vec_id, label, e, ${IvfIndex.distListSql(IvfIndex.Pretrained, "e")} AS d
@@ -1735,8 +1736,9 @@ object SimilarityPack extends QueryPack {
     },
 
     // e5: the oracle replays assignment AND probe selection from the
-    // same pretrained centroid constants; list_distance's sqrt cannot
-    // reorder either argmin, and ties break lowest-index on both sides.
+    // same pretrained centroid constants; distListSql's squared form
+    // ranks the kernel's exact values, and ties break lowest-index on
+    // both sides.
     "e5_ivf_knn" -> {
       val distQ = IvfIndex.distListSql(IvfIndex.Pretrained, "q.qe")
       val distE = IvfIndex.distListSql(IvfIndex.Pretrained, "e")

@@ -154,6 +154,7 @@ object HttpChaos {
     val stop = new AtomicBoolean(false)
     val statuses = new ConcurrentHashMap[Int, AtomicLong]()
     val timeouts = new AtomicLong
+    val failures = new AtomicLong // non-timeout request failures (reset, refused, IO)
     val requests = new AtomicLong
     val maxLatencyMs = new AtomicLong
     val clients = (0 until 4).map { ci =>
@@ -169,8 +170,16 @@ object HttpChaos {
             val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
             statuses.computeIfAbsent(resp.statusCode(), _ => new AtomicLong)
               .incrementAndGet()
-          } catch { case _: java.net.http.HttpTimeoutException =>
-            timeouts.incrementAndGet()
+          } catch {
+            case _: java.net.http.HttpTimeoutException =>
+              timeouts.incrementAndGet()
+            // A connection reset / refused IS the symptom of a serving
+            // outage — count it and keep the client loop alive so load
+            // doesn't silently drop for the rest of the replay.
+            case scala.util.control.NonFatal(e) =>
+              failures.incrementAndGet()
+              println(s"[httpchaos] client-$ci request failed: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
           val ms = (System.nanoTime() - rt0) / 1000000L
           maxLatencyMs.getAndUpdate(m => math.max(m, ms))
@@ -212,12 +221,14 @@ object HttpChaos {
       .map { case (c, n) => s""""$c":${n.get()}""" }.mkString("{", ",", "}")
     val n5xx = statuses.asScala.collect { case (c, n) if c >= 500 => n.get() }.sum
     val ok = killed.get() && removedSeen.get() && timeouts.get() == 0 &&
-      n5xx == 0 && gotHash == expHash && gotRows == expRows && probeOk
+      failures.get() == 0 && n5xx == 0 && gotHash == expHash &&
+      gotRows == expRows && probeOk
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     println(
       s"""{"tool":"http_chaos","events":$nEvents,"files":$nFiles,"keys":$nKeys""" +
       s""","replay_sec":${r3(replaySec)},"requests":${requests.get()}""" +
       s""","statuses":$statusJson,"timeouts":${timeouts.get()}""" +
+      s""","failures":${failures.get()}""" +
       s""","max_latency_ms":${maxLatencyMs.get()}""" +
       s""","executor_killed":${killed.get()},"executor_removed_observed":${removedSeen.get()}""" +
       s""","view_rows":$gotRows,"view_hash_match":${gotHash == expHash}""" +

@@ -18,15 +18,22 @@ LABEL=${3:?label}
 SP=${4:-256}
 REPS=${5:-2}
 EXTRA_CONF=${6:-}
-OUT=${7:-SLOPES_r13.local.json}
+OUT=${7:-SLOPES_r14.local.json}
 
 MAXLOAD=${GRAFT_MAXLOAD:-3.0}
+SETTLED=0
 for _ in $(seq 1 120); do
   L=$(cut -d' ' -f1 /proc/loadavg)
-  awk -v l="$L" -v m="$MAXLOAD" 'BEGIN{exit !(l<m)}' && break
+  awk -v l="$L" -v m="$MAXLOAD" 'BEGIN{exit !(l<m)}' && { SETTLED=1; break; }
   echo "[slope] load1=$L >= $MAXLOAD — settling..." >&2
   sleep 10
 done
+# Exhausting the settle budget (~20 min) must NOT fall through to a
+# contended capture — the "refuses to launch" claim is load-bearing.
+if [ "$SETTLED" != "1" ]; then
+  echo "[slope] settle budget exhausted (load1 still >= $MAXLOAD) — REFUSING to launch" >&2
+  exit 3
+fi
 
 ADD_OPENS=(java.base/java.lang java.base/java.lang.invoke
   java.base/java.lang.reflect java.base/java.io java.base/java.net

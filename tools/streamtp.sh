@@ -45,11 +45,17 @@ run() {
   # JVMs otherwise inherit the previous capture's load-average residue
   # and the cell's load1_start label reads contended on an idle box.
   MAXLOAD=${GRAFT_MAXLOAD:-3.0}
+  SETTLED=0
   for _ in $(seq 1 60); do
     L=$(cut -d' ' -f1 /proc/loadavg)
-    awk -v l="$L" -v m="$MAXLOAD" 'BEGIN{exit !(l<m)}' && break
+    awk -v l="$L" -v m="$MAXLOAD" 'BEGIN{exit !(l<m)}' && { SETTLED=1; break; }
     sleep 10
   done
+  # Never fall through to a contended capture (the slope.sh discipline).
+  if [ "$SETTLED" != "1" ]; then
+    echo "[streamtp] settle budget exhausted (load1 >= $MAXLOAD) — REFUSING to launch" >&2
+    exit 3
+  fi
   echo "=== $(date -u +%FT%TZ) $LABEL $*" >> "$OUT"
   # GRAFT_TCP=1: cluster captures force cross-executor shuffle reads
   # onto loopback TCP (see clusterbench.sh) — core conf, launch-time -D.
