@@ -532,18 +532,7 @@ object SamplingPack extends QueryPack {
     // mass compresses map-side), then |sources|-bounded frames and a
     // one-row broadcast for Σrates.
     "x14_mix_budget" -> ((s, dir) => {
-      val uniq = Tables(s, dir, "documents")
-        .select(col("source"), size(tokens(col("text"))).as("n_tokens"),
-          md5Prefix60(col("text")).as("fp"))
-        .groupBy("source", "fp").agg(max(col("n_tokens")).as("ut"))
-        .groupBy("source").agg(count(lit(1)).as("n_unique"),
-          sum(col("ut")).as("unique_tokens"))
-      val grp = expr("CAST(substring(source, 4) AS INT) div 5")
-      val rate = Rates.zipWithIndex.tail
-        .foldLeft(when(grp === 0, Rates.head)) { case (c, (r, i)) =>
-          c.when(grp === i, r) }
-        .otherwise(Rates.last)
-      val withRate = uniq.withColumn("rate", rate.cast("long"))
+      val withRate = uniqueTokensWithRate(s, dir)
       val tot = withRate.agg(sum(col("rate")).as("sum_rates"))
       withRate.crossJoin(broadcast(tot))
         .withColumn("target_tokens",
@@ -555,8 +544,108 @@ object SamplingPack extends QueryPack {
           (col("target_tokens").cast("double") /
             col("unique_tokens").cast("double")).as("repeat_x"))
         .orderBy("source")
+    }),
+
+    // x15: budget REBALANCING — acting on x14's gate (the r13 verdict's
+    // top ask, and the step a real mixture owner runs the moment x14
+    // raises a flag). Muennighoff et al.'23's prescription: budget a
+    // data-capped source can't absorb within [[MaxUniqueEpochs]] of its
+    // unique tokens must be REALLOCATED to sources that still can —
+    // water-filling under the cap. Exact integer rounds, each round =
+    // [clamp, redistribute]:
+    //   clamp        every source above cap = MaxUniqueEpochs×unique is
+    //                cut to cap; the cut tokens join the pool; a source
+    //                AT cap is marked capped (receives nothing further —
+    //                any addition would bounce straight back);
+    //   redistribute the pool goes to uncapped sources as floor shares
+    //                (pool×rate) div Σ(uncapped rates); the division
+    //                remainder goes to the LOWEST-NAMED uncapped source
+    //                (the stated remainder rule), so each round empties
+    //                the pool exactly.
+    // A redistribution can push a recipient over ITS cap — the next
+    // round's clamp catches it, so every non-identity round caps ≥ 1 new
+    // source and the fixpoint arrives in ≤ |sources|+2 rounds; rounds
+    // past the fixpoint are identities (pool 0, no clamps), so running a
+    // fixed [[RebalanceRounds]] is exact, and the require() fails loudly
+    // if the constant were ever too small (e10's discipline). Budget
+    // conservation is exact BY CONSTRUCTION: Σ final + unallocated =
+    // TrainBudgetTokens (unallocated > 0 only when every source caps).
+    //
+    // Scale shape: the corpus-sized work is the same ONE (source, fp)
+    // shuffle as x13/x14 (dup mass compresses map-side); the loop runs
+    // driver-side over the collected |sources|-row frame — the planner's
+    // input is a catalog dimension (20 here, thousands at 100 TB), the
+    // blessed bounded-pull contract (e10/e5), and Long arithmetic holds
+    // to B×rate ≈ 1e13×1e3 without overflow. Shares Rates /
+    // TrainBudgetTokens / MaxUniqueEpochs with x1/x14, so sampler, gate,
+    // and rebalancer cannot disagree.
+    "x15_budget_rebalance" -> ((s, dir) => {
+      val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
+      val n = per.length
+      val src = per.map(_.getString(0))
+      val nUniq = per.map(_.getLong(1))
+      val uTok = per.map(_.getLong(2))
+      val rate = per.map(_.getLong(3))
+      val sumRates = rate.sum
+      val B = TrainBudgetTokens
+      val target = rate.map(r => B * r / sumRates)
+      val cap = uTok.map(_ * MaxUniqueEpochs)
+      val alloc = target.clone()
+      val capped = Array.fill(n)(false)
+      var pool = B - target.sum // the initial division's global remainder
+      var round = 0
+      while (round < RebalanceRounds) {
+        var i = 0
+        while (i < n) { // clamp
+          if (alloc(i) > cap(i)) { pool += alloc(i) - cap(i); alloc(i) = cap(i) }
+          if (alloc(i) >= cap(i)) capped(i) = true
+          i += 1
+        }
+        val ur = (0 until n).collect { case i if !capped(i) => rate(i) }.sum
+        if (ur > 0 && pool > 0) { // redistribute: floor shares + remainder
+          var dist = 0L
+          for (i <- 0 until n if !capped(i)) {
+            val add = pool * rate(i) / ur
+            alloc(i) += add; dist += add
+          }
+          alloc((0 until n).find(!capped(_)).get) += pool - dist
+          pool = 0L
+        }
+        round += 1
+      }
+      require((0 until n).forall(i => alloc(i) <= cap(i)),
+        s"x15: no fixpoint within $RebalanceRounds rounds — raise RebalanceRounds")
+      val unalloc = pool
+      import s.implicits._
+      (0 until n).map { i =>
+        (src(i), nUniq(i), uTok(i), rate(i), target(i), cap(i), alloc(i),
+          if (capped(i)) 1 else 0, if (alloc(i) > target(i)) 1 else 0,
+          alloc(i).toDouble / uTok(i).toDouble, unalloc)
+      }.toDF("source", "n_unique", "unique_tokens", "rate", "target_tokens",
+        "cap_tokens", "final_tokens", "data_capped", "got_realloc",
+        "repeat_x", "unalloc_tokens")
     })
   )
+
+  /** The shared x14/x15 front: per-source deduped token mass (d1's exact
+    * fingerprint rule — fp groups are identical texts, so max(n_tokens)
+    * is THE value) plus the x1 Rates policy rate. ONE (source, fp)
+    * shuffle, map-side combined.
+    */
+  private def uniqueTokensWithRate(s: SparkSession, dir: String): DataFrame = {
+    val uniq = Tables(s, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).as("n_tokens"),
+        md5Prefix60(col("text")).as("fp"))
+      .groupBy("source", "fp").agg(max(col("n_tokens")).as("ut"))
+      .groupBy("source").agg(count(lit(1)).as("n_unique"),
+        sum(col("ut")).as("unique_tokens"))
+    val grp = expr("CAST(substring(source, 4) AS INT) div 5")
+    val rate = Rates.zipWithIndex.tail
+      .foldLeft(when(grp === 0, Rates.head)) { case (c, (r, i)) =>
+        c.when(grp === i, r) }
+      .otherwise(Rates.last)
+    uniq.withColumn("rate", rate.cast("long"))
+  }
 
   /** x14's planning constants: the run's total token budget (sized so
     * the fixture exercises BOTH flag values) and the unique-epoch cap
@@ -565,6 +654,14 @@ object SamplingPack extends QueryPack {
     */
   private[operators] val TrainBudgetTokens = 90000L
   private[operators] val MaxUniqueEpochs = 4
+
+  /** x15's unrolled round count: the fixpoint arrives in ≤ |sources|+2
+    * rounds (every non-identity round caps ≥ 1 new source) and the
+    * fixtures carry 20 sources, so 24 covers the worst cascade with
+    * margin; rounds past the fixpoint are exact identities. The x15
+    * require() fails loudly if a catalog ever outgrows this.
+    */
+  private[operators] val RebalanceRounds = 24
 
   /** x12's inactivity gap (30 min, a13's sessionization constant) and
     * per-conversation turn cap (most-recent-kept truncation).
@@ -617,6 +714,29 @@ object SamplingPack extends QueryPack {
   }
   private[operators] val sampleBucketSql: String =
     "CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+
+  /** The x14/x15 oracle front (CTE bodies f/u/b/r/t): fingerprint dedup →
+    * per-source unique token mass → the x1 rate CASE → Σrates. Shared so
+    * the gate and the rebalancer replay the identical frame.
+    */
+  private val budgetFrontSql: String =
+    s"""f AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+       |  FROM documents),
+       |u AS (SELECT source, fp, max(n_tokens) AS ut FROM f GROUP BY 1, 2),
+       |b AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+       |    CAST(sum(ut) AS BIGINT) AS unique_tokens
+       |  FROM u GROUP BY 1),
+       |r AS (
+       |  SELECT source, n_unique, unique_tokens,
+       |    CAST(CASE (CAST(substring(source, 4) AS INT) // 5)
+       |      ${Rates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
+       |      ELSE ${Rates.last} END AS BIGINT) AS rate
+       |  FROM b),
+       |t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM r)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // x10: the two-level fill replayed as the single cumulative window it
@@ -722,23 +842,7 @@ object SamplingPack extends QueryPack {
     // x14: the same fingerprint dedup, the x1 rate CASE, integer div
     // (`//`) for the allocation, cross-multiplied cap.
     "x14_mix_budget" ->
-      s"""WITH f AS (
-         |  SELECT source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
-         |  FROM documents),
-         |u AS (SELECT source, fp, max(n_tokens) AS ut FROM f GROUP BY 1, 2),
-         |b AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
-         |    CAST(sum(ut) AS BIGINT) AS unique_tokens
-         |  FROM u GROUP BY 1),
-         |r AS (
-         |  SELECT source, n_unique, unique_tokens,
-         |    CAST(CASE (CAST(substring(source, 4) AS INT) // 5)
-         |      ${Rates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
-         |      ELSE ${Rates.last} END AS BIGINT) AS rate
-         |  FROM b),
-         |t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM r)
+      s"""WITH $budgetFrontSql
          |SELECT source, n_unique, unique_tokens, rate,
          |  CAST(($TrainBudgetTokens * rate) // sum_rates AS BIGINT) AS target_tokens,
          |  CAST(($TrainBudgetTokens * rate) // sum_rates
@@ -746,6 +850,69 @@ object SamplingPack extends QueryPack {
          |  CAST(($TrainBudgetTokens * rate) // sum_rates AS DOUBLE)
          |    / CAST(unique_tokens AS DOUBLE) AS repeat_x
          |FROM r, t ORDER BY source""".stripMargin,
+
+    // x15: the SAME front (fingerprint dedup, x1 rate CASE, integer-div
+    // targets), then every water-filling round replayed CTE-by-CTE —
+    // round k = c{k} (clamp + capped flags) → s{k} (pool-in + uncapped
+    // rates, one row) → d{k} (floor shares + the uncapped source
+    // numbering) → st{k} (apply shares, remainder to rn=1) → pl{k}
+    // (pool out: 0 after a distribution, carried when all capped). All
+    // BIGINT; rounds past the fixpoint are exact identities, so the
+    // static [[RebalanceRounds]] unroll replays the driver loop exactly.
+    "x15_budget_rebalance" -> {
+      val rounds = (1 to RebalanceRounds).map { k =>
+        val p = k - 1
+        s"""c$k AS MATERIALIZED (
+           |  SELECT q.source, q.rate, q.cap,
+           |    CASE WHEN q.alloc > q.cap THEN q.cap ELSE q.alloc END AS alloc,
+           |    (q.capped OR q.alloc >= q.cap) AS capped
+           |  FROM st$p q),
+           |s$k AS MATERIALIZED (
+           |  SELECT CAST((SELECT pool FROM pl$p)
+           |      + sum(CASE WHEN q.alloc > q.cap THEN q.alloc - q.cap ELSE 0 END)
+           |      AS BIGINT) AS pool_in,
+           |    CAST(COALESCE(sum(CASE WHEN NOT (q.capped OR q.alloc >= q.cap)
+           |      THEN q.rate END), 0) AS BIGINT) AS ur
+           |  FROM st$p q),
+           |d$k AS MATERIALIZED (
+           |  SELECT q.source, q.rate, q.cap, q.alloc, q.capped, w.pool_in, w.ur,
+           |    CASE WHEN NOT q.capped AND w.ur > 0 AND w.pool_in > 0
+           |      THEN CAST((w.pool_in * q.rate) // w.ur AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END AS addf,
+           |    row_number() OVER (PARTITION BY q.capped ORDER BY q.source) AS rn
+           |  FROM c$k q, s$k w),
+           |st$k AS MATERIALIZED (
+           |  SELECT q.source, q.rate, q.cap,
+           |    CAST(q.alloc + q.addf
+           |      + CASE WHEN NOT q.capped AND q.rn = 1 AND q.ur > 0 AND q.pool_in > 0
+           |          THEN q.pool_in - (SELECT CAST(sum(addf) AS BIGINT) FROM d$k)
+           |          ELSE 0 END AS BIGINT) AS alloc,
+           |    q.capped AS capped
+           |  FROM d$k q),
+           |pl$k AS MATERIALIZED (
+           |  SELECT CAST(CASE WHEN ur > 0 AND pool_in > 0 THEN 0 ELSE pool_in END
+           |    AS BIGINT) AS pool FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      val R = RebalanceRounds
+      s"""WITH $budgetFrontSql,
+         |base AS MATERIALIZED (
+         |  SELECT source, n_unique, unique_tokens, rate,
+         |    CAST(($TrainBudgetTokens * rate) // sum_rates AS BIGINT) AS target,
+         |    CAST($MaxUniqueEpochs * unique_tokens AS BIGINT) AS cap
+         |  FROM r, t),
+         |st0 AS MATERIALIZED (SELECT source, rate, cap, target AS alloc, FALSE AS capped FROM base),
+         |pl0 AS MATERIALIZED (SELECT CAST($TrainBudgetTokens - sum(alloc) AS BIGINT) AS pool FROM st0),
+         |$rounds
+         |SELECT b.source, b.n_unique, b.unique_tokens, b.rate,
+         |  b.target AS target_tokens, b.cap AS cap_tokens,
+         |  z.alloc AS final_tokens,
+         |  CAST(z.capped AS INTEGER) AS data_capped,
+         |  CAST(z.alloc > b.target AS INTEGER) AS got_realloc,
+         |  CAST(z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE) AS repeat_x,
+         |  (SELECT pool FROM pl$R) AS unalloc_tokens
+         |FROM base b JOIN st$R z ON z.source = b.source
+         |ORDER BY b.source""".stripMargin
+    },
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

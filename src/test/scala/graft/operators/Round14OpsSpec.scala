@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Semantic invariants for the round-14 operators. Value-level
+  * cross-engine equality is the DuckDB crosscheck's job; these
+  * driver-replay the definitions from raw fixture rows and pin the
+  * properties a hash can't express.
+  */
+class Round14OpsSpec extends SparkSuite {
+  private val dir = sf("sf0.001")
+
+  test("x15: water-filling replays to fixpoint; conservation exact; the cascade bites") {
+    val rows = SparkEntry.queries("x15_budget_rebalance")(spark, dir).collect()
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sources = docs.map(_._1).distinct.sorted
+    assert(rows.length == sources.length)
+
+    // Independent replay: run the STATED rules (clamp at 4×unique;
+    // floor shares by rate; remainder to the lowest-named uncapped
+    // source; iterate) with a true fixpoint loop — no fixed round
+    // count — over BigInt, from the raw documents.
+    val budget = BigInt(SamplingPack.TrainBudgetTokens)
+    val rates = Seq(1000L, 500L, 250L, 750L)
+    def rateOf(src: String): Long = {
+      val g = src.stripPrefix("src").toInt / 5
+      if (g < rates.length) rates(g) else rates.last
+    }
+    val uniqTokens = sources.map { s =>
+      s -> docs.filter(_._1 == s).map(_._2).distinct
+        .map(_.split(" ", -1).length.toLong).sum
+    }.toMap
+    val sumRates = BigInt(sources.map(rateOf).sum)
+    val target = sources.map(s => s -> (budget * rateOf(s) / sumRates)).toMap
+    val cap = sources.map(s => s -> BigInt(4L * uniqTokens(s))).toMap
+    var alloc = target
+    var capped = Set.empty[String]
+    var pool = budget - target.values.sum
+    var changed = true
+    var guard = 0
+    while (changed && guard < 100) {
+      changed = false
+      sources.foreach { s =>
+        if (alloc(s) > cap(s)) { pool += alloc(s) - cap(s); alloc += s -> cap(s); changed = true }
+        if (alloc(s) >= cap(s) && !capped(s)) { capped += s; changed = true }
+      }
+      val un = sources.filterNot(capped)
+      val ur = BigInt(un.map(rateOf).sum)
+      if (ur > 0 && pool > 0) {
+        var dist = BigInt(0)
+        un.foreach { s =>
+          val add = pool * rateOf(s) / ur
+          alloc += s -> (alloc(s) + add); dist += add
+        }
+        alloc += un.head -> (alloc(un.head) + (pool - dist))
+        pool = BigInt(0)
+        changed = true
+      }
+      guard += 1
+    }
+    assert(guard < 100, "independent replay did not converge")
+
+    val unallocs = rows.map(_.getLong(10)).distinct
+    assert(unallocs.length == 1, "unalloc_tokens must be one global value")
+    // exact budget conservation: Σ final + unallocated == budget
+    assert(BigInt(rows.map(_.getLong(6)).sum) + unallocs.head == budget)
+
+    var realloc = 0
+    var cascade = 0
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(BigInt(r.getLong(4)) == target(s), s"target $s (x14 parity)")
+      assert(BigInt(r.getLong(5)) == cap(s), s"cap $s")
+      assert(BigInt(r.getLong(6)) == alloc(s), s"final $s (independent replay)")
+      // fixpoint: nothing above cap; capped flag ⇔ at cap
+      assert(r.getLong(6) <= r.getLong(5), s"over cap $s")
+      assert((r.getInt(7) == 1) == (r.getLong(6) == r.getLong(5)), s"capped flag $s")
+      assert((r.getInt(8) == 1) == (r.getLong(6) > r.getLong(4)), s"realloc flag $s")
+      // an uncapped source never LOST tokens
+      if (r.getInt(7) == 0) assert(r.getLong(6) >= r.getLong(4), s"uncapped lost $s")
+      assert(math.abs(r.getDouble(9) -
+        r.getLong(6).toDouble / r.getLong(2).toDouble) < 1e-12)
+      realloc += r.getInt(8)
+      cascade += (if (r.getInt(7) == 1 && r.getInt(8) == 1) 1 else 0)
+    }
+    // the verdict's requirement: ≥ 1 reallocation actually occurs
+    assert(realloc > 0, "fixture must exercise reallocation")
+    // and the MULTI-round cascade: some source RECEIVED tokens and then
+    // hit its own cap (src16/src19 on this fixture)
+    assert(cascade > 0, "fixture must exercise the clamp-after-receive cascade")
+    // both flag values present (the planning gate bites both ways)
+    val nCapped = rows.count(_.getInt(7) == 1)
+    assert(nCapped > 0 && nCapped < rows.length)
+  }
+}
