@@ -631,7 +631,7 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // t26: the Gopher STRUCTURAL rule set (Rae et al. '21 A1.1 — the
+    // t26: the FULL Gopher rule set (Rae et al. '21 A1.1 — the
     // MassiveText filter every later pipeline inherits), as one
     // compiled projection with per-rule diagnostics. t2 SCORES quality;
     // this GATES on the named rules, each decided in exact integers so
@@ -642,32 +642,70 @@ object TextPack extends QueryPack {
     // pass is needed); ≥ 2 stopwords (the Gopher "stop word" sanity
     // rule, compiled CountIn); ≥ 80 % of words contain an ASCII letter
     // (10·n_alpha ≥ 8·n, the compiled [[graft.functions.AlphaWordCount]]
-    // byte scan — no HOF lambda, no array materialization). Like t25
-    // the whole gate is scan-bandwidth: no shuffle, no join, no state —
-    // PlanSpec pins the shape — so it composes into the streaming
-    // ingest edge unchanged.
-    "t26_gopher_rules" -> ((s, dir) => {
-      val ws = tokens(col("text"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          size(ws).as("n_words"),
-          (length(col("text")) - (size(ws) - 1)).as("sum_word_chars"),
-          countIn(ws, stopwords).as("n_stop"),
-          alpha_word_count(col("text")).as("n_alpha"))
-        .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
-          col("n_stop"), col("n_alpha"),
-          (col("n_words") >= GopherMinWords &&
-            col("n_words") <= GopherMaxWords).cast("int").as("ok_words"),
-          (col("sum_word_chars") >= col("n_words") * 3 &&
-            col("sum_word_chars") <= col("n_words") * 10).cast("int").as("ok_word_len"),
-          (col("n_stop") >= GopherMinStop).cast("int").as("ok_stop"),
-          (col("n_alpha") * 10 >= col("n_words") * 8).cast("int").as("ok_alpha"))
-        .withColumn("pass",
-          (col("ok_words") + col("ok_word_len") + col("ok_stop") + col("ok_alpha") === 4)
-            .cast("int"))
-        .orderBy("doc_id")
-    })
+    // byte scan — no HOF lambda, no array materialization).
+    //
+    // The LINE-LEVEL rules (round 14, completing A1.1): ≤ 90 % of lines
+    // start with a bullet, ≤ 30 % end with an ellipsis, and the
+    // symbol-to-word ratio for '#' and for the ellipsis is ≤ 0.1. All
+    // counts are the replace-and-measure trick — occurrences(p) =
+    // length(text) − length(replace(text, p, pad)) with |pad| = |p|−1,
+    // so the count needs NO split, NO array, NO division (both engines
+    // replace non-overlapping left-to-right); the first/last line's
+    // missing '\n' is one startswith/endswith each; thresholds are
+    // cross-multiplied integers (10·bullets ≤ 9·lines, 10·ell_lines ≤
+    // 3·lines, 10·symbols ≤ words). The shared fixture corpus is
+    // single-line prose (no '\n'/'#'/'…'), so there the three new rules
+    // pass trivially — the hash check pins the arithmetic; the rules'
+    // BITE is pinned on planted multiline rows in Round14OpsSpec, the
+    // CorpusOpsSpec discipline. Like t25 the whole gate stays
+    // scan-bandwidth: no shuffle, no join, no state — PlanSpec pins the
+    // shape — so it composes into the streaming ingest edge unchanged.
+    "t26_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables(s, dir, "documents")).orderBy("doc_id"))
   )
+
+  /** The t26 gate over any (doc_id, text) frame — factored so the spec
+    * can drive it over planted multiline rows.
+    */
+  private[operators] def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    def occ(pat: String): Column =
+      length(col("text")) - length(replace(col("text"), lit(pat),
+        lit("\u0001" * (pat.length - 1))))
+    val nBullet = BulletPrefixes.map(p =>
+      occ("\n" + p) + startswith(col("text"), lit(p)).cast("int")).reduce(_ + _)
+    val nEllLines = EllipsisMarks.map(m =>
+      occ(m + "\n") + endswith(col("text"), lit(m)).cast("int")).reduce(_ + _)
+    docs
+      .select(col("doc_id"),
+        size(ws).as("n_words"),
+        (length(col("text")) - (size(ws) - 1)).as("sum_word_chars"),
+        countIn(ws, stopwords).as("n_stop"),
+        alpha_word_count(col("text")).as("n_alpha"),
+        (occ("\n") + 1).as("n_lines"),
+        nBullet.as("n_bullet_lines"),
+        nEllLines.as("n_ellipsis_lines"),
+        occ("#").as("n_hash"),
+        EllipsisMarks.map(occ).reduce(_ + _).as("n_ellipsis_marks"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
+        col("n_stop"), col("n_alpha"), col("n_lines"),
+        col("n_bullet_lines"), col("n_ellipsis_lines"),
+        col("n_hash"), col("n_ellipsis_marks"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).cast("int").as("ok_words"),
+        (col("sum_word_chars") >= col("n_words") * 3 &&
+          col("sum_word_chars") <= col("n_words") * 10).cast("int").as("ok_word_len"),
+        (col("n_stop") >= GopherMinStop).cast("int").as("ok_stop"),
+        (col("n_alpha") * 10 >= col("n_words") * 8).cast("int").as("ok_alpha"),
+        (col("n_bullet_lines") * 10 <= col("n_lines") * 9).cast("int").as("ok_bullet"),
+        (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3).cast("int").as("ok_ellipsis"),
+        (col("n_hash") * 10 <= col("n_words") &&
+          col("n_ellipsis_marks") * 10 <= col("n_words")).cast("int").as("ok_symbol"))
+      .withColumn("pass",
+        (col("ok_words") + col("ok_word_len") + col("ok_stop") + col("ok_alpha") +
+          col("ok_bullet") + col("ok_ellipsis") + col("ok_symbol") === 7)
+          .cast("int"))
+  }
 
   /** t26's rule constants — Gopher's published thresholds (word-count
     * window and the ≥ 2-stopword sanity rule; the 80 % alpha-word and
@@ -676,6 +714,13 @@ object TextPack extends QueryPack {
   private[operators] val GopherMinWords = 50
   private[operators] val GopherMaxWords = 100000
   private[operators] val GopherMinStop = 2
+
+  /** t26's line-level markers: bullet prefixes (first char distinct, so
+    * per-prefix counts sum exactly) and the two ellipsis spellings (a
+    * line end matches at most one — the last char is either '.' or '…').
+    */
+  private[operators] val BulletPrefixes = Seq("- ", "* ", "• ")
+  private[operators] val EllipsisMarks = Seq("...", "…")
 
   /** t25's policy blocklist. Contents are the deployment's policy call —
     * these four exercise the fixture (two present, two absent, so the
@@ -1361,28 +1406,54 @@ object TextPack extends QueryPack {
          |        / CAST(len($wsSql) AS DOUBLE), 6) AS block_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // t26: the same splits, counts, and cross-multiplied integer rule
+    // t26: the same splits, counts, replace-and-measure occurrence
+    // trick (pads via repeat(chr(1), |p|−1); both engines replace
+    // non-overlapping left-to-right), and cross-multiplied integer rule
     // boundaries; RE2's [A-Za-z] is the kernel's ASCII class.
-    "t26_gopher_rules" ->
+    "t26_gopher_rules" -> {
+      def occSql(patSql: String, patLen: Int): String =
+        if (patLen == 1) s"length(text) - length(replace(text, $patSql, ''))"
+        else s"length(text) - length(replace(text, $patSql, repeat(chr(1), ${patLen - 1})))"
+      def mark(m: String): String = if (m == "...") "'...'" else s"'$m'"
+      val nBullet = BulletPrefixes.map(p =>
+        s"(${occSql(s"chr(10) || '$p'", p.length + 1)})" +
+          s" + CAST(starts_with(text, '$p') AS INTEGER)").mkString(" + ")
+      val nEllLines = EllipsisMarks.map(m =>
+        s"(${occSql(s"${mark(m)} || chr(10)", m.length + 1)})" +
+          s" + CAST(ends_with(text, ${mark(m)}) AS INTEGER)").mkString(" + ")
+      val nEllMarks = EllipsisMarks.map(m => s"(${occSql(mark(m), m.length)})")
+        .mkString(" + ")
       s"""WITH b AS (
          |  SELECT doc_id,
          |    CAST(len($wsSql) AS INTEGER) AS n_words,
          |    CAST(length(text) - (len($wsSql) - 1) AS INTEGER) AS sum_word_chars,
          |    CAST(${countInSql(stopwords)} AS INTEGER) AS n_stop,
          |    CAST(len(list_filter($wsSql,
-         |      w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha,
+         |    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS INTEGER) AS n_lines,
+         |    CAST($nBullet AS INTEGER) AS n_bullet_lines,
+         |    CAST($nEllLines AS INTEGER) AS n_ellipsis_lines,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS INTEGER) AS n_hash,
+         |    CAST($nEllMarks AS INTEGER) AS n_ellipsis_marks
          |  FROM documents),
          |r AS (
          |  SELECT *,
          |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS INTEGER) AS ok_words,
          |    CAST(sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS INTEGER) AS ok_word_len,
          |    CAST(n_stop >= $GopherMinStop AS INTEGER) AS ok_stop,
-         |    CAST(n_alpha * 10 >= n_words * 8 AS INTEGER) AS ok_alpha
+         |    CAST(n_alpha * 10 >= n_words * 8 AS INTEGER) AS ok_alpha,
+         |    CAST(n_bullet_lines * 10 <= n_lines * 9 AS INTEGER) AS ok_bullet,
+         |    CAST(n_ellipsis_lines * 10 <= n_lines * 3 AS INTEGER) AS ok_ellipsis,
+         |    CAST(n_hash * 10 <= n_words
+         |         AND n_ellipsis_marks * 10 <= n_words AS INTEGER) AS ok_symbol
          |  FROM b)
          |SELECT doc_id, n_words, sum_word_chars, n_stop, n_alpha,
-         |  ok_words, ok_word_len, ok_stop, ok_alpha,
-         |  CAST(ok_words + ok_word_len + ok_stop + ok_alpha = 4 AS INTEGER) AS pass
+         |  n_lines, n_bullet_lines, n_ellipsis_lines, n_hash, n_ellipsis_marks,
+         |  ok_words, ok_word_len, ok_stop, ok_alpha, ok_bullet, ok_ellipsis, ok_symbol,
+         |  CAST(ok_words + ok_word_len + ok_stop + ok_alpha
+         |       + ok_bullet + ok_ellipsis + ok_symbol = 7 AS INTEGER) AS pass
          |FROM r ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

@@ -94,4 +94,63 @@ class Round14OpsSpec extends SparkSuite {
     val nCapped = rows.count(_.getInt(7) == 1)
     assert(nCapped > 0 && nCapped < rows.length)
   }
+
+  test("t26 line rules: counts replay the split-lines definition and each rule bites on planted rows") {
+    import spark.implicits._
+    // The shared corpus is single-line prose, so the line-level rules
+    // pass trivially there (the hash check pins the arithmetic); the
+    // BITE is proven here on planted multiline rows, one per failure
+    // mode plus the edge cases of the replace-and-measure trick.
+    val w40 = Seq.fill(40)("the word list goes on").mkString(" ") // filler words
+    val planted = Seq(
+      // every line a bullet (mixed prefixes; first line exercises the
+      // startswith path) → bullet fraction 100 % > 90 %
+      1L -> (1 to 10).map(i => s"- bullet $i item").mkString("\n")
+        .replaceFirst("- bullet 2", "* bullet 2")
+        .replaceFirst("- bullet 3", "• bullet 3"),
+      // 4 of 10 lines end with an ellipsis (both spellings; last line
+      // exercises the endswith path; '....'  still ONE ellipsis line)
+      2L -> ((1 to 6).map(i => s"plain line $i") ++
+        Seq("trailing dots...", "unicode mark…", "four dots....", "final...")).mkString("\n"),
+      // symbol-heavy: hashes > 10 % of words
+      3L -> "# # # heading with many hash marks here",
+      // ellipsis MARKS > 10 % of words (inline, not line-ends)
+      4L -> "some... words... with... many... inline... marks here now",
+      // multiline doc that passes every line rule (1 bullet of 12
+      // lines, 1 ellipsis line, no symbols)
+      5L -> (Seq("- one bullet", "middle line ends clean", "dotty but fine...") ++
+        (1 to 9).map(i => s"line $i $w40")).mkString("\n"))
+    val got = TextPack.gopherRules(planted.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent replay: split-lines definition, per planted row
+    def nonOverlapCount(s: String, pat: String): Int = {
+      var i = 0; var n = 0
+      while ({ val j = s.indexOf(pat, i); j >= 0 && { n += 1; i = j + pat.length; true } }) ()
+      n
+    }
+    val prefixes = Seq("- ", "* ", "• ")
+    val marks = Seq("...", "…")
+    planted.foreach { case (id, text) =>
+      val r = got(id)
+      val lines = text.split("\n", -1)
+      assert(r.getInt(5) == lines.length, s"n_lines $id")
+      assert(r.getInt(6) == lines.count(l => prefixes.exists(l.startsWith)),
+        s"n_bullet_lines $id")
+      assert(r.getInt(7) == lines.count(l => marks.exists(l.endsWith)),
+        s"n_ellipsis_lines $id")
+      assert(r.getInt(8) == text.count(_ == '#'), s"n_hash $id")
+      assert(r.getInt(9) == marks.map(nonOverlapCount(text, _)).sum,
+        s"n_ellipsis_marks $id")
+    }
+    // each rule bites exactly where planted
+    assert(got(1L).getAs[Int]("ok_bullet") == 0)
+    assert(got(2L).getAs[Int]("ok_ellipsis") == 0)
+    assert(got(3L).getAs[Int]("ok_symbol") == 0)
+    assert(got(4L).getAs[Int]("ok_symbol") == 0)
+    Seq("ok_bullet", "ok_ellipsis", "ok_symbol").foreach { c =>
+      assert(got(5L).getAs[Int](c) == 1, s"doc 5 $c")
+    }
+    // and doc 2's '....' line counted once, its unicode mark once
+    assert(got(2L).getAs[Int]("n_ellipsis_lines") == 4)
+  }
 }
