@@ -797,12 +797,15 @@ object TextPack extends QueryPack {
     * shards makes the ContextCleaner drop them NOW rather than at the
     * next periodic sweep — that bound is what lets shard G+1's shuffle
     * reuse shard G's disk. The checkpoint trade under executor loss is
-    * measured, not assumed (SCALING §8, r13): shard mode FAILS LOUDLY
+    * measured, not assumed (SCALING §8, r13): with the default
+    * localCheckpoint, shard mode FAILS LOUDLY
     * (`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`) if an executor dies holding
-    * shard blocks — never wrong output — and the posture is
-    * rerun-the-job (pure batch function) or reliable `checkpoint()` on
-    * durable storage, the same stance [[graft.operators.DedupPack]]'s
-    * lshPairs documents. Exactness: pmod partitions the gram space,
+    * shard blocks — never wrong output — and since round 14
+    * `graft.scrub.checkpointDir` switches the per-shard checkpoints to
+    * reliable durable storage, proven to COMPLETE with a matching hash
+    * under a mid-run executor SIGKILL (CHAOS.local.json) at the cost of
+    * one extra write+read pass of the compact per-shard frames.
+    * Exactness: pmod partitions the gram space,
     * every (doc, start) carries exactly one gram, so the union of
     * per-shard hot starts IS the global hot-start set — no overlap, no
     * loss; TextSpec pins shards ∈ {1, 3} bit-identical on the fixture,
@@ -821,6 +824,22 @@ object TextPack extends QueryPack {
     val bcastMax = s.conf.getOption("graft.scrub.broadcastHotMax")
       .map(_.toLong).getOrElse(8000000L)
     require(shards >= 1, s"graft.scrub.dfShards must be >= 1, got $shards")
+    // graft.scrub.checkpointDir (round 14): when set, per-shard results
+    // checkpoint RELIABLY to this durable directory instead of to
+    // executor block storage (localCheckpoint). Closes the r13-measured
+    // executor-loss caveat: a localCheckpoint'd shard dies with the
+    // executor that held its blocks (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND —
+    // loud, never wrong), while a reliable checkpoint re-reads from the
+    // durable dir and the run COMPLETES under a mid-run SIGKILL
+    // (CHAOS.local.json, r14). Price: one extra write+read pass of the
+    // compact per-shard frames (hot grams + per-doc hot starts — the
+    // post-aggregation side, never the corpus), measured in SCALING §3e.
+    // On a cluster point it at shared storage (HDFS/NFS); unset keeps
+    // the r13 local-mode default.
+    val ckDir = s.conf.getOption("graft.scrub.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def shardCheckpoint(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val docs = Tables(s, dir, "documents")
     val eligible = docs.where(size(split(col("text"), " ")) >= 3)
     def shardOf(g: DataFrame, i: Int): DataFrame =
@@ -844,11 +863,10 @@ object TextPack extends QueryPack {
           .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
       else {
         val parts = (0 until shards).map { i =>
-          val hot = hotOf(docGrams(i)).localCheckpoint(true)
+          val hot = shardCheckpoint(hotOf(docGrams(i)))
           val hotSide = if (hot.count() <= bcastMax) broadcast(hot) else hot
-          val p = posGrams(i).join(hotSide, "g")
-            .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
-            .localCheckpoint(true)
+          val p = shardCheckpoint(posGrams(i).join(hotSide, "g")
+            .groupBy("doc_id").agg(collect_list(col("start")).as("starts")))
           // checkpoint truncated the lineage: this shard's shuffle
           // dependencies are now unreferenced — collect them before the
           // next shard allocates scratch (local-mode bound; a cluster's

@@ -137,9 +137,22 @@ class CorpusOpsSpec extends SparkSuite {
       assert(run() == onePass, "dfShards=3 diverged from the one-pass plan")
       spark.conf.set("graft.scrub.broadcastHotMax", "0")
       assert(run() == onePass, "forced shuffle-join hot path diverged")
+      // durable-checkpoint mode (r14): reliable checkpoint() to a dir
+      // must be output-identical too — and must actually WRITE there
+      spark.conf.unset("graft.scrub.broadcastHotMax")
+      val ck = java.nio.file.Files.createTempDirectory("graft-scrub-ck-")
+      spark.conf.set("graft.scrub.checkpointDir", ck.toString)
+      assert(run() == onePass, "checkpointDir mode diverged")
+      val wrote = java.nio.file.Files.walk(ck).filter(p =>
+        java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint wrote nothing to the durable dir")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ck).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
     } finally {
       spark.conf.unset("graft.scrub.dfShards")
       spark.conf.unset("graft.scrub.broadcastHotMax")
+      spark.conf.unset("graft.scrub.checkpointDir")
     }
   }
 
