@@ -109,6 +109,90 @@ class RecallSpec extends SparkSuite {
     assert(r2 >= 0.35, f"2-probe recall floor: $r2%.3f")
   }
 
+  test("e25 probe dial on a planted-cluster fixture: recall rises toward the exact ceiling") {
+    // The shared corpus is near-i.i.d. — the WORST case for blocking
+    // (0.200 @1-probe / 0.433 @2-probe, pinned above). Real multilingual
+    // embeddings co-locate translation pairs, so this plants that
+    // structure deterministically (seeded Gaussians — same discipline as
+    // ScaleUp's deterministic transforms): 25 concepts, each with 2
+    // correlated vectors per side, and sweeps probes {1,2,4} × nlist
+    // {16,64}, measuring pair recall vs the exact full-cross mining AND
+    // the candidate work fraction — both sides of the dial a deployment
+    // tunes. probeCids is the same (distance, index) ranking as the
+    // compiled NearestCentroids kernel (pinned by the e25 == replay
+    // assert above), so this curve IS e25's dial.
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    val concepts = 25
+    val perSide = 2
+    def gauss(seed: Long): Iterator[Double] = {
+      val r = new java.util.Random(seed); Iterator.continually(r.nextGaussian())
+    }
+    val centers = (0 until concepts).map(c =>
+      gauss(c * 7919L + 13).take(dim).map(_ * 0.5).toArray).toArray
+    val rowsIn = for {
+      c <- 0 until concepts; side <- 0 to 1; i <- 0 until perSide
+    } yield {
+      val g = gauss(c * 104729L + side * 31L + i)
+      val v = centers(c).map(x => (x + 0.05 * g.next()).toFloat).toSeq
+      (c * 1000L + side * 100L + i, side, v)
+    }
+    val emb = rowsIn.toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+    val cos6 = round(graft.functions.cosine_similarity(col("xe"), col("ye")) * 1e6, 0)
+      .cast("long").as("cos6")
+    def mine(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      SimilarityPack.marginMine(spark, cand).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = emb.where(col("label") === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xe"))
+    val b = emb.where(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("ye"))
+    val fullCross = a.crossJoin(b)
+    val exact = mine(fullCross.select(col("x_id"), col("y_id"), cos6))
+    assert(exact.nonEmpty)
+    val nCross = (concepts * perSide).toLong * (concepts * perSide)
+    val vecs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val curve = for (nlist <- Seq(16, 64)) yield {
+      val cents = IvfIndex.kmeans(spark, emb.select("vec_id", "embedding"), nlist, 3)
+      val byProbe = for (p <- Seq(1, 2, 4)) yield {
+        val lists = vecs.map { case (id, _, v) =>
+          id -> IvfIndex.probeCids(cents, v, p).toSet }.toMap
+        val cand = for {
+          (x, sx, _) <- vecs.toSeq if sx == 0
+          (y, sy, _) <- vecs.toSeq if sy == 1
+          if (lists(x) & lists(y)).nonEmpty
+        } yield (x, y)
+        val candDf = cand.toDF("x_id", "y_id")
+          .join(a, "x_id").join(b, "y_id")
+          .select(col("x_id"), col("y_id"), cos6)
+        val recall = (exact & mine(candDf)).size.toDouble / exact.size
+        val work = cand.size.toDouble / nCross
+        info(f"e25 dial nlist=$nlist%2d probes=$p: recall=$recall%.3f " +
+          f"candidate work=${cand.size}%4d/$nCross ($work%.3f)")
+        (recall, work)
+      }
+      // recall is monotone in probes on the pinned fixture, and the
+      // blocking genuinely prunes (work fraction < 1) at every point
+      assert(byProbe.map(_._1) == byProbe.map(_._1).sorted,
+        s"nlist=$nlist: recall not rising with probes: ${byProbe.map(_._1)}")
+      assert(byProbe.forall(_._2 < 1.0), s"nlist=$nlist: blocking degenerated to full cross")
+      assert(byProbe.map(_._2) == byProbe.map(_._2).sorted,
+        s"nlist=$nlist: candidate work not rising with probes")
+      byProbe
+    }
+    // on clustered data the dial reaches (near) the exact ceiling:
+    // 4 probes over nlist=16 must recover >= 0.9 of the exact pairs,
+    // and even 1 probe beats the near-i.i.d. fixture's 0.200 floor
+    assert(curve.head.last._1 >= 0.9,
+      f"nlist=16 @4-probe recall ${curve.head.last._1}%.3f below the clustered ceiling")
+    assert(curve.head.head._1 >= 0.5,
+      f"nlist=16 @1-probe recall ${curve.head.head._1}%.3f — clustering should dominate the i.i.d. 0.200")
+    emb.unpersist()
+  }
+
   test("e5 IVF KNN: recall@20 vs exact e1 >= 0.8") {
     val exact = topIds("e1_knn_brute")
     val ivf = topIds("e5_ivf_knn")
