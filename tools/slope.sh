@@ -48,10 +48,15 @@ CONF="spark.sql.shuffle.partitions=$SP,spark.sql.files.maxPartitionBytes=8m"
 [ -n "$EXTRA_CONF" ] && CONF="$CONF,$EXTRA_CONF"
 
 echo "=== $(date -u +%FT%TZ) $LABEL ===" >> "$OUT"
+# stderr goes to a per-cell file under captures/, NOT /dev/null: a failed
+# cell's error text must survive the run (an r14 x10000m cell failed
+# transiently and the discard left nothing to diagnose).
+ERRLOG="captures/slope_$(date -u +%Y%m%dT%H%M%SZ)_$(echo "$QUERY" | tr -c 'A-Za-z0-9' _).stderr"
+mkdir -p captures
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_QUERIES="$QUERY" SPARK_GRAFT_CONF="$CONF" \
 SPARK_GRAFT_REPS="$REPS" \
 java -Xmx24g -XX:+UseG1GC "${JOPTS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench 2>/dev/null | grep '"metric"' | tee -a "$OUT"
+  graft.Bench 2>"$ERRLOG" | grep '"metric"' | tee -a "$OUT"
