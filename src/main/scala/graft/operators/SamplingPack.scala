@@ -580,52 +580,136 @@ object SamplingPack extends QueryPack {
     // TrainBudgetTokens / MaxUniqueEpochs with x1/x14, so sampler, gate,
     // and rebalancer cannot disagree.
     "x15_budget_rebalance" -> ((s, dir) => {
-      val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
-      val n = per.length
-      val src = per.map(_.getString(0))
-      val nUniq = per.map(_.getLong(1))
-      val uTok = per.map(_.getLong(2))
-      val rate = per.map(_.getLong(3))
-      val sumRates = rate.sum
-      val B = TrainBudgetTokens
-      val target = rate.map(r => B * r / sumRates)
-      val cap = uTok.map(_ * MaxUniqueEpochs)
-      val alloc = target.clone()
-      val capped = Array.fill(n)(false)
-      var pool = B - target.sum // the initial division's global remainder
-      var round = 0
-      while (round < RebalanceRounds) {
-        var i = 0
-        while (i < n) { // clamp
-          if (alloc(i) > cap(i)) { pool += alloc(i) - cap(i); alloc(i) = cap(i) }
-          if (alloc(i) >= cap(i)) capped(i) = true
-          i += 1
-        }
-        val ur = (0 until n).collect { case i if !capped(i) => rate(i) }.sum
-        if (ur > 0 && pool > 0) { // redistribute: floor shares + remainder
-          var dist = 0L
-          for (i <- 0 until n if !capped(i)) {
-            val add = pool * rate(i) / ur
-            alloc(i) += add; dist += add
-          }
-          alloc((0 until n).find(!capped(_)).get) += pool - dist
-          pool = 0L
-        }
-        round += 1
-      }
-      require((0 until n).forall(i => alloc(i) <= cap(i)),
-        s"x15: no fixpoint within $RebalanceRounds rounds — raise RebalanceRounds")
-      val unalloc = pool
+      val (plan, unalloc) = waterFillPlan(s, dir)
       import s.implicits._
-      (0 until n).map { i =>
-        (src(i), nUniq(i), uTok(i), rate(i), target(i), cap(i), alloc(i),
-          if (capped(i)) 1 else 0, if (alloc(i) > target(i)) 1 else 0,
-          alloc(i).toDouble / uTok(i).toDouble, unalloc)
+      plan.map { p =>
+        (p.source, p.nUnique, p.uniqueTokens, p.rate, p.target, p.cap,
+          p.alloc, if (p.capped) 1 else 0, if (p.alloc > p.target) 1 else 0,
+          p.alloc.toDouble / p.uniqueTokens.toDouble, unalloc)
       }.toDF("source", "n_unique", "unique_tokens", "rate", "target_tokens",
         "cap_tokens", "final_tokens", "data_capped", "got_realloc",
         "repeat_x", "unalloc_tokens")
+    }),
+
+    // x16: REALIZE the rebalanced plan — the sampler that executes what
+    // x15 decided, closing the mixture loop x13 (card) → x14 (gate) →
+    // x15 (plan) → x16 (sample). Per source, the plan's final_tokens
+    // buys `full_epochs = final div unique_tokens` complete epochs of
+    // the DEDUPED corpus (d1's keep-min-doc_id rule — the budget was
+    // priced on unique mass, so the sampler draws from unique docs)
+    // plus one PARTIAL epoch: kept docs in deterministic salted-hash
+    // order whose running token total fits the division remainder
+    // (`cum_after ≤ final mod unique_tokens` — the same
+    // content-independent hash-order discipline as x1/x3, so the
+    // partial prefix is stable under reshuffling, retries, and
+    // scale-out). Every kept doc emits n_repeats = full_epochs (+1 in
+    // the prefix); realized_tokens ≤ final_tokens with shortfall
+    // smaller than one document — exact integers end to end, and
+    // n_repeats ≤ MaxUniqueEpochs by x15's cap.
+    //
+    // Scale shape: the (source, fp) dedup is the ONE corpus shuffle
+    // (shared rule with x13/x14/x15's front); the per-source running
+    // token sum is the x2/x3 two-level prefix — within-(source, hash-
+    // bucket) window at 4096× parallelism plus a broadcast-sized
+    // (sources × buckets) offset frame — so no stage ever sorts or
+    // windows a whole source in one task; the plan itself is the
+    // |sources|-row broadcast.
+    "x16_rebalanced_sample" -> ((s, dir) => {
+      val (plan, _) = waterFillPlan(s, dir)
+      import s.implicits._
+      val planDf = plan.map { p =>
+        (p.source, p.alloc / p.uniqueTokens, p.alloc % p.uniqueTokens)
+      }.toDF("source", "full_epochs", "rem_tokens")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).as("n_tokens"),
+          md5Prefix60(col("text")).as("fp"))
+      // d1's keep rule: the unique representative is the min doc_id of
+      // its fingerprint group (within the source, matching the front's
+      // per-(source, fp) accounting)
+      val uniq = docs
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy("source", "fp")))
+        .where(col("doc_id") === col("keep_id"))
+        .drop("keep_id", "fp")
+      // deterministic draw order (content-independent, salted) + the
+      // x3-style uniform rank bucket from its leading hex digits
+      val h = md5(concat(lit("real:"), col("doc_id").cast("string")).cast("binary"))
+      val ordered = uniq.withColumn("hh", h)
+        .withColumn("rbucket", substring(col("hh"), 1, 3))
+      val offsets = ordered.groupBy("source", "rbucket")
+        .agg(sum(col("n_tokens")).as("btok"))
+        .withColumn("boff",
+          sum(col("btok")).over(Window.partitionBy("source").orderBy("rbucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("btok"))
+        .select(col("source"), col("rbucket"), col("boff"))
+      val inBucket = Window.partitionBy("source", "rbucket")
+        .orderBy(col("hh"), col("doc_id"))
+      ordered.join(broadcast(offsets), Seq("source", "rbucket"))
+        .withColumn("cum_after",
+          col("boff") + sum(col("n_tokens")).over(inBucket))
+        .join(broadcast(planDf), "source")
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("full_epochs") +
+            when(col("cum_after") <= col("rem_tokens"), 1L).otherwise(0L))
+            .as("n_repeats"))
+        .where(col("n_repeats") >= 1)
+        .orderBy("doc_id")
     })
   )
+
+  /** One source's rebalanced allocation (x15's row, x16's input). */
+  private[operators] final case class PlanRow(
+      source: String, nUnique: Long, uniqueTokens: Long, rate: Long,
+      target: Long, cap: Long, alloc: Long, capped: Boolean)
+
+  /** The x15 water-filling loop — ONE definition shared by the plan
+    * query (x15) and the realizing sampler (x16), so plan and execution
+    * cannot disagree. Returns the per-source rows sorted by source plus
+    * the unallocated residue. See the x15 entry's scaladoc for the
+    * stated rules and the fixpoint bound.
+    */
+  private[operators] def waterFillPlan(
+      s: SparkSession, dir: String): (Seq[PlanRow], Long) = {
+    val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
+    val n = per.length
+    val src = per.map(_.getString(0))
+    val nUniq = per.map(_.getLong(1))
+    val uTok = per.map(_.getLong(2))
+    val rate = per.map(_.getLong(3))
+    val sumRates = rate.sum
+    val B = TrainBudgetTokens
+    val target = rate.map(r => B * r / sumRates)
+    val cap = uTok.map(_ * MaxUniqueEpochs)
+    val alloc = target.clone()
+    val capped = Array.fill(n)(false)
+    var pool = B - target.sum // the initial division's global remainder
+    var round = 0
+    while (round < RebalanceRounds) {
+      var i = 0
+      while (i < n) { // clamp
+        if (alloc(i) > cap(i)) { pool += alloc(i) - cap(i); alloc(i) = cap(i) }
+        if (alloc(i) >= cap(i)) capped(i) = true
+        i += 1
+      }
+      val ur = (0 until n).collect { case i if !capped(i) => rate(i) }.sum
+      if (ur > 0 && pool > 0) { // redistribute: floor shares + remainder
+        var dist = 0L
+        for (i <- 0 until n if !capped(i)) {
+          val add = pool * rate(i) / ur
+          alloc(i) += add; dist += add
+        }
+        alloc((0 until n).find(!capped(_)).get) += pool - dist
+        pool = 0L
+      }
+      round += 1
+    }
+    require((0 until n).forall(i => alloc(i) <= cap(i)),
+      s"x15: no fixpoint within $RebalanceRounds rounds — raise RebalanceRounds")
+    ((0 until n).map(i => PlanRow(src(i), nUniq(i), uTok(i), rate(i),
+      target(i), cap(i), alloc(i), capped(i))), pool)
+  }
 
   /** The shared x14/x15 front: per-source deduped token mass (d1's exact
     * fingerprint rule — fp groups are identical texts, so max(n_tokens)
@@ -737,6 +821,64 @@ object SamplingPack extends QueryPack {
        |      ELSE ${Rates.last} END AS BIGINT) AS rate
        |  FROM b),
        |t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM r)""".stripMargin
+
+  /** The x15/x16 oracle chain (CTE bodies, no WITH): the budget front,
+    * the integer-div targets + caps (`base`), and every water-filling
+    * round replayed CTE-by-CTE — round k = c{k} (clamp + capped flags) →
+    * s{k} (pool-in + uncapped rates, one row) → d{k} (floor shares + the
+    * uncapped source numbering) → st{k} (apply shares, remainder to
+    * rn=1) → pl{k} (pool out: 0 after a distribution, carried when all
+    * capped). All BIGINT; rounds past the fixpoint are exact identities,
+    * so the static [[RebalanceRounds]] unroll replays the driver loop
+    * exactly. MATERIALIZED throughout — DuckDB would otherwise re-inline
+    * the round chain back to the corpus scan (measured: file-handle
+    * exhaustion at 24 rounds). Shared by the x15 and x16 oracles so the
+    * plan's replay and the sampler's replay cannot drift.
+    */
+  private lazy val rebalanceCtes: String = {
+    val rounds = (1 to RebalanceRounds).map { k =>
+      val p = k - 1
+      s"""c$k AS MATERIALIZED (
+         |  SELECT q.source, q.rate, q.cap,
+         |    CASE WHEN q.alloc > q.cap THEN q.cap ELSE q.alloc END AS alloc,
+         |    (q.capped OR q.alloc >= q.cap) AS capped
+         |  FROM st$p q),
+         |s$k AS MATERIALIZED (
+         |  SELECT CAST((SELECT pool FROM pl$p)
+         |      + sum(CASE WHEN q.alloc > q.cap THEN q.alloc - q.cap ELSE 0 END)
+         |      AS BIGINT) AS pool_in,
+         |    CAST(COALESCE(sum(CASE WHEN NOT (q.capped OR q.alloc >= q.cap)
+         |      THEN q.rate END), 0) AS BIGINT) AS ur
+         |  FROM st$p q),
+         |d$k AS MATERIALIZED (
+         |  SELECT q.source, q.rate, q.cap, q.alloc, q.capped, w.pool_in, w.ur,
+         |    CASE WHEN NOT q.capped AND w.ur > 0 AND w.pool_in > 0
+         |      THEN CAST((w.pool_in * q.rate) // w.ur AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS addf,
+         |    row_number() OVER (PARTITION BY q.capped ORDER BY q.source) AS rn
+         |  FROM c$k q, s$k w),
+         |st$k AS MATERIALIZED (
+         |  SELECT q.source, q.rate, q.cap,
+         |    CAST(q.alloc + q.addf
+         |      + CASE WHEN NOT q.capped AND q.rn = 1 AND q.ur > 0 AND q.pool_in > 0
+         |          THEN q.pool_in - (SELECT CAST(sum(addf) AS BIGINT) FROM d$k)
+         |          ELSE 0 END AS BIGINT) AS alloc,
+         |    q.capped AS capped
+         |  FROM d$k q),
+         |pl$k AS MATERIALIZED (
+         |  SELECT CAST(CASE WHEN ur > 0 AND pool_in > 0 THEN 0 ELSE pool_in END
+         |    AS BIGINT) AS pool FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$budgetFrontSql,
+       |base AS MATERIALIZED (
+       |  SELECT source, n_unique, unique_tokens, rate,
+       |    CAST(($TrainBudgetTokens * rate) // sum_rates AS BIGINT) AS target,
+       |    CAST($MaxUniqueEpochs * unique_tokens AS BIGINT) AS cap
+       |  FROM r, t),
+       |st0 AS MATERIALIZED (SELECT source, rate, cap, target AS alloc, FALSE AS capped FROM base),
+       |pl0 AS MATERIALIZED (SELECT CAST($TrainBudgetTokens - sum(alloc) AS BIGINT) AS pool FROM st0),
+       |$rounds""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     // x10: the two-level fill replayed as the single cumulative window it
@@ -859,60 +1001,59 @@ object SamplingPack extends QueryPack {
     // (pool out: 0 after a distribution, carried when all capped). All
     // BIGINT; rounds past the fixpoint are exact identities, so the
     // static [[RebalanceRounds]] unroll replays the driver loop exactly.
-    "x15_budget_rebalance" -> {
-      val rounds = (1 to RebalanceRounds).map { k =>
-        val p = k - 1
-        s"""c$k AS MATERIALIZED (
-           |  SELECT q.source, q.rate, q.cap,
-           |    CASE WHEN q.alloc > q.cap THEN q.cap ELSE q.alloc END AS alloc,
-           |    (q.capped OR q.alloc >= q.cap) AS capped
-           |  FROM st$p q),
-           |s$k AS MATERIALIZED (
-           |  SELECT CAST((SELECT pool FROM pl$p)
-           |      + sum(CASE WHEN q.alloc > q.cap THEN q.alloc - q.cap ELSE 0 END)
-           |      AS BIGINT) AS pool_in,
-           |    CAST(COALESCE(sum(CASE WHEN NOT (q.capped OR q.alloc >= q.cap)
-           |      THEN q.rate END), 0) AS BIGINT) AS ur
-           |  FROM st$p q),
-           |d$k AS MATERIALIZED (
-           |  SELECT q.source, q.rate, q.cap, q.alloc, q.capped, w.pool_in, w.ur,
-           |    CASE WHEN NOT q.capped AND w.ur > 0 AND w.pool_in > 0
-           |      THEN CAST((w.pool_in * q.rate) // w.ur AS BIGINT)
-           |      ELSE CAST(0 AS BIGINT) END AS addf,
-           |    row_number() OVER (PARTITION BY q.capped ORDER BY q.source) AS rn
-           |  FROM c$k q, s$k w),
-           |st$k AS MATERIALIZED (
-           |  SELECT q.source, q.rate, q.cap,
-           |    CAST(q.alloc + q.addf
-           |      + CASE WHEN NOT q.capped AND q.rn = 1 AND q.ur > 0 AND q.pool_in > 0
-           |          THEN q.pool_in - (SELECT CAST(sum(addf) AS BIGINT) FROM d$k)
-           |          ELSE 0 END AS BIGINT) AS alloc,
-           |    q.capped AS capped
-           |  FROM d$k q),
-           |pl$k AS MATERIALIZED (
-           |  SELECT CAST(CASE WHEN ur > 0 AND pool_in > 0 THEN 0 ELSE pool_in END
-           |    AS BIGINT) AS pool FROM s$k)""".stripMargin
-      }.mkString(",\n")
-      val R = RebalanceRounds
-      s"""WITH $budgetFrontSql,
-         |base AS MATERIALIZED (
-         |  SELECT source, n_unique, unique_tokens, rate,
-         |    CAST(($TrainBudgetTokens * rate) // sum_rates AS BIGINT) AS target,
-         |    CAST($MaxUniqueEpochs * unique_tokens AS BIGINT) AS cap
-         |  FROM r, t),
-         |st0 AS MATERIALIZED (SELECT source, rate, cap, target AS alloc, FALSE AS capped FROM base),
-         |pl0 AS MATERIALIZED (SELECT CAST($TrainBudgetTokens - sum(alloc) AS BIGINT) AS pool FROM st0),
-         |$rounds
+    "x15_budget_rebalance" ->
+      s"""WITH $rebalanceCtes
          |SELECT b.source, b.n_unique, b.unique_tokens, b.rate,
          |  b.target AS target_tokens, b.cap AS cap_tokens,
          |  z.alloc AS final_tokens,
          |  CAST(z.capped AS INTEGER) AS data_capped,
          |  CAST(z.alloc > b.target AS INTEGER) AS got_realloc,
          |  CAST(z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE) AS repeat_x,
-         |  (SELECT pool FROM pl$R) AS unalloc_tokens
-         |FROM base b JOIN st$R z ON z.source = b.source
-         |ORDER BY b.source""".stripMargin
-    },
+         |  (SELECT pool FROM pl$RebalanceRounds) AS unalloc_tokens
+         |FROM base b JOIN st$RebalanceRounds z ON z.source = b.source
+         |ORDER BY b.source""".stripMargin,
+
+    // x16: the SAME rebalance chain (shared rebalanceCtes — plan and
+    // sampler replay one definition), then the realization: per-source
+    // full_epochs + remainder by integer div/mod of st{R}'s alloc, d1's
+    // keep-min-doc_id dedup, and the partial-epoch prefix as ONE
+    // cumulative window per source ordered by (hh, doc_id) — equal to
+    // the engine's two-level (rbucket, hh, doc_id) prefix because the
+    // bucket is a hash prefix (the x3 oracle's argument, for a SUM).
+    "x16_rebalanced_sample" ->
+      s"""WITH $rebalanceCtes,
+         |plan AS MATERIALIZED (
+         |  SELECT b.source,
+         |    CAST(z.alloc // b.unique_tokens AS BIGINT) AS full_epochs,
+         |    CAST(z.alloc % b.unique_tokens AS BIGINT) AS rem_tokens
+         |  FROM base b JOIN st$RebalanceRounds z ON z.source = b.source),
+         |doc AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+         |  FROM documents),
+         |uq AS (
+         |  SELECT doc_id, source, n_tokens FROM (
+         |    SELECT doc_id, source, n_tokens,
+         |      min(doc_id) OVER (PARTITION BY source, fp) AS kid
+         |    FROM doc) WHERE doc_id = kid),
+         |ord AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    md5('real:' || CAST(doc_id AS VARCHAR)) AS hh
+         |  FROM uq),
+         |cum AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+         |  FROM ord)
+         |SELECT c.doc_id, c.source, c.n_tokens,
+         |  CAST(p.full_epochs
+         |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_repeats
+         |FROM cum c JOIN plan p ON p.source = c.source
+         |WHERE p.full_epochs
+         |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END >= 1
+         |ORDER BY c.doc_id""".stripMargin,
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

@@ -95,6 +95,52 @@ class Round14OpsSpec extends SparkSuite {
     assert(nCapped > 0 && nCapped < rows.length)
   }
 
+  test("x16: realizes x15's plan — budget respected per source, shortfall < one doc, prefix rule replays") {
+    val rows = SparkEntry.queries("x16_rebalanced_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val plan = SparkEntry.queries("x15_budget_rebalance")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(6))).toMap // unique, final
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent dedup: keep the min doc_id per (source, text)
+    val uniqueDocs = docs.groupBy(d => (d._2, d._3)).values
+      .map(_.minBy(_._1)).toSeq
+    assert(rows.map(_._1).toSet == uniqueDocs.map(_._1).toSet ||
+      rows.length < uniqueDocs.length, "output must be (a subset of) the unique representatives")
+    var partialSeen = 0
+    plan.foreach { case (src, (unique, fin)) =>
+      val mine = rows.filter(_._2 == src)
+      val full = fin / unique
+      val rem = fin % unique
+      // n_repeats ∈ {full, full+1}; realized ≤ final; shortfall < one doc
+      mine.foreach { m => assert(m._4 == full || m._4 == full + 1, s"$src n_repeats ${m._4}") }
+      val realized = mine.map(m => m._3 * m._4).sum
+      assert(realized <= fin, s"$src realized $realized > final $fin")
+      val srcUnique = uniqueDocs.filter(_._2 == src)
+      if (full >= 1) assert(mine.length == srcUnique.length, s"$src full epochs must keep every unique doc")
+      val maxDoc = srcUnique.map(_._3.split(" ", -1).length.toLong).max
+      assert(fin - realized < maxDoc, s"$src shortfall ${fin - realized} >= one doc ($maxDoc)")
+      // the partial prefix replays the salted-hash order
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hh(id: Long): String = {
+        md.reset()
+        md.digest(s"real:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val ordered = srcUnique.map(d => (d._1, d._3.split(" ", -1).length.toLong))
+        .sortBy { case (id, _) => (hh(id), id) }
+      var cum = 0L
+      val prefix = ordered.takeWhile { case (_, nt) => cum += nt; cum <= rem }.map(_._1).toSet
+      val gotPrefix = mine.filter(_._4 == full + 1).map(_._1).toSet
+      assert(gotPrefix == prefix, s"$src partial-epoch prefix mismatch")
+      if (prefix.nonEmpty && prefix.size < srcUnique.length) partialSeen += 1
+    }
+    // the fixture exercises a real partial epoch (not all-or-nothing)
+    assert(partialSeen > 0, "no source exercised a genuine partial-epoch prefix")
+    // and the cap holds end to end: nobody repeats past MaxUniqueEpochs
+    assert(rows.forall(_._4 <= SamplingPack.MaxUniqueEpochs))
+  }
+
   test("t26 line rules: counts replay the split-lines definition and each rule bites on planted rows") {
     import spark.implicits._
     // The shared corpus is single-line prose, so the line-level rules
