@@ -62,13 +62,20 @@ object ServeLatency {
     val windowSec = if (args.length > 2) args(2).toInt else 60
     val nClients = if (args.length > 3) args(3).toInt else 4
     val nKeys = math.max(1000L, nEvents / 10)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_JARS / SPARK_GRAFT_EXECUTOR_MEM:
+    // same contract as Bench/StreamThroughput — point the capture at the
+    // tools/cluster.sh standalone cluster so serving collects fetch
+    // state across real process boundaries (§10's topology column).
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(builder.config("spark.executor.memory", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def load1: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -167,6 +174,7 @@ object ServeLatency {
           s""","max_ms":${r3(xs.lastOption.getOrElse(0L) / 1000.0)}}"""
       }.mkString(",")
       s"""{"tool":"serve_latency","phase":"$phase","events":$nEvents""" +
+        s""","master":"${spark.sparkContext.master}"""" +
         s""","clients":$nClients,"window_sec":$windowSec,"requests":$requests""" +
         s""","errors":${errors.get()},"gen_changes":${genChanges.get()}""" +
         s""","gen_cache_hit_rate":${r3(hitRate)},"routes":{$routeJson}""" +
