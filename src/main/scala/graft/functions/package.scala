@@ -105,7 +105,13 @@ package object functions {
         AlphaWordCount(exprs.head)),
     ("nearest_centroids", classOf[NearestCentroids],
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NearestCentroids(exprs.head, exprs(1), exprs(2))))
+        NearestCentroids(exprs.head, exprs(1), exprs(2))),
+    ("repetition_stats", classOf[RepetitionStats],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RepetitionStats(exprs.head)),
+    ("c4_lines", classOf[C4Lines],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        C4Lines(exprs.head)))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
@@ -213,6 +219,19 @@ package object functions {
     */
   def alpha_word_count(text: Column): Column =
     columnOf(AlphaWordCount(exprOf(text)))
+
+  /** All fifteen Gopher-A1.2 repetition counters of a document in one
+    * compiled pass (lines/paragraphs/top- and dup-n-gram character
+    * masses). See [[RepetitionStats]].
+    */
+  def repetition_stats(text: Column): Column =
+    columnOf(RepetitionStats(exprOf(text)))
+
+  /** C4 line-level cleaning in one compiled pass — kept-line rebuild plus
+    * the page-gate signals. See [[C4Lines]].
+    */
+  def c4_lines(text: Column): Column =
+    columnOf(C4Lines(exprOf(text)))
 
   /** The p nearest centroid indices, closest first — the multi-probe
     * assignment projection. See [[NearestCentroids]].

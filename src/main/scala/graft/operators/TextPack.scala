@@ -661,7 +661,58 @@ object TextPack extends QueryPack {
     // scan-bandwidth: no shuffle, no join, no state — PlanSpec pins the
     // shape — so it composes into the streaming ingest edge unchanged.
     "t26_gopher_rules" -> ((s, dir) =>
-      gopherRules(Tables(s, dir, "documents")).orderBy("doc_id"))
+      gopherRules(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // t27: the COMPLETE Gopher repetition rule set (Rae et al. '21 Table
+    // A1 block A1.2 — the "repetitious documents" filters MassiveText
+    // applies beside t26's A1.1 block): duplicate line / paragraph
+    // fraction ≤ 30 %, duplicate line / paragraph CHARACTER fraction
+    // ≤ 20 %, top-{2,3,4}-gram character fraction ≤ {20, 18, 16} %, and
+    // duplicate-{5..10}-gram character fraction ≤ {15, 14, 13, 12, 11,
+    // 10} %. t8/t21 measure two repetition AXES (any-dup ratio,
+    // concentration); this gates on the full published rule table. All
+    // fifteen counters come from ONE compiled scan
+    // ([[graft.functions.RepetitionStats]] — per-doc hash maps, the
+    // n = 2..10 gram hashes extending each other per start position, so
+    // the family costs one O(9·chars) pass; no explode, no shuffle, no
+    // join: scan-bandwidth at any corpus size, streaming-edge-composable
+    // like t25/t26). Stated definitional choices (kernel scaladoc):
+    // beyond-first occurrences for line/para duplicates, ALL occurrences
+    // for dup-gram character mass (no overlap de-count — errs strict),
+    // max(count·len) for the top gram (order-free, no tiebreak can reach
+    // the output), grams keyed by the shared poly-hash the oracle
+    // replays, denominators = length(text). Thresholds cross-multiplied
+    // integers; pass = all 13. The shared corpus is single-line prose so
+    // the line/para rules pass trivially THERE (the hash check pins the
+    // arithmetic at both SFs); every rule's bite is pinned on planted
+    // repetitive multiline rows in Round14OpsSpec against an independent
+    // split-and-group replay, the t26 discipline.
+    "t27_repetition_rules" -> ((s, dir) =>
+      repetitionRules(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // t28: the C4 cleaning heuristics (Raffel et al. '20 §2.2) — the
+    // line-REWRITE companion to the Gopher gates (t26/t27 flag documents;
+    // C4 rebuilds them from their surviving lines, then gates the page).
+    // Line keep-rules: terminal punctuation ('.', '!', '?', '"'), ≥ 5
+    // words, no "javascript"; page gate: ≥ 3 sentence-end marks in the
+    // KEPT text (the stated proxy for C4's "at least three sentences"),
+    // no "lorem ipsum", no '{' (C4's bad-words page rule is t25). The
+    // whole pass is ONE compiled scan ([[graft.functions.C4Lines]] —
+    // kept-line rebuild + every gate signal, no array materialization,
+    // no shuffle/join/state: scan-bandwidth, streaming-edge-composable).
+    //
+    // The corpus is single-line unpunctuated prose, where every C4 rule
+    // is vacuous — so, t10's discipline, the page STRUCTURE is injected
+    // deterministically first and the oracle replays the identical
+    // construction: 8-word lines with a '.'/''/'?' suffix cycle (the ''
+    // lines and the short tail line exercise both drop rules), a
+    // "javascript" prefix on doc_id ≡ 0 (mod 13), a lorem-ipsum line on
+    // ≡ 0 (mod 7), a '{' code line on ≡ 0 (mod 11). The operator under
+    // test is the kernel + gate over the constructed page; planted-row
+    // bite is additionally pinned in Round14OpsSpec against an
+    // independent split-lines replay.
+    "t28_c4_filters" -> ((s, dir) =>
+      c4Filters(c4Pages(Tables(s, dir, "documents"))).orderBy("doc_id"))
   )
 
   /** The t26 gate over any (doc_id, text) frame — factored so the spec
@@ -706,6 +757,93 @@ object TextPack extends QueryPack {
           col("ok_bullet") + col("ok_ellipsis") + col("ok_symbol") === 7)
           .cast("int"))
   }
+
+  /** The t27 gate over any (doc_id, text) frame — factored so the spec
+    * can drive it over planted repetitive multiline rows. Two-level
+    * select: the kernel array is aliased once and indexed in the outer
+    * projection (CollapseProject keeps a non-cheap producer used 15×
+    * un-inlined, so the scan runs the kernel once per row).
+    */
+  private[operators] def repetitionRules(docs: DataFrame): DataFrame = {
+    val counterCols = RepetitionCounters.zipWithIndex.map {
+      case (name, i) => element_at(col("r"), i + 1).as(name) }
+    val topFlags = TopGramPct.map { case (n, pct) =>
+      s"ok_top$n" -> (col(s"top${n}_chars") * 100 <= col("len") * pct) }
+    val dupFlags = DupGramPct.map { case (n, pct) =>
+      s"ok_dup$n" -> (col(s"dup${n}_chars") * 100 <= col("len") * pct) }
+    val flags: Seq[(String, Column)] = Seq(
+      "ok_dup_lines" -> (col("dup_lines") * 10 <= col("n_lines") * 3),
+      "ok_dup_paras" -> (col("dup_paras") * 10 <= col("n_paras") * 3),
+      "ok_dup_line_chars" -> (col("dup_line_chars") * 10 <= col("len") * 2),
+      "ok_dup_para_chars" -> (col("dup_para_chars") * 10 <= col("len") * 2)) ++
+      topFlags ++ dupFlags
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        graft.functions.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id") +: col("len") +: counterCols: _*)
+      .select(col("doc_id") +: col("len") +:
+        (RepetitionCounters.map(col) ++
+          flags.map { case (name, c) => c.cast("int").as(name) }): _*)
+      .withColumn("pass",
+        (flags.map { case (name, _) => col(name) }.reduce(_ + _) ===
+          flags.size).cast("int"))
+  }
+
+  /** t28's deterministic page construction over the single-line corpus
+    * (fixture synthesis, not the operator under test — interpreted HOF
+    * lambdas are fine here and the oracle replays the identical chain):
+    * 8-word lines, suffix cycle '.' / '' / '?', doc_id-keyed javascript /
+    * lorem-ipsum / brace injections.
+    */
+  private[operators] def c4Pages(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val nChunks = ((size(ws) + lit(7)) / lit(8)).cast("int")
+    val lines = transform(sequence(lit(0), nChunks - 1), i =>
+      concat(array_join(slice(ws, i * 8 + 1, lit(8)), " "),
+        when(i % 3 === 0, ".").when(i % 3 === 1, "").otherwise("?")))
+    val page = concat(
+      when(col("doc_id") % 13 === 0, "javascript warning. ").otherwise(""),
+      array_join(lines, "\n"),
+      when(col("doc_id") % 7 === 0, "\nLorem ipsum dolor sit amet.").otherwise(""),
+      when(col("doc_id") % 11 === 0, "\nfunction f() { return 1; }").otherwise(""))
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), page.as("page"))
+  }
+
+  /** The t28 gate over any (doc_id, page) frame — factored so the spec
+    * can drive it over planted raw pages.
+    */
+  private[operators] def c4Filters(pages: DataFrame): DataFrame =
+    pages
+      .select(col("doc_id"), graft.functions.c4_lines(col("page")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_lines").as("n_lines"), col("r.n_kept").as("n_kept"),
+        col("r.n_sent").as("n_sent"), col("r.has_lorem").as("has_lorem"),
+        col("r.has_brace").as("has_brace"),
+        (col("r.n_sent") >= 3 && col("r.has_lorem") === 0 &&
+          col("r.has_brace") === 0).cast("int").as("kept"),
+        length(col("r.clean_text")).cast("long").as("clean_len"),
+        col("r.clean_text").as("clean_text"))
+
+  /** t27's kernel output slots, in [[graft.functions.RepetitionStats]]
+    * array order — shared by the projection and the spec's replay.
+    */
+  private[operators] val RepetitionCounters: Seq[String] = Seq(
+    "n_lines", "dup_lines", "dup_line_chars",
+    "n_paras", "dup_paras", "dup_para_chars",
+    "top2_chars", "top3_chars", "top4_chars",
+    "dup5_chars", "dup6_chars", "dup7_chars",
+    "dup8_chars", "dup9_chars", "dup10_chars")
+
+  /** t27's published per-n thresholds (percent of document characters):
+    * top-n-gram mass for n = 2..4, duplicate-n-gram mass for n = 5..10
+    * (Rae et al. '21 Table A1). Ordered Seqs — the flag column order is
+    * part of the contract.
+    */
+  private[operators] val TopGramPct: Seq[(Int, Int)] =
+    Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  private[operators] val DupGramPct: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
 
   /** t26's rule constants — Gopher's published thresholds (word-count
     * window and the ≥ 2-stopword sanity rule; the 80 % alpha-word and
@@ -1471,7 +1609,130 @@ object TextPack extends QueryPack {
          |  CAST(ok_words + ok_word_len + ok_stop + ok_alpha
          |       + ok_bullet + ok_ellipsis + ok_symbol = 7 AS INTEGER) AS pass
          |FROM r ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // t27: every counter replayed with the kernel's stated definitions —
+    // lines/paragraphs split-and-grouped as STRINGS (Σ(c−1) /
+    // Σ(c−1)·length beyond-first duplicate mass), the n = 2..10 grams
+    // keyed by the same poly-hash (DedupPack.polyHashSql) with min(len)
+    // per hash, max(c·len) for the top rules and Σ c·len over c > 1 for
+    // the dup rules, cross-multiplied integer flags. Docs too short for
+    // n grams coalesce to 0 (a left join from the base scan).
+    "t27_repetition_rules" -> {
+      val gramCtes = (2 to 10).map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, s.h AS h, s.gl AS gl FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      list_transform(range(1, len(ws) - ${n - 2}),
+           |        i -> array_to_string(ws[i:i+${n - 1}], ' ')),
+           |      sh -> struct_pack(h := ${DedupPack.polyHashSql},
+           |                        gl := CAST(length(sh) AS BIGINT)))) AS s
+           |    FROM w WHERE len(ws) >= $n)),
+           |c$n AS (SELECT doc_id, h, count(*) AS c, min(gl) AS gl
+           |        FROM g$n GROUP BY 1, 2),
+           |a$n AS (SELECT doc_id,
+           |  ${if (n <= 4)
+               s"CAST(max(c * gl) AS BIGINT) AS top${n}_chars"
+             else
+               s"CAST(sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS BIGINT) AS dup${n}_chars"}
+           |  FROM c$n GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      def segCtes(tag: String, delimSql: String, what: String): String =
+        s"""${tag}s AS (SELECT doc_id, unnest(string_split(text, $delimSql)) AS seg
+           |  FROM documents),
+           |${tag}c AS (SELECT doc_id, seg, count(*) AS c FROM ${tag}s GROUP BY 1, 2),
+           |${tag}a AS (SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_$what,
+           |  CAST(sum(c - 1) AS BIGINT) AS dup_$what,
+           |  CAST(sum((c - 1) * length(seg)) AS BIGINT) AS dup_${tag}_chars
+           |  FROM ${tag}c GROUP BY doc_id)""".stripMargin
+      val gramCols = ((2 to 4).map(n => s"top${n}_chars") ++
+        (5 to 10).map(n => s"dup${n}_chars"))
+        .map(c => s"coalesce($c, 0) AS $c").mkString(",\n  ")
+      val joins = (2 to 10).map(n => s"LEFT JOIN a$n USING (doc_id)")
+        .mkString(" ")
+      val topFlagSql = TopGramPct.map { case (n, pct) =>
+        s"CAST(top${n}_chars * 100 <= len * $pct AS INTEGER) AS ok_top$n" }
+      val dupFlagSql = DupGramPct.map { case (n, pct) =>
+        s"CAST(dup${n}_chars * 100 <= len * $pct AS INTEGER) AS ok_dup$n" }
+      val flagSql = (Seq(
+        "CAST(dup_lines * 10 <= n_lines * 3 AS INTEGER) AS ok_dup_lines",
+        "CAST(dup_paras * 10 <= n_paras * 3 AS INTEGER) AS ok_dup_paras",
+        "CAST(dup_line_chars * 10 <= len * 2 AS INTEGER) AS ok_dup_line_chars",
+        "CAST(dup_para_chars * 10 <= len * 2 AS INTEGER) AS ok_dup_para_chars") ++
+        topFlagSql ++ dupFlagSql).mkString(",\n    ")
+      val flagNames = Seq("ok_dup_lines", "ok_dup_paras",
+        "ok_dup_line_chars", "ok_dup_para_chars") ++
+        TopGramPct.map { case (n, _) => s"ok_top$n" } ++
+        DupGramPct.map { case (n, _) => s"ok_dup$n" }
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
+         |${segCtes("line", "chr(10)", "lines")},
+         |${segCtes("para", "chr(10) || chr(10)", "paras")},
+         |$gramCtes,
+         |r AS (
+         |  SELECT doc_id, len,
+         |    n_lines, dup_lines, dup_line_chars,
+         |    n_paras, dup_paras, dup_para_chars,
+         |    $gramCols
+         |  FROM base JOIN linea USING (doc_id)
+         |    JOIN paraa USING (doc_id) $joins),
+         |f AS (
+         |  SELECT *,
+         |    $flagSql
+         |  FROM r)
+         |SELECT *, CAST(${flagNames.mkString(" + ")} = ${flagNames.size}
+         |  AS INTEGER) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    // t28: the page construction replayed chunk-for-chunk (8-word slices,
+    // '.'/''/'?' suffix cycle, doc_id-keyed injections), then the kernel's
+    // keep-rules as a list_filter and the sentence count by
+    // replace-and-measure over the kept text.
+    "t28_c4_filters" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pg AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 13 = 0 THEN 'javascript warning. ' ELSE '' END) ||
+         |    array_to_string(list_transform(range(0, (len(ws) + 7) // 8), i ->
+         |      array_to_string(ws[8*i+1 : 8*i+8], ' ') ||
+         |      (CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END)),
+         |      chr(10)) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() {' || ' return 1; }' ELSE '' END)
+         |    AS page
+         |  FROM w),
+         |ln AS (SELECT doc_id, page, string_split(page, chr(10)) AS lns FROM pg),
+         |kp AS (
+         |  SELECT doc_id, page, lns,
+         |    list_filter(lns, l -> length(l) > 0
+         |      AND right(l, 1) IN ('.', '!', '?', '"')
+         |      AND len(string_split(l, ' ')) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) AS kl
+         |  FROM ln),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(len(kl) AS BIGINT) AS n_kept,
+         |    coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
+         |    CAST(contains(lower(page), 'lorem ipsum') AS INTEGER) AS has_lorem,
+         |    CAST(contains(page, '{') AS INTEGER) AS has_brace
+         |  FROM kp),
+         |g AS (
+         |  SELECT doc_id, n_lines, n_kept,
+         |    CAST((length(clean_text) - length(replace(clean_text, '.', '')))
+         |       + (length(clean_text) - length(replace(clean_text, '!', '')))
+         |       + (length(clean_text) - length(replace(clean_text, '?', '')))
+         |      AS BIGINT) AS n_sent,
+         |    has_lorem, has_brace,
+         |    CAST(length(clean_text) AS BIGINT) AS clean_len,
+         |    clean_text
+         |  FROM f)
+         |SELECT doc_id, n_lines, n_kept, n_sent, has_lorem, has_brace,
+         |  CAST(n_sent >= 3 AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS kept,
+         |  clean_len, clean_text
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 
   /** The BPE training replay through merge [[BpeIters]]: word

@@ -80,7 +80,8 @@ class ExtensionsSpec extends SparkSuite {
       "cosine_similarity", "winnow_fingerprints", "nearest_centroid",
       "shingle_hashes", "shingle_hashes_bag", "count_in", "bpe_token_count",
       "bloom_hits", "bigram_context_hashes", "lsh_bucket_codes", "sq8_cosine",
-      "sign_bits", "scrub_spans", "alpha_word_count", "nearest_centroids"))
+      "sign_bits", "scrub_spans", "alpha_word_count", "nearest_centroids",
+      "repetition_stats", "c4_lines"))
   }
 
   test("kmv_distinct is SQL-callable as an aggregate after registerAll") {

@@ -643,6 +643,39 @@ class PlanSpec extends SparkSuite {
     assert(lambdas.isEmpty, s"t26 contains interpreted HOF lambdas: $lambdas")
   }
 
+  test("t27 repetition gate: ONE kernel pass, scan-bandwidth — no join/aggregate/window/lambda") {
+    // t26's contract, plus: the 15 element_at slots must NOT re-inline
+    // the kernel (CollapseProject duplicating a non-cheap producer would
+    // turn one O(9·chars) scan into fifteen) — exactly one
+    // repetition_stats call in the optimized plan
+    val p = plan("t27_repetition_rules")
+    assert(p.contains("repetition_stats"), p)
+    assert(p.split("repetition_stats", -1).length - 1 == 1,
+      s"kernel inlined more than once:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    val opt = SparkEntry.queries("t27_repetition_rules")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val lambdas = opt.collect { case node =>
+      node.expressions.flatMap(_.collect { case l: LambdaFunction => l })
+    }.flatten
+    assert(lambdas.isEmpty, s"t27 contains interpreted HOF lambdas: $lambdas")
+  }
+
+  test("t28 C4 rewrite: one kernel pass over the page, no join/aggregate/window") {
+    // the page CONSTRUCTION is fixture synthesis (HOF lambdas allowed
+    // there); the operator itself must stay a single compiled map pass
+    val p = plan("t28_c4_filters")
+    assert(p.contains("c4_lines"), p)
+    assert(p.split("c4_lines", -1).length - 1 == 1,
+      s"kernel inlined more than once:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("e22 drift audit: compiled per-row distortion, k-bounded agg computed once") {
     val p = plan("e22_ivf_drift")
     // the k-row byList frame is localCheckpoint-materialized and feeds

@@ -199,4 +199,140 @@ class Round14OpsSpec extends SparkSuite {
     // and doc 2's '....' line counted once, its unicode mark once
     assert(got(2L).getAs[Int]("n_ellipsis_lines") == 4)
   }
+
+  test("t27: counters replay an independent string-grouped definition; each rule family bites on planted rows") {
+    import spark.implicits._
+    // The shared corpus is single-line prose with no repeated ≥5-grams,
+    // so the line/paragraph and dup-gram rules pass trivially THERE (the
+    // hash check pins the arithmetic; the sf0.01 fixture does exercise
+    // the top-2/3/4 rules). Here: planted rows per failure mode, counters
+    // replayed by grouping actual STRINGS — independent of the kernel's
+    // poly-hash keying and extending-fold construction.
+    val longLine = (1 to 60).map(i => s"unique word number $i").mkString(" ")
+    val planted = Seq(
+      // 5 copies of a short line among 6 long unique ones: dup-line
+      // FRACTION 4/11 > 30 % bites, dup-line CHARS (4 chars) passes
+      1L -> ((1 to 6).map(i => s"long unique line $i $longLine") ++ Seq.fill(5)("x"))
+        .mkString("\n"),
+      // 2 copies of one very long line among 9 short unique ones: 1/11
+      // dup fraction passes, dup CHARS > 20 % bites
+      2L -> (Seq(longLine, longLine) ++ (1 to 9).map(i => s"s $i")).mkString("\n"),
+      // duplicated PARAGRAPHS (multi-line, separated by blank lines):
+      // 3 copies of a two-line para among 4 unique paras → 2/7 ≈ 29 %
+      // passes the fraction but the copies are long → para CHARS bite
+      3L -> (Seq.fill(3)("para line one\npara line two") ++
+        (1 to 4).map(i => s"u $i")).mkString("\n\n"),
+      // one 2-gram claims most of the doc: top2 (and top3/top4) bite
+      4L -> Seq.fill(30)("spam ham").mkString(" "),
+      // a 10-word phrase repeated twice in an otherwise-unique doc:
+      // every dup-n rule n = 5..10 bites (subgrams of the repeat), the
+      // doc is short enough that 2·phrase > 15 % of chars
+      5L -> {
+        val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+        s"$phrase start filler one two three $phrase"
+      },
+      // a long multiline doc passing EVERY rule — every word unique
+      // (words split on SPACE only, so a line's last word glues to the
+      // next line's first through the '\n': still unique here)
+      6L -> (1 to 12).map(i => s"aa$i bb$i cc$i dd$i ee$i ff$i").mkString("\n"))
+    val got = TextPack.repetitionRules(planted.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def groupDup(segs: Seq[String]): (Long, Long, Long) = {
+      val byKey = segs.groupBy(identity).view.mapValues(_.size.toLong)
+      val dups = byKey.values.filter(_ > 1).map(_ - 1).sum
+      val dupChars = byKey.collect {
+        case (s, c) if c > 1 => (c - 1) * s.length }.sum
+      (segs.length.toLong, dups, dupChars)
+    }
+    planted.foreach { case (id, text) =>
+      val r = got(id)
+      assert(r.getLong(1) == text.length.toLong, s"len $id")
+      val (nl, dl, dlc) = groupDup(text.split("\n", -1).toSeq)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((nl, dl, dlc)), s"lines $id")
+      val (np, dp, dpc) = groupDup(text.split("\n\n", -1).toSeq)
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((np, dp, dpc)), s"paras $id")
+      val ws = text.split(" ", -1)
+      for (n <- 2 to 10) {
+        val grams = ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val byG = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        if (n <= 4) {
+          val top = if (byG.isEmpty) 0L
+            else byG.map { case (g, c) => c * g.length }.max
+          assert(r.getAs[Long](s"top${n}_chars") == top, s"top$n $id")
+        } else {
+          val dup = byG.collect { case (g, c) if c > 1 => c * g.length }.sum
+          assert(r.getAs[Long](s"dup${n}_chars") == dup, s"dup$n $id")
+        }
+      }
+    }
+    // each family bites exactly where planted
+    assert(got(1L).getAs[Int]("ok_dup_lines") == 0, "doc1 line fraction")
+    assert(got(1L).getAs[Int]("ok_dup_line_chars") == 1, "doc1 line chars must pass")
+    assert(got(2L).getAs[Int]("ok_dup_lines") == 1, "doc2 line fraction must pass")
+    assert(got(2L).getAs[Int]("ok_dup_line_chars") == 0, "doc2 line chars")
+    assert(got(3L).getAs[Int]("ok_dup_paras") == 1, "doc3 para fraction must pass")
+    assert(got(3L).getAs[Int]("ok_dup_para_chars") == 0, "doc3 para chars")
+    Seq("ok_top2", "ok_top3", "ok_top4").foreach { c =>
+      assert(got(4L).getAs[Int](c) == 0, s"doc4 $c") }
+    (5 to 10).foreach { n =>
+      assert(got(5L).getAs[Int](s"ok_dup$n") == 0, s"doc5 ok_dup$n") }
+    val flagCols = got(6L).schema.fieldNames.filter(_.startsWith("ok_"))
+    flagCols.foreach { c => assert(got(6L).getAs[Int](c) == 1, s"doc6 $c") }
+    assert(got(6L).getAs[Int]("pass") == 1 && got(5L).getAs[Int]("pass") == 0)
+  }
+
+  test("t28: kernel replays an independent line-filter definition; every rule bites on planted pages") {
+    import spark.implicits._
+    // The crosscheck pins the constructed-page path at both SFs; here raw
+    // PAGES are planted straight into the gate (no construction) — one
+    // per drop rule, each replayed against an independent split/filter.
+    val pages = Seq(
+      // mixed line outcomes: keep ('.', '!', '"'), drop (no terminal
+      // punct), drop (< 5 words despite punct), drop (javascript in
+      // mixed case despite punct + words)
+      1L -> Seq(
+        "this line has five words.",
+        "this line has no terminal punctuation at all",
+        "too short.",
+        "enable JavaScript to view this page.",
+        "an exclamation with enough words here!",
+        "he said the words \"yes it works.\"").mkString("\n"),
+      // lorem ipsum page marker (mixed case), otherwise clean
+      2L -> "the first sentence is fine here.\nLoReM IpSuM dolor sit amet.\nthe third sentence is also fine.",
+      // brace page marker
+      3L -> "a clean looking sentence right here.\nvar x = function() { return 1; }\nanother clean sentence sits here.\nthird clean sentence also sits here.",
+      // only 2 sentence marks survive → dropped by the ≥ 3 rule
+      4L -> "first kept sentence with words.\nsecond kept sentence with words!\nbut this line has no punctuation",
+      // clean page: 3 kept sentences (one line carries two marks)
+      5L -> "what a fine question to ask? indeed.\nand a second line with words too.")
+    val got = TextPack.c4Filters(pages.toDF("doc_id", "page"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val terminal = Set('.', '!', '?', '"')
+    pages.foreach { case (id, page) =>
+      val lines = page.split("\n", -1)
+      val kept = lines.filter(l => l.nonEmpty && terminal(l.last) &&
+        l.split(" ", -1).length >= 5 &&
+        !l.toLowerCase.contains("javascript"))
+      val clean = kept.mkString("\n")
+      val r = got(id)
+      assert(r.getLong(1) == lines.length.toLong, s"n_lines $id")
+      assert(r.getLong(2) == kept.length.toLong, s"n_kept $id")
+      assert(r.getLong(3) == clean.count(c => c == '.' || c == '!' || c == '?').toLong,
+        s"n_sent $id")
+      assert(r.getInt(4) == (if (page.toLowerCase.contains("lorem ipsum")) 1 else 0),
+        s"has_lorem $id")
+      assert(r.getInt(5) == (if (page.contains('{')) 1 else 0), s"has_brace $id")
+      assert(r.getString(8) == clean, s"clean_text $id")
+      assert(r.getLong(7) == clean.length.toLong, s"clean_len $id")
+    }
+    // gate bites per plant: 1 passes (3 kept marks), 2 lorem, 3 brace,
+    // 4 too few sentences, 5 passes (the '?'+'.' line carries two)
+    assert(got(1L).getAs[Int]("kept") == 1)
+    assert(got(1L).getAs[Long]("n_kept") == 3L)
+    assert(got(2L).getAs[Int]("kept") == 0 && got(2L).getAs[Int]("has_lorem") == 1)
+    assert(got(3L).getAs[Int]("kept") == 0 && got(3L).getAs[Int]("has_brace") == 1)
+    assert(got(4L).getAs[Int]("kept") == 0 && got(4L).getAs[Long]("n_sent") == 2L)
+    assert(got(5L).getAs[Int]("kept") == 1 && got(5L).getAs[Long]("n_sent") == 3L)
+  }
 }
