@@ -85,6 +85,54 @@ object RepetitionStats {
 
   private val MaxN = DupNs.max
 
+  /** Per-thread reusable workspace. The first cut of this kernel built
+    * nine boxed-key `java.util.HashMap`s and a split-words array PER ROW
+    * (~3k short-lived objects per ~200-word doc → ~700 young GCs and a
+    * 1.5× run-to-run band on the 15 M-doc cell); the gram tables are now
+    * generation-stamped open-addressing arrays that live for the thread,
+    * so the steady-state pass allocates nothing per row. Expression eval
+    * is single-threaded per task, so a ThreadLocal is sound; memory is
+    * bounded by the largest document each thread has seen.
+    */
+  private final class Scratch {
+    var starts = new Array[Int](256)     // word start offsets
+    var cpl = new Array[Long](256)       // code points per word
+    // 9 gram tables (n = 2..10): open addressing, load factor <= 1/2,
+    // slot occupied iff stamp(slot) == gen (no clearing between rows)
+    val keys = Array.fill(MaxN - 1)(new Array[Long](2048))
+    val cnt = Array.fill(MaxN - 1)(new Array[Int](2048))
+    val lens = Array.fill(MaxN - 1)(new Array[Long](2048))
+    val stamp = Array.fill(MaxN - 1)(new Array[Int](2048))
+    val used = Array.fill(MaxN - 1)(new Array[Int](1024)) // occupied slots
+    val usedCnt = new Array[Int](MaxN - 1)
+    var gen = 0
+
+    def ensure(nWords: Int): Unit = {
+      if (starts.length < nWords) {
+        starts = new Array[Int](Integer.highestOneBit(nWords - 1) << 1)
+        cpl = new Array[Long](starts.length)
+      }
+      // each table holds <= nWords entries; keep capacity >= 2x entries
+      var t = 0
+      while (t < MaxN - 1) {
+        if (keys(t).length < nWords * 2) {
+          var c = keys(t).length
+          while (c < nWords * 2) c <<= 1
+          keys(t) = new Array[Long](c)
+          cnt(t) = new Array[Int](c)
+          lens(t) = new Array[Long](c)
+          stamp(t) = new Array[Int](c) // fresh zeros: never equal to gen >= 1
+        }
+        if (used(t).length < nWords) used(t) = new Array[Int](nWords * 2)
+        t += 1
+      }
+    }
+  }
+
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   def stats(text: UTF8String): ArrayData = {
     val s = text.toString
     val out = new Array[Long](15)
@@ -95,47 +143,98 @@ object RepetitionStats {
     groupStats(s.split("\n", -1), out, 0)
     groupStats(s.split("\n\n", -1), out, 3)
 
-    // Word n-grams, n = 2..10, one extending fold per start position.
-    val words = s.split(" ", -1)
-    val w = words.length
-    val cpl = new Array[Long](w) // code-point length per word
+    // Word boundaries without materializing word strings: words are the
+    // single-space-split segments (empties preserved), word i spans
+    // [starts(i), wordEnd(i)).
+    val sc = scratch.get()
+    var w = 1
+    var p = 0
+    while (p < s.length) { if (s.charAt(p) == ' ') w += 1; p += 1 }
+    sc.ensure(w)
+    val starts = sc.starts
+    val cpl = sc.cpl
+    starts(0) = 0
+    var wi = 1
+    p = 0
+    while (p < s.length) {
+      if (s.charAt(p) == ' ') { starts(wi) = p + 1; wi += 1 }
+      p += 1
+    }
+    def wordEnd(i: Int): Int = if (i + 1 < w) starts(i + 1) - 1 else s.length
     var i = 0
-    while (i < w) { cpl(i) = words(i).codePointCount(0, words(i).length); i += 1 }
-    val maps = Array.fill(MaxN - 1)(new JHashMap[Long, Array[Long]]())
+    while (i < w) { cpl(i) = s.codePointCount(starts(i), wordEnd(i)); i += 1 }
+
+    // Word n-grams, n = 2..10, one extending fold per start position.
+    if (sc.gen == Int.MaxValue) { // stamp-wrap guard (2^31 rows/thread)
+      var t0 = 0
+      while (t0 < MaxN - 1) {
+        java.util.Arrays.fill(sc.stamp(t0), 0); t0 += 1
+      }
+      sc.gen = 0
+    }
+    sc.gen += 1
+    val gen = sc.gen
+    java.util.Arrays.fill(sc.usedCnt, 0)
+    def foldRange(from: Long, wIdx: Int): Long = {
+      var acc = from
+      var j = starts(wIdx)
+      val end = wordEnd(wIdx)
+      while (j < end) {
+        val cp = s.codePointAt(j)
+        acc = (acc * Base + cp) % Mod
+        j += Character.charCount(cp)
+      }
+      acc
+    }
     i = 0
     while (i < w) {
-      var acc = foldWord(0L, words(i))
+      var acc = foldRange(0L, i)
       var len = cpl(i)
       var n = 2
       while (n <= MaxN && i + n - 1 < w) {
-        acc = foldWord((acc * Base + ' ') % Mod, words(i + n - 1))
+        acc = foldRange((acc * Base + ' ') % Mod, i + n - 1)
         len += 1 + cpl(i + n - 1)
-        val m = maps(n - 2)
-        val e = m.get(acc)
-        if (e == null) m.put(acc, Array(1L, len))
-        else { e(0) += 1; if (len < e(1)) e(1) = len }
+        val t = n - 2
+        val ks = sc.keys(t); val cs = sc.cnt(t); val ls = sc.lens(t)
+        val st = sc.stamp(t)
+        val mask = ks.length - 1
+        var slot = ((acc * -7046029254386353131L) >>> 40).toInt & mask
+        while (st(slot) == gen && ks(slot) != acc) slot = (slot + 1) & mask
+        if (st(slot) != gen) {
+          st(slot) = gen; ks(slot) = acc; cs(slot) = 1; ls(slot) = len
+          sc.used(t)(sc.usedCnt(t)) = slot; sc.usedCnt(t) += 1
+        } else {
+          cs(slot) += 1
+          if (len < ls(slot)) ls(slot) = len
+        }
         n += 1
       }
       i += 1
     }
-    for (n <- TopNs) {
-      var top = 0L
-      val it = maps(n - 2).values().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val mass = e(0) * e(1)
-        if (mass > top) top = mass
+    var t = 0
+    while (t < MaxN - 1) {
+      val cs = sc.cnt(t); val ls = sc.lens(t); val us = sc.used(t)
+      val m = sc.usedCnt(t)
+      if (t <= 2) { // n = 2..4: max(count · len)
+        var top = 0L
+        var k = 0
+        while (k < m) {
+          val mass = cs(us(k)).toLong * ls(us(k))
+          if (mass > top) top = mass
+          k += 1
+        }
+        out(6 + t) = top
+      } else { // n = 5..10: Σ count · len over count > 1
+        var dup = 0L
+        var k = 0
+        while (k < m) {
+          val c = cs(us(k))
+          if (c > 1) dup += c.toLong * ls(us(k))
+          k += 1
+        }
+        out(9 + t - 3) = dup
       }
-      out(6 + n - 2) = top
-    }
-    for (n <- DupNs) {
-      var dup = 0L
-      val it = maps(n - 2).values().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e(0) > 1) dup += e(0) * e(1)
-      }
-      out(9 + n - 5) = dup
+      t += 1
     }
     new GenericArrayData(out)
   }
