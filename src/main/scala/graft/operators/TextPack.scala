@@ -712,13 +712,98 @@ object TextPack extends QueryPack {
     // bite is additionally pinned in Round14OpsSpec against an
     // independent split-lines replay.
     "t28_c4_filters" -> ((s, dir) =>
-      c4Filters(c4Pages(Tables(s, dir, "documents"))).orderBy("doc_id"))
+      c4Filters(c4Pages(Tables(s, dir, "documents"))).orderBy("doc_id")),
+
+    // t29: in-engine QUALITY-CLASSIFIER training — the step the modern
+    // pipelines run after the rule canon (FineWeb-Edu, DCLM: distill
+    // gate decisions into a learned scorer, then score at scan speed).
+    // A batch perceptron over integer RULE-MARGIN features — the signed
+    // distances to three gate boundaries (n_words − 50, n_stop − 2,
+    // 10·n_alpha − 8·n_words), plus bias: raw counts leave a threshold
+    // rule like "≥ 50 words" to a bias that moves ±1 per miss and the
+    // 4-epoch model degenerates to all-positive (measured at sf0.001);
+    // margins put the boundary at 0 where a linear separator can find
+    // it — labeled by the t26 gate itself
+    // (y = 2·pass − 1): per epoch the misclassified-set gradient
+    // Σ y·x over {y·(w·x) ≤ 0} (ties count as misses — w starts at 0,
+    // so epoch 1's gradient is Σ y·x by construction) is ONE corpus
+    // scan reduced to a 4-number aggregate pulled to the driver (e10's
+    // bounded-pull training contract), and the weight update is exact
+    // BIGINT arithmetic — no learning rate, no float, no libm: the
+    // reason this trainer hash-checks cross-engine where a logistic
+    // regression (sigmoid ulps) never could. The served weights are the
+    // POCKET (Gallant '90): of the E epoch vectors, the one with the
+    // fewest training misses, ties to the earliest — the standard
+    // non-separable-data fix, and the labels here are genuinely not
+    // linearly separable (pass = an AND of rules; measured: plain
+    // last-epoch 0.57/0.83, averaged 0.60/0.67 across the two SFs,
+    // 12-epoch pocket 0.974/0.984). PerceptronEpochs = 12 static
+    // epochs (t17's bounded-unroll discipline); the oracle replays
+    // every epoch CTE-by-CTE from the shared gopherCtes features and
+    // picks the pocket by the same (misses, epoch) ORDER BY.
+    // Scale: E+1 scans + E+1 five-number shuffles, embarrassingly
+    // parallel — at 100 TB you train on a bounded sample exactly like
+    // the Pretrained artifacts; this query proves the trainer is
+    // in-engine, deterministic, and oracle-checkable. Output: per-doc
+    // label, integer score, prediction, agreement.
+    "t29_quality_perceptron" -> ((s, dir) => {
+      val feats = gopherRules(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          (col("n_words") - GopherMinWords).cast("long").as("x1"),
+          (col("n_stop") - GopherMinStop).cast("long").as("x2"),
+          (col("n_alpha") * 10 - col("n_words") * 8).cast("long").as("x3"),
+          (col("pass") * 2 - 1).cast("long").as("y"))
+      def margin(w: Array[Long]): Column =
+        lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      var w = Array(0L, 0L, 0L, 0L)
+      var bestW = Array(0L, 0L, 0L, 0L)
+      var bestM = Long.MaxValue
+      // E+1 aggregates: pass e computes w_{e-1}'s miss count AND the
+      // gradient that produces w_e; the last pass only evaluates w_E.
+      for (e <- 1 to PerceptronEpochs + 1) {
+        val mis = col("y") * margin(w) <= 0
+        val g = feats.agg(
+          sum(when(mis, col("y")).otherwise(0L)).as("g0"),
+          sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("g1"),
+          sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("g2"),
+          sum(when(mis, col("y") * col("x3")).otherwise(0L)).as("g3"),
+          sum(when(mis, 1L).otherwise(0L)).as("m"))
+          .collect().head
+        if (e >= 2 && g.getLong(4) < bestM) { // pocket w_1..w_E; ties → earliest
+          bestM = g.getLong(4)
+          bestW = w.clone()
+        }
+        if (e <= PerceptronEpochs)
+          w = Array(w(0) + g.getLong(0), w(1) + g.getLong(1),
+            w(2) + g.getLong(2), w(3) + g.getLong(3))
+      }
+      feats
+        .select(col("doc_id"), col("y"), margin(bestW).as("score"))
+        .select(col("doc_id"), col("y"), col("score"),
+          (col("score") > 0).cast("int").as("pred"),
+          (when(col("score") > 0, 1L).otherwise(-1L) === col("y"))
+            .cast("int").as("correct"))
+        .orderBy("doc_id")
+    })
   )
 
-  /** The t26 gate over any (doc_id, text) frame — factored so the spec
-    * can drive it over planted multiline rows.
+  /** t29's static epoch count — enough pocket candidates to reach ≥ 0.97
+    * gate agreement at both SFs (4 epochs measured 0.94/0.65 — the
+    * pocket needs the longer walk on the non-separable side); the unroll
+    * is exact on both engines (a convergence-tested loop would need a
+    * data-dependent CTE depth the oracle can't express).
     */
-  private[operators] def gopherRules(docs: DataFrame): DataFrame = {
+  private[operators] val PerceptronEpochs = 12
+
+  /** The t26 gate over any (doc_id, text) frame — factored so the spec
+    * can drive it over planted multiline rows, and so s22 can run it
+    * mid-stream over the C4-cleaned text (`carry` names input columns to
+    * pass through the projection — the canon composes as a SELECT chain,
+    * never a stream-stream join).
+    */
+  private[graft] def gopherRules(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val ws = tokens(col("text"))
     def occ(pat: String): Column =
       length(col("text")) - length(replace(col("text"), lit(pat),
@@ -727,31 +812,35 @@ object TextPack extends QueryPack {
       occ("\n" + p) + startswith(col("text"), lit(p)).cast("int")).reduce(_ + _)
     val nEllLines = EllipsisMarks.map(m =>
       occ(m + "\n") + endswith(col("text"), lit(m)).cast("int")).reduce(_ + _)
+    val counters = Seq(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      (length(col("text")) - (size(ws) - 1)).as("sum_word_chars"),
+      countIn(ws, stopwords).as("n_stop"),
+      alpha_word_count(col("text")).as("n_alpha"),
+      (occ("\n") + 1).as("n_lines"),
+      nBullet.as("n_bullet_lines"),
+      nEllLines.as("n_ellipsis_lines"),
+      occ("#").as("n_hash"),
+      EllipsisMarks.map(occ).reduce(_ + _).as("n_ellipsis_marks")) ++
+      carry.map(col)
+    val counterNames = Seq("doc_id", "n_words", "sum_word_chars", "n_stop",
+      "n_alpha", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+      "n_hash", "n_ellipsis_marks") ++ carry
+    val flags = Seq(
+      (col("n_words") >= GopherMinWords &&
+        col("n_words") <= GopherMaxWords).cast("int").as("ok_words"),
+      (col("sum_word_chars") >= col("n_words") * 3 &&
+        col("sum_word_chars") <= col("n_words") * 10).cast("int").as("ok_word_len"),
+      (col("n_stop") >= GopherMinStop).cast("int").as("ok_stop"),
+      (col("n_alpha") * 10 >= col("n_words") * 8).cast("int").as("ok_alpha"),
+      (col("n_bullet_lines") * 10 <= col("n_lines") * 9).cast("int").as("ok_bullet"),
+      (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3).cast("int").as("ok_ellipsis"),
+      (col("n_hash") * 10 <= col("n_words") &&
+        col("n_ellipsis_marks") * 10 <= col("n_words")).cast("int").as("ok_symbol"))
     docs
-      .select(col("doc_id"),
-        size(ws).as("n_words"),
-        (length(col("text")) - (size(ws) - 1)).as("sum_word_chars"),
-        countIn(ws, stopwords).as("n_stop"),
-        alpha_word_count(col("text")).as("n_alpha"),
-        (occ("\n") + 1).as("n_lines"),
-        nBullet.as("n_bullet_lines"),
-        nEllLines.as("n_ellipsis_lines"),
-        occ("#").as("n_hash"),
-        EllipsisMarks.map(occ).reduce(_ + _).as("n_ellipsis_marks"))
-      .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
-        col("n_stop"), col("n_alpha"), col("n_lines"),
-        col("n_bullet_lines"), col("n_ellipsis_lines"),
-        col("n_hash"), col("n_ellipsis_marks"),
-        (col("n_words") >= GopherMinWords &&
-          col("n_words") <= GopherMaxWords).cast("int").as("ok_words"),
-        (col("sum_word_chars") >= col("n_words") * 3 &&
-          col("sum_word_chars") <= col("n_words") * 10).cast("int").as("ok_word_len"),
-        (col("n_stop") >= GopherMinStop).cast("int").as("ok_stop"),
-        (col("n_alpha") * 10 >= col("n_words") * 8).cast("int").as("ok_alpha"),
-        (col("n_bullet_lines") * 10 <= col("n_lines") * 9).cast("int").as("ok_bullet"),
-        (col("n_ellipsis_lines") * 10 <= col("n_lines") * 3).cast("int").as("ok_ellipsis"),
-        (col("n_hash") * 10 <= col("n_words") &&
-          col("n_ellipsis_marks") * 10 <= col("n_words")).cast("int").as("ok_symbol"))
+      .select(counters: _*)
+      .select(counterNames.map(col) ++ flags: _*)
       .withColumn("pass",
         (col("ok_words") + col("ok_word_len") + col("ok_stop") + col("ok_alpha") +
           col("ok_bullet") + col("ok_ellipsis") + col("ok_symbol") === 7)
@@ -764,7 +853,8 @@ object TextPack extends QueryPack {
     * projection (CollapseProject keeps a non-cheap producer used 15×
     * un-inlined, so the scan runs the kernel once per row).
     */
-  private[operators] def repetitionRules(docs: DataFrame): DataFrame = {
+  private[graft] def repetitionRules(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val counterCols = RepetitionCounters.zipWithIndex.map {
       case (name, i) => element_at(col("r"), i + 1).as(name) }
     val topFlags = TopGramPct.map { case (n, pct) =>
@@ -778,11 +868,12 @@ object TextPack extends QueryPack {
       "ok_dup_para_chars" -> (col("dup_para_chars") * 10 <= col("len") * 2)) ++
       topFlags ++ dupFlags
     docs
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
-        graft.functions.repetition_stats(col("text")).as("r"))
-      .select(col("doc_id") +: col("len") +: counterCols: _*)
+      .select(col("doc_id") +: length(col("text")).cast("long").as("len") +:
+        graft.functions.repetition_stats(col("text")).as("r") +:
+        carry.map(col): _*)
+      .select(col("doc_id") +: col("len") +: (counterCols ++ carry.map(col)): _*)
       .select(col("doc_id") +: col("len") +:
-        (RepetitionCounters.map(col) ++
+        (RepetitionCounters.map(col) ++ carry.map(col) ++
           flags.map { case (name, c) => c.cast("int").as(name) }): _*)
       .withColumn("pass",
         (flags.map { case (name, _) => col(name) }.reduce(_ + _) ===
@@ -795,7 +886,7 @@ object TextPack extends QueryPack {
     * 8-word lines, suffix cycle '.' / '' / '?', doc_id-keyed javascript /
     * lorem-ipsum / brace injections.
     */
-  private[operators] def c4Pages(docs: DataFrame): DataFrame = {
+  private[graft] def c4Pages(docs: DataFrame): DataFrame = {
     val ws = col("ws")
     val nChunks = ((size(ws) + lit(7)) / lit(8)).cast("int")
     val lines = transform(sequence(lit(0), nChunks - 1), i =>
@@ -813,7 +904,7 @@ object TextPack extends QueryPack {
   /** The t28 gate over any (doc_id, page) frame — factored so the spec
     * can drive it over planted raw pages.
     */
-  private[operators] def c4Filters(pages: DataFrame): DataFrame =
+  private[graft] def c4Filters(pages: DataFrame): DataFrame =
     pages
       .select(col("doc_id"), graft.functions.c4_lines(col("page")).as("r"))
       .select(col("doc_id"),
@@ -1155,6 +1246,135 @@ object TextPack extends QueryPack {
   private val wsSql = "string_split(text, ' ')"
   private[operators] def countInSql(words: Seq[String]): String =
     s"len(list_filter($wsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** The t26 rule chain as CTEs over any `(doc_id, text)` relation —
+    * ONE definition of the A1.1 replay, shared by the t26 oracle
+    * (src = documents, pfx = "") and s22's composed canon (src = the
+    * C4-cleaned pages, pfx disambiguates CTE names). The final CTE
+    * `${pfx}r` carries every counter, per-rule flag, AND `pass`.
+    */
+  private[graft] def gopherCtes(src: String, pfx: String): String = {
+    def occSql(patSql: String, patLen: Int): String =
+      if (patLen == 1) s"length(text) - length(replace(text, $patSql, ''))"
+      else s"length(text) - length(replace(text, $patSql, repeat(chr(1), ${patLen - 1})))"
+    def mark(m: String): String = if (m == "...") "'...'" else s"'$m'"
+    val nBullet = BulletPrefixes.map(p =>
+      s"(${occSql(s"chr(10) || '$p'", p.length + 1)})" +
+        s" + CAST(starts_with(text, '$p') AS INTEGER)").mkString(" + ")
+    val nEllLines = EllipsisMarks.map(m =>
+      s"(${occSql(s"${mark(m)} || chr(10)", m.length + 1)})" +
+        s" + CAST(ends_with(text, ${mark(m)}) AS INTEGER)").mkString(" + ")
+    val nEllMarks = EllipsisMarks.map(m => s"(${occSql(mark(m), m.length)})")
+      .mkString(" + ")
+    s"""${pfx}b AS (
+       |  SELECT doc_id,
+       |    CAST(len($wsSql) AS INTEGER) AS n_words,
+       |    CAST(length(text) - (len($wsSql) - 1) AS INTEGER) AS sum_word_chars,
+       |    CAST(${countInSql(stopwords)} AS INTEGER) AS n_stop,
+       |    CAST(len(list_filter($wsSql,
+       |      w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS INTEGER) AS n_lines,
+       |    CAST($nBullet AS INTEGER) AS n_bullet_lines,
+       |    CAST($nEllLines AS INTEGER) AS n_ellipsis_lines,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS INTEGER) AS n_hash,
+       |    CAST($nEllMarks AS INTEGER) AS n_ellipsis_marks
+       |  FROM $src),
+       |${pfx}r AS (
+       |  SELECT *,
+       |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS INTEGER) AS ok_words,
+       |    CAST(sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS INTEGER) AS ok_word_len,
+       |    CAST(n_stop >= $GopherMinStop AS INTEGER) AS ok_stop,
+       |    CAST(n_alpha * 10 >= n_words * 8 AS INTEGER) AS ok_alpha,
+       |    CAST(n_bullet_lines * 10 <= n_lines * 9 AS INTEGER) AS ok_bullet,
+       |    CAST(n_ellipsis_lines * 10 <= n_lines * 3 AS INTEGER) AS ok_ellipsis,
+       |    CAST(n_hash * 10 <= n_words
+       |         AND n_ellipsis_marks * 10 <= n_words AS INTEGER) AS ok_symbol,
+       |    CAST((CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS INTEGER))
+       |       + (CAST(sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS INTEGER))
+       |       + (CAST(n_stop >= $GopherMinStop AS INTEGER))
+       |       + (CAST(n_alpha * 10 >= n_words * 8 AS INTEGER))
+       |       + (CAST(n_bullet_lines * 10 <= n_lines * 9 AS INTEGER))
+       |       + (CAST(n_ellipsis_lines * 10 <= n_lines * 3 AS INTEGER))
+       |       + (CAST(n_hash * 10 <= n_words
+       |              AND n_ellipsis_marks * 10 <= n_words AS INTEGER)) = 7
+       |      AS INTEGER) AS pass
+       |  FROM ${pfx}b)""".stripMargin
+  }
+
+  /** The t27 counter-and-rule chain as CTEs over any `(doc_id, text)`
+    * relation — ONE definition of the A1.2 replay, shared by the t27
+    * oracle (src = documents, pfx = "") and s22's composed canon. The
+    * final CTE `${pfx}p` carries len, all 15 counters, the 13 flags,
+    * and `pass`.
+    */
+  private[graft] def repetitionCtes(src: String, pfx: String): String = {
+    val gramCtes = (2 to 10).map { n =>
+      s"""${pfx}g$n AS (
+         |  SELECT doc_id, s.h AS h, s.gl AS gl FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      list_transform(range(1, len(ws) - ${n - 2}),
+         |        i -> array_to_string(ws[i:i+${n - 1}], ' ')),
+         |      sh -> struct_pack(h := ${DedupPack.polyHashSql},
+         |                        gl := CAST(length(sh) AS BIGINT)))) AS s
+         |    FROM ${pfx}w WHERE len(ws) >= $n)),
+         |${pfx}c$n AS (SELECT doc_id, h, count(*) AS c, min(gl) AS gl
+         |        FROM ${pfx}g$n GROUP BY 1, 2),
+         |${pfx}a$n AS (SELECT doc_id,
+         |  ${if (n <= 4)
+             s"CAST(max(c * gl) AS BIGINT) AS top${n}_chars"
+           else
+             s"CAST(sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS BIGINT) AS dup${n}_chars"}
+         |  FROM ${pfx}c$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    def segCtes(tag: String, delimSql: String, what: String): String =
+      s"""${pfx}${tag}s AS (SELECT doc_id, unnest(string_split(text, $delimSql)) AS seg
+         |  FROM $src),
+         |${pfx}${tag}c AS (SELECT doc_id, seg, count(*) AS c FROM ${pfx}${tag}s GROUP BY 1, 2),
+         |${pfx}${tag}a AS (SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_$what,
+         |  CAST(sum(c - 1) AS BIGINT) AS dup_$what,
+         |  CAST(sum((c - 1) * length(seg)) AS BIGINT) AS dup_${tag}_chars
+         |  FROM ${pfx}${tag}c GROUP BY doc_id)""".stripMargin
+    val gramCols = ((2 to 4).map(n => s"top${n}_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars"))
+      .map(c => s"coalesce($c, 0) AS $c").mkString(",\n  ")
+    val joins = (2 to 10).map(n => s"LEFT JOIN ${pfx}a$n USING (doc_id)")
+      .mkString(" ")
+    val topFlagSql = TopGramPct.map { case (n, pct) =>
+      s"CAST(top${n}_chars * 100 <= len * $pct AS INTEGER) AS ok_top$n" }
+    val dupFlagSql = DupGramPct.map { case (n, pct) =>
+      s"CAST(dup${n}_chars * 100 <= len * $pct AS INTEGER) AS ok_dup$n" }
+    val flagSql = (Seq(
+      "CAST(dup_lines * 10 <= n_lines * 3 AS INTEGER) AS ok_dup_lines",
+      "CAST(dup_paras * 10 <= n_paras * 3 AS INTEGER) AS ok_dup_paras",
+      "CAST(dup_line_chars * 10 <= len * 2 AS INTEGER) AS ok_dup_line_chars",
+      "CAST(dup_para_chars * 10 <= len * 2 AS INTEGER) AS ok_dup_para_chars") ++
+      topFlagSql ++ dupFlagSql).mkString(",\n    ")
+    val flagNames = Seq("ok_dup_lines", "ok_dup_paras",
+      "ok_dup_line_chars", "ok_dup_para_chars") ++
+      TopGramPct.map { case (n, _) => s"ok_top$n" } ++
+      DupGramPct.map { case (n, _) => s"ok_dup$n" }
+    s"""${pfx}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+       |${pfx}base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM $src),
+       |${segCtes("line", "chr(10)", "lines")},
+       |${segCtes("para", "chr(10) || chr(10)", "paras")},
+       |$gramCtes,
+       |${pfx}r AS (
+       |  SELECT doc_id, len,
+       |    n_lines, dup_lines, dup_line_chars,
+       |    n_paras, dup_paras, dup_para_chars,
+       |    $gramCols
+       |  FROM ${pfx}base JOIN ${pfx}linea USING (doc_id)
+       |    JOIN ${pfx}paraa USING (doc_id) $joins),
+       |${pfx}f AS (
+       |  SELECT *,
+       |    $flagSql
+       |  FROM ${pfx}r),
+       |${pfx}p AS (
+       |  SELECT *, CAST(${flagNames.mkString(" + ")} = ${flagNames.size}
+       |    AS INTEGER) AS pass
+       |  FROM ${pfx}f)""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.functions.WinnowFingerprints]] ending in
     * CTE `fpd` = the DISTINCT (doc_id, fp) winnow set per document. The
@@ -1565,51 +1785,16 @@ object TextPack extends QueryPack {
     // t26: the same splits, counts, replace-and-measure occurrence
     // trick (pads via repeat(chr(1), |p|−1); both engines replace
     // non-overlapping left-to-right), and cross-multiplied integer rule
-    // boundaries; RE2's [A-Za-z] is the kernel's ASCII class.
-    "t26_gopher_rules" -> {
-      def occSql(patSql: String, patLen: Int): String =
-        if (patLen == 1) s"length(text) - length(replace(text, $patSql, ''))"
-        else s"length(text) - length(replace(text, $patSql, repeat(chr(1), ${patLen - 1})))"
-      def mark(m: String): String = if (m == "...") "'...'" else s"'$m'"
-      val nBullet = BulletPrefixes.map(p =>
-        s"(${occSql(s"chr(10) || '$p'", p.length + 1)})" +
-          s" + CAST(starts_with(text, '$p') AS INTEGER)").mkString(" + ")
-      val nEllLines = EllipsisMarks.map(m =>
-        s"(${occSql(s"${mark(m)} || chr(10)", m.length + 1)})" +
-          s" + CAST(ends_with(text, ${mark(m)}) AS INTEGER)").mkString(" + ")
-      val nEllMarks = EllipsisMarks.map(m => s"(${occSql(mark(m), m.length)})")
-        .mkString(" + ")
-      s"""WITH b AS (
-         |  SELECT doc_id,
-         |    CAST(len($wsSql) AS INTEGER) AS n_words,
-         |    CAST(length(text) - (len($wsSql) - 1) AS INTEGER) AS sum_word_chars,
-         |    CAST(${countInSql(stopwords)} AS INTEGER) AS n_stop,
-         |    CAST(len(list_filter($wsSql,
-         |      w -> regexp_matches(w, '[A-Za-z]'))) AS INTEGER) AS n_alpha,
-         |    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS INTEGER) AS n_lines,
-         |    CAST($nBullet AS INTEGER) AS n_bullet_lines,
-         |    CAST($nEllLines AS INTEGER) AS n_ellipsis_lines,
-         |    CAST(length(text) - length(replace(text, '#', '')) AS INTEGER) AS n_hash,
-         |    CAST($nEllMarks AS INTEGER) AS n_ellipsis_marks
-         |  FROM documents),
-         |r AS (
-         |  SELECT *,
-         |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS INTEGER) AS ok_words,
-         |    CAST(sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10 AS INTEGER) AS ok_word_len,
-         |    CAST(n_stop >= $GopherMinStop AS INTEGER) AS ok_stop,
-         |    CAST(n_alpha * 10 >= n_words * 8 AS INTEGER) AS ok_alpha,
-         |    CAST(n_bullet_lines * 10 <= n_lines * 9 AS INTEGER) AS ok_bullet,
-         |    CAST(n_ellipsis_lines * 10 <= n_lines * 3 AS INTEGER) AS ok_ellipsis,
-         |    CAST(n_hash * 10 <= n_words
-         |         AND n_ellipsis_marks * 10 <= n_words AS INTEGER) AS ok_symbol
-         |  FROM b)
+    // boundaries; RE2's [A-Za-z] is the kernel's ASCII class. The CTE
+    // chain is the shared gopherCtes builder so s22 can replay the
+    // identical rules over the C4-cleaned text.
+    "t26_gopher_rules" ->
+      s"""WITH ${gopherCtes("documents", "")}
          |SELECT doc_id, n_words, sum_word_chars, n_stop, n_alpha,
          |  n_lines, n_bullet_lines, n_ellipsis_lines, n_hash, n_ellipsis_marks,
          |  ok_words, ok_word_len, ok_stop, ok_alpha, ok_bullet, ok_ellipsis, ok_symbol,
-         |  CAST(ok_words + ok_word_len + ok_stop + ok_alpha
-         |       + ok_bullet + ok_ellipsis + ok_symbol = 7 AS INTEGER) AS pass
-         |FROM r ORDER BY doc_id""".stripMargin
-    },
+         |  pass
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // t27: every counter replayed with the kernel's stated definitions —
     // lines/paragraphs split-and-grouped as STRINGS (Σ(c−1) /
@@ -1617,123 +1802,116 @@ object TextPack extends QueryPack {
     // keyed by the same poly-hash (DedupPack.polyHashSql) with min(len)
     // per hash, max(c·len) for the top rules and Σ c·len over c > 1 for
     // the dup rules, cross-multiplied integer flags. Docs too short for
-    // n grams coalesce to 0 (a left join from the base scan).
-    "t27_repetition_rules" -> {
-      val gramCtes = (2 to 10).map { n =>
-        s"""g$n AS (
-           |  SELECT doc_id, s.h AS h, s.gl AS gl FROM (
-           |    SELECT doc_id, unnest(list_transform(
-           |      list_transform(range(1, len(ws) - ${n - 2}),
-           |        i -> array_to_string(ws[i:i+${n - 1}], ' ')),
-           |      sh -> struct_pack(h := ${DedupPack.polyHashSql},
-           |                        gl := CAST(length(sh) AS BIGINT)))) AS s
-           |    FROM w WHERE len(ws) >= $n)),
-           |c$n AS (SELECT doc_id, h, count(*) AS c, min(gl) AS gl
-           |        FROM g$n GROUP BY 1, 2),
-           |a$n AS (SELECT doc_id,
-           |  ${if (n <= 4)
-               s"CAST(max(c * gl) AS BIGINT) AS top${n}_chars"
-             else
-               s"CAST(sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS BIGINT) AS dup${n}_chars"}
-           |  FROM c$n GROUP BY doc_id)""".stripMargin
-      }.mkString(",\n")
-      def segCtes(tag: String, delimSql: String, what: String): String =
-        s"""${tag}s AS (SELECT doc_id, unnest(string_split(text, $delimSql)) AS seg
-           |  FROM documents),
-           |${tag}c AS (SELECT doc_id, seg, count(*) AS c FROM ${tag}s GROUP BY 1, 2),
-           |${tag}a AS (SELECT doc_id,
-           |  CAST(sum(c) AS BIGINT) AS n_$what,
-           |  CAST(sum(c - 1) AS BIGINT) AS dup_$what,
-           |  CAST(sum((c - 1) * length(seg)) AS BIGINT) AS dup_${tag}_chars
-           |  FROM ${tag}c GROUP BY doc_id)""".stripMargin
-      val gramCols = ((2 to 4).map(n => s"top${n}_chars") ++
-        (5 to 10).map(n => s"dup${n}_chars"))
-        .map(c => s"coalesce($c, 0) AS $c").mkString(",\n  ")
-      val joins = (2 to 10).map(n => s"LEFT JOIN a$n USING (doc_id)")
-        .mkString(" ")
-      val topFlagSql = TopGramPct.map { case (n, pct) =>
-        s"CAST(top${n}_chars * 100 <= len * $pct AS INTEGER) AS ok_top$n" }
-      val dupFlagSql = DupGramPct.map { case (n, pct) =>
-        s"CAST(dup${n}_chars * 100 <= len * $pct AS INTEGER) AS ok_dup$n" }
-      val flagSql = (Seq(
-        "CAST(dup_lines * 10 <= n_lines * 3 AS INTEGER) AS ok_dup_lines",
-        "CAST(dup_paras * 10 <= n_paras * 3 AS INTEGER) AS ok_dup_paras",
-        "CAST(dup_line_chars * 10 <= len * 2 AS INTEGER) AS ok_dup_line_chars",
-        "CAST(dup_para_chars * 10 <= len * 2 AS INTEGER) AS ok_dup_para_chars") ++
-        topFlagSql ++ dupFlagSql).mkString(",\n    ")
-      val flagNames = Seq("ok_dup_lines", "ok_dup_paras",
-        "ok_dup_line_chars", "ok_dup_para_chars") ++
-        TopGramPct.map { case (n, _) => s"ok_top$n" } ++
-        DupGramPct.map { case (n, _) => s"ok_dup$n" }
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM documents),
-         |${segCtes("line", "chr(10)", "lines")},
-         |${segCtes("para", "chr(10) || chr(10)", "paras")},
-         |$gramCtes,
-         |r AS (
-         |  SELECT doc_id, len,
-         |    n_lines, dup_lines, dup_line_chars,
-         |    n_paras, dup_paras, dup_para_chars,
-         |    $gramCols
-         |  FROM base JOIN linea USING (doc_id)
-         |    JOIN paraa USING (doc_id) $joins),
-         |f AS (
-         |  SELECT *,
-         |    $flagSql
-         |  FROM r)
-         |SELECT *, CAST(${flagNames.mkString(" + ")} = ${flagNames.size}
-         |  AS INTEGER) AS pass
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+    // n grams coalesce to 0 (a left join from the base scan). The CTE
+    // chain is the shared repetitionCtes builder so s22 can replay the
+    // identical rules over the C4-cleaned text.
+    "t27_repetition_rules" ->
+      s"""WITH ${repetitionCtes("documents", "")}
+         |SELECT * FROM p ORDER BY doc_id""".stripMargin,
 
     // t28: the page construction replayed chunk-for-chunk (8-word slices,
     // '.'/''/'?' suffix cycle, doc_id-keyed injections), then the kernel's
     // keep-rules as a list_filter and the sentence count by
-    // replace-and-measure over the kept text.
+    // replace-and-measure over the kept text. The CTE chain is the shared
+    // c4Ctes builder so s22 can feed the cleaned pages onward.
     "t28_c4_filters" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |pg AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN doc_id % 13 = 0 THEN 'javascript warning. ' ELSE '' END) ||
-         |    array_to_string(list_transform(range(0, (len(ws) + 7) // 8), i ->
-         |      array_to_string(ws[8*i+1 : 8*i+8], ' ') ||
-         |      (CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END)),
-         |      chr(10)) ||
-         |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END) ||
-         |    (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() {' || ' return 1; }' ELSE '' END)
-         |    AS page
-         |  FROM w),
-         |ln AS (SELECT doc_id, page, string_split(page, chr(10)) AS lns FROM pg),
-         |kp AS (
-         |  SELECT doc_id, page, lns,
-         |    list_filter(lns, l -> length(l) > 0
-         |      AND right(l, 1) IN ('.', '!', '?', '"')
-         |      AND len(string_split(l, ' ')) >= 5
-         |      AND NOT contains(lower(l), 'javascript')) AS kl
-         |  FROM ln),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(len(lns) AS BIGINT) AS n_lines,
-         |    CAST(len(kl) AS BIGINT) AS n_kept,
-         |    coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
-         |    CAST(contains(lower(page), 'lorem ipsum') AS INTEGER) AS has_lorem,
-         |    CAST(contains(page, '{') AS INTEGER) AS has_brace
-         |  FROM kp),
-         |g AS (
-         |  SELECT doc_id, n_lines, n_kept,
-         |    CAST((length(clean_text) - length(replace(clean_text, '.', '')))
-         |       + (length(clean_text) - length(replace(clean_text, '!', '')))
-         |       + (length(clean_text) - length(replace(clean_text, '?', '')))
-         |      AS BIGINT) AS n_sent,
-         |    has_lorem, has_brace,
-         |    CAST(length(clean_text) AS BIGINT) AS clean_len,
-         |    clean_text
-         |  FROM f)
+      s"""WITH $c4Ctes
          |SELECT doc_id, n_lines, n_kept, n_sent, has_lorem, has_brace,
          |  CAST(n_sent >= 3 AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS kept,
          |  clean_len, clean_text
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM c4g ORDER BY doc_id""".stripMargin,
+
+    // t29: every epoch replayed CTE-by-CTE — the same misclassified-set
+    // predicate over the previous epoch's (1-row, qualified) weights,
+    // the same exact BIGINT gradient sums, the same features out of the
+    // shared gopherCtes chain.
+    "t29_quality_perceptron" -> {
+      val epochs = (1 to PerceptronEpochs).map { e =>
+        s"""w$e AS (
+           |  SELECT
+           |    pw.b  + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y      ELSE 0 END) AS BIGINT) AS b,
+           |    pw.wa + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS wa,
+           |    pw.wb + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS wb,
+           |    pw.wc + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS wc
+           |  FROM f, w${e - 1} AS pw
+           |  GROUP BY pw.b, pw.wa, pw.wb, pw.wc)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${gopherCtes("documents", "qp")},
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(n_words - $GopherMinWords AS BIGINT) AS x1,
+         |    CAST(n_stop - $GopherMinStop AS BIGINT) AS x2,
+         |    CAST(n_alpha * 10 - n_words * 8 AS BIGINT) AS x3,
+         |    CAST(2 * pass - 1 AS BIGINT) AS y
+         |  FROM qpr),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wa,
+         |              CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wc),
+         |$epochs,
+         |${(1 to PerceptronEpochs).map(e =>
+             s"""m$e AS (SELECT CAST(count(*) AS BIGINT) AS m FROM f, w$e AS pw
+                |  WHERE y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0)""".stripMargin)
+             .mkString(",\n")},
+         |pocket AS (
+         |  SELECT b, wa, wb, wc FROM (
+         |    ${(1 to PerceptronEpochs).map(e =>
+               s"SELECT $e AS e, m$e.m AS m, w$e.b, w$e.wa, w$e.wb, w$e.wc FROM m$e, w$e")
+               .mkString("\n    UNION ALL ")}
+         |  ) ORDER BY m, e LIMIT 1),
+         |sc AS (
+         |  SELECT f.doc_id AS doc_id, f.y AS y,
+         |    CAST(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3 AS BIGINT) AS score
+         |  FROM f, pocket AS pw)
+         |SELECT doc_id, y, score,
+         |  CAST(score > 0 AS INTEGER) AS pred,
+         |  CAST((CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS INTEGER) AS correct
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }
   )
+
+  /** The t28 replay as CTEs: deterministic page construction over the
+    * corpus, the kernel's keep-rules, the page-gate signals. The final
+    * CTE `c4g` carries every counter plus `clean_text` — the t28 oracle
+    * selects from it and s22's composed canon feeds it onward.
+    */
+  private[graft] val c4Ctes: String =
+    s"""c4w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c4pg AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 13 = 0 THEN 'javascript warning. ' ELSE '' END) ||
+       |    array_to_string(list_transform(range(0, (len(ws) + 7) // 8), i ->
+       |      array_to_string(ws[8*i+1 : 8*i+8], ' ') ||
+       |      (CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '?' END)),
+       |      chr(10)) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() {' || ' return 1; }' ELSE '' END)
+       |    AS page
+       |  FROM c4w),
+       |c4ln AS (SELECT doc_id, page, string_split(page, chr(10)) AS lns FROM c4pg),
+       |c4kp AS (
+       |  SELECT doc_id, page, lns,
+       |    list_filter(lns, l -> length(l) > 0
+       |      AND right(l, 1) IN ('.', '!', '?', '"')
+       |      AND len(string_split(l, ' ')) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) AS kl
+       |  FROM c4ln),
+       |c4f AS (
+       |  SELECT doc_id,
+       |    CAST(len(lns) AS BIGINT) AS n_lines,
+       |    CAST(len(kl) AS BIGINT) AS n_kept,
+       |    coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
+       |    CAST(contains(lower(page), 'lorem ipsum') AS INTEGER) AS has_lorem,
+       |    CAST(contains(page, '{') AS INTEGER) AS has_brace
+       |  FROM c4kp),
+       |c4g AS (
+       |  SELECT doc_id, n_lines, n_kept,
+       |    CAST((length(clean_text) - length(replace(clean_text, '.', '')))
+       |       + (length(clean_text) - length(replace(clean_text, '!', '')))
+       |       + (length(clean_text) - length(replace(clean_text, '?', '')))
+       |      AS BIGINT) AS n_sent,
+       |    has_lorem, has_brace,
+       |    CAST(length(clean_text) AS BIGINT) AS clean_len,
+       |    clean_text
+       |  FROM c4f)""".stripMargin
 
   /** The BPE training replay through merge [[BpeIters]]: word
     * frequencies → wrapped-char sequences → per-round pair counts, argmax

@@ -1015,6 +1015,58 @@ object StreamingPack extends QueryPack {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
+    // s22: the COMPLETE quality-filter canon at the ingest edge — the
+    // "compose into streaming unchanged" claim t25/t26/t27/t28 make,
+    // PROVEN as one streaming query: C4 line rewrite (t28's kernel over
+    // the constructed pages) → Gopher A1.1 (t26's rules) AND A1.2
+    // (t27's kernel) evaluated ON THE CLEANED TEXT → one canon verdict
+    // per document. Everything is a stateless compiled projection, so
+    // the whole canon chains as SELECTs on the same stream — no
+    // stream-stream join, no state store, no watermark; per-batch cost
+    // is scan-bandwidth exactly like the batch forms (§3g). This also
+    // exercises the t26/t27 line rules on genuinely MULTILINE text in
+    // the driver-hash path: the cleaned pages are '\n'-joined kept
+    // lines, so dup-line/bullet/ellipsis arithmetic runs non-trivially
+    // here even though the raw corpus is single-line (the planted-row
+    // specs remain the bite proof; this pins the composed arithmetic).
+    // The oracle rebuilds the same chain from the shared CTE builders —
+    // c4Ctes → gopherCtes/repetitionCtes over the cleaned relation — so
+    // batch SQL and the streaming dataflow cannot drift.
+    "s22_stream_canon_gate" -> ((s, dir) => {
+      val tmp = scratch("graft-s22-")
+      val schema = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir).schema
+      val ss = tunedChild(s, width = 4)
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val cleaned = graft.operators.TextPack.c4Filters(
+          graft.operators.TextPack.c4Pages(stream))
+        .select(col("doc_id"), col("kept").as("c4_kept"),
+          col("clean_text").as("text"))
+      val gophered = graft.operators.TextPack
+        .gopherRules(cleaned, carry = Seq("c4_kept", "text"))
+        .select(col("doc_id"), col("text"), col("c4_kept"),
+          col("n_words"), col("pass").as("gopher_pass"))
+      val out = graft.operators.TextPack
+        .repetitionRules(gophered,
+          carry = Seq("c4_kept", "n_words", "gopher_pass"))
+        .select(col("doc_id"), col("c4_kept"), col("n_words"),
+          col("gopher_pass"), col("pass").as("rep_pass"))
+        .withColumn("canon_keep",
+          (col("c4_kept") === 1 && col("gopher_pass") === 1 &&
+            col("rep_pass") === 1).cast("int"))
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s22_canon")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s22_canon").orderBy("doc_id")
     })
   )
 
@@ -1444,7 +1496,27 @@ object StreamingPack extends QueryPack {
     // probe kernel, stateless per-doc gate) — the oracle is d9's, shared
     // verbatim so the two can never drift.
     "s21_stream_decontam" ->
-      graft.operators.DedupPack.oracles("d9_bloom_decontaminate")
+      graft.operators.DedupPack.oracles("d9_bloom_decontaminate"),
+
+    // s22: the composed canon replayed from the SHARED CTE builders —
+    // t28's page/clean chain, then t26's and t27's rule chains over the
+    // cleaned relation. Batch SQL and streaming dataflow share one
+    // definition per stage, so they cannot drift.
+    "s22_stream_canon_gate" ->
+      s"""WITH ${graft.operators.TextPack.c4Ctes},
+         |cleaned AS (
+         |  SELECT doc_id,
+         |    CAST(n_sent >= 3 AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS c4_kept,
+         |    clean_text AS text
+         |  FROM c4g),
+         |${graft.operators.TextPack.gopherCtes("cleaned", "gp")},
+         |${graft.operators.TextPack.repetitionCtes("cleaned", "rp")}
+         |SELECT c.doc_id, c.c4_kept, g.n_words,
+         |  g.pass AS gopher_pass, r.pass AS rep_pass,
+         |  CAST(c.c4_kept = 1 AND g.pass = 1 AND r.pass = 1 AS INTEGER) AS canon_keep
+         |FROM cleaned c JOIN gpr g ON c.doc_id = g.doc_id
+         |  JOIN rpp r ON c.doc_id = r.doc_id
+         |ORDER BY c.doc_id""".stripMargin
   )
 
 }

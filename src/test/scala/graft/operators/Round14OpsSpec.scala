@@ -335,4 +335,52 @@ class Round14OpsSpec extends SparkSuite {
     assert(got(4L).getAs[Int]("kept") == 0 && got(4L).getAs[Long]("n_sent") == 2L)
     assert(got(5L).getAs[Int]("kept") == 1 && got(5L).getAs[Long]("n_sent") == 3L)
   }
+
+  test("t29: the perceptron replays an independent BigInt trainer and separates the gate well past chance") {
+    val rows = SparkEntry.queries("t29_quality_perceptron")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    // independent replay: features straight from the factored gate
+    // frame, training over BigInt with the STATED rules (ties are
+    // misses, no learning rate, 4 static epochs)
+    val feats = TextPack.gopherRules(
+        graft.Tables(spark, dir, "documents")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        BigInt(r.getAs[Int]("n_words") - TextPack.GopherMinWords),
+        BigInt(r.getAs[Int]("n_stop") - TextPack.GopherMinStop),
+        BigInt(10 * r.getAs[Int]("n_alpha") - 8 * r.getAs[Int]("n_words")),
+        BigInt(2 * r.getAs[Int]("pass") - 1)))
+    var w = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    def missesOf(v: (BigInt, BigInt, BigInt, BigInt)): Int =
+      feats.count { case (_, x1, x2, x3, y) =>
+        y * (v._1 + v._2 * x1 + v._3 * x2 + v._4 * x3) <= 0 }
+    var pocket = w
+    var pocketM = Int.MaxValue
+    for (_ <- 1 to TextPack.PerceptronEpochs) {
+      var g = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      feats.foreach { case (_, x1, x2, x3, y) =>
+        if (y * (w._1 + w._2 * x1 + w._3 * x2 + w._4 * x3) <= 0)
+          g = (g._1 + y, g._2 + y * x1, g._3 + y * x2, g._4 + y * x3)
+      }
+      w = (w._1 + g._1, w._2 + g._2, w._3 + g._3, w._4 + g._4)
+      val m = missesOf(w) // pocket: fewest misses, ties → earliest epoch
+      if (m < pocketM) { pocketM = m; pocket = w }
+    }
+    val ws = pocket
+    val expect = feats.map { case (id, x1, x2, x3, y) =>
+      id -> (y, ws._1 + ws._2 * x1 + ws._3 * x2 + ws._4 * x3) }.toMap
+    assert(rows.length == feats.length)
+    rows.foreach { case (id, y, score, pred, correct) =>
+      val (ey, es) = expect(id)
+      assert(BigInt(y) == ey, s"label $id")
+      assert(BigInt(score) == es, s"score $id (weights replay)")
+      assert(pred == (if (score > 0) 1 else 0), s"pred $id")
+      assert(correct == (if ((if (score > 0) 1 else -1) == y) 1 else 0), s"correct $id")
+    }
+    // the learned scorer must track its own training gate closely
+    // (both classes present; ≥ 90 % agreement — measured 0.984)
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0), "degenerate predictor")
+    val acc = rows.count(_._5 == 1).toDouble / rows.length
+    assert(acc >= 0.9, s"agreement $acc below 0.9")
+  }
 }
