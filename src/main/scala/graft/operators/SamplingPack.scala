@@ -656,6 +656,62 @@ object SamplingPack extends QueryPack {
             .as("n_repeats"))
         .where(col("n_repeats") >= 1)
         .orderBy("doc_id")
+    }),
+
+    // x17: ANNEAL SCHEDULE — the phase dimension of the mixture loop
+    // (x13 card → x14 gate → x15 plan → x16 sample): modern pretraining
+    // runs are PHASED (a long main phase at base rates, then an anneal
+    // slice re-weighted toward high-quality sources — the
+    // Llama-3/MiniCPM "annealing" recipe), and the Muennighoff 4-epoch
+    // cap applies to the RUN, not to each phase: tokens a source spends
+    // in the main phase reduce what the anneal may draw from it. So the
+    // schedule is sequential water-filling with CAP CARRYOVER: phase 1
+    // fills under cap = MaxUniqueEpochs×unique (x15's rule, main rates);
+    // phase 2 fills its own budget under cap = the phase-1 LEFTOVER
+    // (cap − main alloc), with the anneal rate table. Exact integers
+    // end to end — each phase is the same [[waterFillCore]] fixpoint
+    // x15 runs (one shared def; the schedule and the single-phase plan
+    // cannot disagree), and the invariant the carryover exists to hold
+    // — cumulative allocation ≤ MaxUniqueEpochs×unique ALWAYS — is by
+    // construction. Budgets partition the run total
+    // (Main + Anneal = TrainBudgetTokens), so x17 is x15's budget
+    // split over time. Scale shape: the corpus-sized work is STILL the
+    // one (source, fp) shuffle (shared front, computed once for both
+    // phases); the fills run driver-side over the |sources|-row catalog
+    // (e10's bounded-pull contract). Oracle replays both phases
+    // CTE-by-CTE (the same prefixed round chain as x15) with the
+    // carryover as a join between them.
+    "x17_anneal_schedule" -> ((s, dir) => {
+      val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
+      val src = per.map(_.getString(0))
+      val nUniq = per.map(_.getLong(1))
+      val uTok = per.map(_.getLong(2))
+      def rates(tbl: Seq[Int]): Array[Long] = src.map { name =>
+        val g = name.drop(3).toInt / 5
+        (if (g < tbl.length) tbl(g) else tbl.last).toLong
+      }
+      val runCap = uTok.map(_ * MaxUniqueEpochs)
+      import s.implicits._
+      var capLeft = runCap
+      var cum = Array.fill(src.length)(0L)
+      val phases = Seq(("main", 1, rates(Rates), MainBudgetTokens),
+        ("anneal", 2, rates(AnnealRates), AnnealBudgetTokens))
+      val rows = phases.flatMap { case (phase, ord, rate, budget) =>
+        val capIn = capLeft
+        val (target, alloc, capped, pool) = waterFillCore(rate, capIn, budget)
+        capLeft = capIn.indices.map(i => capIn(i) - alloc(i)).toArray
+        cum = cum.indices.map(i => cum(i) + alloc(i)).toArray
+        src.indices.map { i =>
+          (phase, ord, src(i), nUniq(i), uTok(i), rate(i), target(i),
+            capIn(i), alloc(i), if (capped(i)) 1 else 0,
+            if (alloc(i) > target(i)) 1 else 0, pool, cum(i),
+            cum(i).toDouble / uTok(i).toDouble)
+        }
+      }
+      rows.toDF("phase", "phase_ord", "source", "n_unique", "unique_tokens",
+        "rate", "target_tokens", "cap_tokens", "final_tokens", "data_capped",
+        "got_realloc", "unalloc_tokens", "cum_final_tokens", "cum_repeat_x")
+        .orderBy("phase_ord", "source")
     })
   )
 
@@ -673,18 +729,30 @@ object SamplingPack extends QueryPack {
   private[operators] def waterFillPlan(
       s: SparkSession, dir: String): (Seq[PlanRow], Long) = {
     val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
-    val n = per.length
     val src = per.map(_.getString(0))
     val nUniq = per.map(_.getLong(1))
     val uTok = per.map(_.getLong(2))
     val rate = per.map(_.getLong(3))
-    val sumRates = rate.sum
-    val B = TrainBudgetTokens
-    val target = rate.map(r => B * r / sumRates)
     val cap = uTok.map(_ * MaxUniqueEpochs)
+    val (target, alloc, capped, pool) =
+      waterFillCore(rate, cap, TrainBudgetTokens)
+    (src.indices.map(i => PlanRow(src(i), nUniq(i), uTok(i), rate(i),
+      target(i), cap(i), alloc(i), capped(i))), pool)
+  }
+
+  /** The water-filling fixpoint itself, over any (rates, caps, budget) —
+    * ONE definition shared by x15/x16's plan and x17's per-phase fills
+    * (where the caps are the PREVIOUS phases' leftovers). Returns
+    * (targets, allocations, capped flags, unallocated pool).
+    */
+  private[operators] def waterFillCore(rate: Array[Long], cap: Array[Long],
+      budget: Long): (Array[Long], Array[Long], Array[Boolean], Long) = {
+    val n = rate.length
+    val sumRates = rate.sum
+    val target = rate.map(r => budget * r / sumRates)
     val alloc = target.clone()
     val capped = Array.fill(n)(false)
-    var pool = B - target.sum // the initial division's global remainder
+    var pool = budget - target.sum // the initial division's global remainder
     var round = 0
     while (round < RebalanceRounds) {
       var i = 0
@@ -706,9 +774,8 @@ object SamplingPack extends QueryPack {
       round += 1
     }
     require((0 until n).forall(i => alloc(i) <= cap(i)),
-      s"x15: no fixpoint within $RebalanceRounds rounds — raise RebalanceRounds")
-    ((0 until n).map(i => PlanRow(src(i), nUniq(i), uTok(i), rate(i),
-      target(i), cap(i), alloc(i), capped(i))), pool)
+      s"water-fill: no fixpoint within $RebalanceRounds rounds — raise RebalanceRounds")
+    (target, alloc, capped, pool)
   }
 
   /** The shared x14/x15 front: per-source deduped token mass (d1's exact
@@ -738,6 +805,21 @@ object SamplingPack extends QueryPack {
     */
   private[operators] val TrainBudgetTokens = 90000L
   private[operators] val MaxUniqueEpochs = 4
+
+  /** x17's schedule: the run budget split over time (Main + Anneal =
+    * TrainBudgetTokens exactly), and the anneal-phase rate table — the
+    * re-weighting toward the high-quality source group the anneal
+    * exists for (group 0 boosted 3×, the long tail cut). Policy
+    * constants like Rates. On the data-constrained fixture the
+    * carryover is what the schedule demonstrates: the anneal POLICY
+    * targets group 0 at 82 % of its budget, but main already consumed
+    * those sources' 4-epoch caps, so their realized anneal draw pins to
+    * the leftover and the water-fill reroutes the rest — exactly the
+    * over-draw protection the phase cap exists for (spec-pinned).
+    */
+  private[operators] val MainBudgetTokens = 72000L
+  private[operators] val AnnealBudgetTokens = 18000L
+  private[operators] val AnnealRates = Seq(3000, 250, 100, 300)
 
   /** x15's unrolled round count: the fixpoint arrives in ≤ |sources|+2
     * rounds (every non-identity round caps ≥ 1 new source) and the
@@ -835,50 +917,75 @@ object SamplingPack extends QueryPack {
     * exhaustion at 24 rounds). Shared by the x15 and x16 oracles so the
     * plan's replay and the sampler's replay cannot drift.
     */
-  private lazy val rebalanceCtes: String = {
+  /** A per-source rate table + its sum as CTEs `${pfx}r`/`${pfx}t`
+    * (from the shared front's `b`) — x15 uses the main Rates via
+    * budgetFrontSql's unprefixed `r`/`t`; x17's anneal phase derives a
+    * second table from [[AnnealRates]].
+    */
+  private def ratesCteSql(pfx: String, rates: Seq[Int]): String =
+    s"""${pfx}r AS (
+       |  SELECT source, n_unique, unique_tokens,
+       |    CAST(CASE (CAST(substring(source, 4) AS INT) // 5)
+       |      ${rates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
+       |      ELSE ${rates.last} END AS BIGINT) AS rate
+       |  FROM b),
+       |${pfx}t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM ${pfx}r)""".stripMargin
+
+  /** One water-filling fixpoint as prefixed CTEs — base (integer-div
+    * targets + caps from `capSql` over `fromSql`), st0/pl0, and every
+    * round replayed CTE-by-CTE. ONE definition shared by the x15/x16
+    * chain (pfx = "") and x17's two phases, so the single-phase plan
+    * and the schedule replay identical round arithmetic.
+    */
+  private def fillRoundsSql(pfx: String, budget: Long, capSql: String,
+      fromSql: String): String = {
     val rounds = (1 to RebalanceRounds).map { k =>
       val p = k - 1
-      s"""c$k AS MATERIALIZED (
+      s"""${pfx}c$k AS MATERIALIZED (
          |  SELECT q.source, q.rate, q.cap,
          |    CASE WHEN q.alloc > q.cap THEN q.cap ELSE q.alloc END AS alloc,
          |    (q.capped OR q.alloc >= q.cap) AS capped
-         |  FROM st$p q),
-         |s$k AS MATERIALIZED (
-         |  SELECT CAST((SELECT pool FROM pl$p)
+         |  FROM ${pfx}st$p q),
+         |${pfx}s$k AS MATERIALIZED (
+         |  SELECT CAST((SELECT pool FROM ${pfx}pl$p)
          |      + sum(CASE WHEN q.alloc > q.cap THEN q.alloc - q.cap ELSE 0 END)
          |      AS BIGINT) AS pool_in,
          |    CAST(COALESCE(sum(CASE WHEN NOT (q.capped OR q.alloc >= q.cap)
          |      THEN q.rate END), 0) AS BIGINT) AS ur
-         |  FROM st$p q),
-         |d$k AS MATERIALIZED (
+         |  FROM ${pfx}st$p q),
+         |${pfx}d$k AS MATERIALIZED (
          |  SELECT q.source, q.rate, q.cap, q.alloc, q.capped, w.pool_in, w.ur,
          |    CASE WHEN NOT q.capped AND w.ur > 0 AND w.pool_in > 0
          |      THEN CAST((w.pool_in * q.rate) // w.ur AS BIGINT)
          |      ELSE CAST(0 AS BIGINT) END AS addf,
          |    row_number() OVER (PARTITION BY q.capped ORDER BY q.source) AS rn
-         |  FROM c$k q, s$k w),
-         |st$k AS MATERIALIZED (
+         |  FROM ${pfx}c$k q, ${pfx}s$k w),
+         |${pfx}st$k AS MATERIALIZED (
          |  SELECT q.source, q.rate, q.cap,
          |    CAST(q.alloc + q.addf
          |      + CASE WHEN NOT q.capped AND q.rn = 1 AND q.ur > 0 AND q.pool_in > 0
-         |          THEN q.pool_in - (SELECT CAST(sum(addf) AS BIGINT) FROM d$k)
+         |          THEN q.pool_in - (SELECT CAST(sum(addf) AS BIGINT) FROM ${pfx}d$k)
          |          ELSE 0 END AS BIGINT) AS alloc,
          |    q.capped AS capped
-         |  FROM d$k q),
-         |pl$k AS MATERIALIZED (
+         |  FROM ${pfx}d$k q),
+         |${pfx}pl$k AS MATERIALIZED (
          |  SELECT CAST(CASE WHEN ur > 0 AND pool_in > 0 THEN 0 ELSE pool_in END
-         |    AS BIGINT) AS pool FROM s$k)""".stripMargin
+         |    AS BIGINT) AS pool FROM ${pfx}s$k)""".stripMargin
     }.mkString(",\n")
-    s"""$budgetFrontSql,
-       |base AS MATERIALIZED (
+    s"""${pfx}base AS MATERIALIZED (
        |  SELECT source, n_unique, unique_tokens, rate,
-       |    CAST(($TrainBudgetTokens * rate) // sum_rates AS BIGINT) AS target,
-       |    CAST($MaxUniqueEpochs * unique_tokens AS BIGINT) AS cap
-       |  FROM r, t),
-       |st0 AS MATERIALIZED (SELECT source, rate, cap, target AS alloc, FALSE AS capped FROM base),
-       |pl0 AS MATERIALIZED (SELECT CAST($TrainBudgetTokens - sum(alloc) AS BIGINT) AS pool FROM st0),
+       |    CAST(($budget * rate) // sum_rates AS BIGINT) AS target,
+       |    CAST($capSql AS BIGINT) AS cap
+       |  FROM $fromSql),
+       |${pfx}st0 AS MATERIALIZED (SELECT source, rate, cap, target AS alloc, FALSE AS capped FROM ${pfx}base),
+       |${pfx}pl0 AS MATERIALIZED (SELECT CAST($budget - sum(alloc) AS BIGINT) AS pool FROM ${pfx}st0),
        |$rounds""".stripMargin
   }
+
+  private lazy val rebalanceCtes: String =
+    s"""$budgetFrontSql,
+       |${fillRoundsSql("", TrainBudgetTokens,
+          s"$MaxUniqueEpochs * unique_tokens", "r, t")}""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // x10: the two-level fill replayed as the single cumulative window it
@@ -1054,6 +1161,45 @@ object SamplingPack extends QueryPack {
          |WHERE p.full_epochs
          |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END >= 1
          |ORDER BY c.doc_id""".stripMargin,
+
+    // x17: the same shared front, then TWO fill chains — the main phase
+    // is x15's round arithmetic under the run cap (prefix m), the anneal
+    // phase the identical chain under the CARRYOVER cap (cap − main
+    // alloc, the `carry` join) with the anneal rate table; both phases'
+    // rows union with cumulative columns.
+    "x17_anneal_schedule" -> {
+      val r = RebalanceRounds
+      s"""WITH $budgetFrontSql,
+         |${fillRoundsSql("m", MainBudgetTokens,
+            s"$MaxUniqueEpochs * unique_tokens", "r, t")},
+         |carry AS MATERIALIZED (
+         |  SELECT b.source, b.cap - z.alloc AS capleft, z.alloc AS main_alloc
+         |  FROM mbase b JOIN mst$r z ON z.source = b.source),
+         |${ratesCteSql("a", AnnealRates)},
+         |${fillRoundsSql("a", AnnealBudgetTokens, "cl.capleft",
+            "ar JOIN carry cl USING (source), at")}
+         |SELECT 'main' AS phase, 1 AS phase_ord, b.source, b.n_unique,
+         |  b.unique_tokens, b.rate, b.target AS target_tokens,
+         |  b.cap AS cap_tokens, z.alloc AS final_tokens,
+         |  CAST(z.capped AS INTEGER) AS data_capped,
+         |  CAST(z.alloc > b.target AS INTEGER) AS got_realloc,
+         |  (SELECT pool FROM mpl$r) AS unalloc_tokens,
+         |  z.alloc AS cum_final_tokens,
+         |  CAST(z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE) AS cum_repeat_x
+         |FROM mbase b JOIN mst$r z ON z.source = b.source
+         |UNION ALL
+         |SELECT 'anneal', 2, b.source, b.n_unique,
+         |  b.unique_tokens, b.rate, b.target,
+         |  b.cap, z.alloc,
+         |  CAST(z.capped AS INTEGER),
+         |  CAST(z.alloc > b.target AS INTEGER),
+         |  (SELECT pool FROM apl$r),
+         |  CAST(cl.main_alloc + z.alloc AS BIGINT),
+         |  CAST(cl.main_alloc + z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE)
+         |FROM abase b JOIN ast$r z ON z.source = b.source
+         |  JOIN carry cl ON cl.source = b.source
+         |ORDER BY phase_ord, source""".stripMargin
+    },
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

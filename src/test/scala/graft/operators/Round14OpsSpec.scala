@@ -141,6 +141,113 @@ class Round14OpsSpec extends SparkSuite {
     assert(rows.forall(_._4 <= SamplingPack.MaxUniqueEpochs))
   }
 
+  test("x17: both phases replay a BigInt two-phase water-fill; the carryover cap binds; the anneal tilt shifts shares") {
+    val rows = SparkEntry.queries("x17_anneal_schedule")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(2)),
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getInt(9), r.getInt(10), r.getLong(11), r.getLong(12)))).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sources = docs.map(_._1).distinct.sorted
+    assert(rows.size == 2 * sources.length)
+
+    def rateOf(tbl: Seq[Int])(src: String): Long = {
+      val g = src.stripPrefix("src").toInt / 5
+      (if (g < tbl.length) tbl(g) else tbl.last).toLong
+    }
+    val uniqTokens = sources.map { s =>
+      s -> BigInt(docs.filter(_._1 == s).map(_._2).distinct
+        .map(_.split(" ", -1).length.toLong).sum)
+    }.toMap
+    // independent replay: the STATED two-phase rules — phase caps are
+    // the run cap minus what earlier phases allocated; each phase is
+    // the x15 fixpoint (clamp; floor shares by rate over uncapped;
+    // remainder to the lowest-named uncapped source)
+    def fill(budget: BigInt, rate: Map[String, Long],
+        cap: Map[String, BigInt]): (Map[String, BigInt], BigInt) = {
+      val target = {
+        val sr = BigInt(sources.map(rate).sum)
+        sources.map(s => s -> budget * rate(s) / sr).toMap
+      }
+      var alloc = target
+      var capped = Set.empty[String]
+      var pool = budget - target.values.sum
+      var guard = 0
+      var changed = true
+      while (changed && guard < 100) {
+        changed = false
+        sources.foreach { s =>
+          if (alloc(s) > cap(s)) { pool += alloc(s) - cap(s); alloc += s -> cap(s); changed = true }
+          if (alloc(s) >= cap(s) && !capped(s)) { capped += s; changed = true }
+        }
+        val un = sources.filterNot(capped)
+        val ur = BigInt(un.map(rate).sum)
+        if (ur > 0 && pool > 0) {
+          var dist = BigInt(0)
+          un.foreach { s =>
+            val add = pool * rate(s) / ur
+            alloc += s -> (alloc(s) + add); dist += add
+          }
+          alloc += un.head -> (alloc(un.head) + (pool - dist))
+          pool = BigInt(0)
+          changed = true
+        }
+        guard += 1
+      }
+      assert(guard < 100, "x17 replay did not converge")
+      (alloc, pool)
+    }
+    val runCap = sources.map(s => s -> uniqTokens(s) * SamplingPack.MaxUniqueEpochs).toMap
+    // the x1 Rates policy, restated literally (the x15 test's convention)
+    val mainRates = Seq(1000, 500, 250, 750)
+    val (mainAlloc, mainPool) = fill(BigInt(SamplingPack.MainBudgetTokens),
+      sources.map(s => s -> rateOf(mainRates)(s)).toMap, runCap)
+    val annealCap = sources.map(s => s -> (runCap(s) - mainAlloc(s))).toMap
+    val (annAlloc, annPool) = fill(BigInt(SamplingPack.AnnealBudgetTokens),
+      sources.map(s => s -> rateOf(SamplingPack.AnnealRates)(s)).toMap, annealCap)
+
+    sources.foreach { s =>
+      val m = rows(("main", s)); val a = rows(("anneal", s))
+      assert(BigInt(m._5) == mainAlloc(s), s"main final $s")
+      assert(BigInt(m._4) == runCap(s), s"main cap $s")
+      assert(BigInt(a._4) == annealCap(s), s"anneal cap = carryover $s")
+      assert(BigInt(a._5) == annAlloc(s), s"anneal final $s")
+      // THE invariant the carryover exists for: cumulative ≤ run cap
+      assert(BigInt(a._9) == mainAlloc(s) + annAlloc(s) &&
+        BigInt(a._9) <= runCap(s), s"cum cap $s")
+      assert(BigInt(m._8) == mainPool && BigInt(a._8) == annPool, s"pools $s")
+    }
+    // per-phase conservation: Σ final + unallocated = phase budget
+    assert(sources.map(mainAlloc).sum + mainPool ==
+      BigInt(SamplingPack.MainBudgetTokens))
+    assert(sources.map(annAlloc).sum + annPool ==
+      BigInt(SamplingPack.AnnealBudgetTokens))
+    // the fixture exercises the carryover: some source enters the
+    // anneal with NOTHING left, and some source receives then caps
+    assert(sources.exists(s => annealCap(s) == 0), "no fully-consumed source")
+    assert(sources.exists { s =>
+      rows(("anneal", s))._6 == 1 && rows(("anneal", s))._7 == 1
+    }, "no anneal clamp-after-receive cascade")
+    // the tilt is in the POLICY (anneal targets group 0 far harder than
+    // main does) — and the carryover is what stops it from over-drawing:
+    // on this fixture every group-0 source is data-capped in the anneal,
+    // so its realized allocation is exactly its main-phase leftover.
+    // That asymmetry (target share up, realized share pinned to capleft)
+    // is the behavior the phase cap exists to produce.
+    val g0 = sources.filter(_.stripPrefix("src").toInt / 5 == 0)
+    def g0target(tbl: Seq[Int]): Double = {
+      val tot = sources.map(rateOf(tbl)).sum.toDouble
+      g0.map(rateOf(tbl)).sum.toDouble / tot
+    }
+    assert(g0target(SamplingPack.AnnealRates) > g0target(mainRates),
+      "anneal policy must tilt toward group 0")
+    g0.foreach { s =>
+      assert(rows(("anneal", s))._6 == 1, s"$s must be data-capped in anneal")
+      assert(annAlloc(s) == annealCap(s), s"$s anneal alloc must equal its leftover")
+    }
+  }
+
   test("t26 line rules: counts replay the split-lines definition and each rule bites on planted rows") {
     import spark.implicits._
     // The shared corpus is single-line prose, so the line-level rules
