@@ -676,6 +676,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("t29 scoring reads the pinned feature frame, never re-parsing the corpus") {
+    // the trainer localCheckpoints (doc_id, 4 longs) once; the scoring
+    // job must scan that pin (ExistingRDD), not the documents parquet —
+    // a parquet scan here means the E+1-scan-front regression returned
+    // (measured 165 s vs 18 s at 5 M docs; e22's pin discipline)
+    val p = plan("t29_quality_perceptron")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("documents"), p)
+  }
+
   test("e22 drift audit: compiled per-row distortion, k-bounded agg computed once") {
     val p = plan("e22_ivf_drift")
     // the k-row byList frame is localCheckpoint-materialized and feeds
