@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Page-level signals the caller gates on (C4 drops the page outright):
   * `n_sent` — occurrences of '.', '!' or '?' in the KEPT text (the
-  * stated sentence-end proxy for C4's "at least 3 sentences" rule);
+  * stated sentence-end proxy for the released C4 code's "fewer than 5
+  * sentences" page drop; the caller's threshold is
+  * `TextPack.C4MinSentences`);
   * `has_lorem` — lowercase page contains "lorem ipsum"; `has_brace` —
   * page contains '{'. (C4's bad-words page filter is t25's gate.)
   *

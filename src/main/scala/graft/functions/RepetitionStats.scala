@@ -23,35 +23,48 @@ import org.apache.spark.unsafe.types.UTF8String
   *   6  top2_chars       max over word-2-grams of count·cplen(gram)
   *   7  top3_chars       … 3-grams
   *   8  top4_chars       … 4-grams
-  *   9… dup{5..10}_chars Σ count·cplen(gram) over n-grams with count > 1
+  *   9… dup{5..10}_chars code points COVERED by occurrences of repeated
+  *                       n-grams beyond each gram's first occurrence,
+  *                       overlaps counted once (per n)
   *
   * Stated definitions (the published rules leave these open; both
   * engines replay EXACTLY these):
   *  - "duplicate" lines/paragraphs count occurrences BEYOND the first
   *    (a doc of k identical lines has k−1 duplicates), matching the
-  *    common open implementations; duplicate N-GRAM characters count
-  *    ALL occurrences of a repeated gram ("characters contained within
-  *    duplicate n-grams") with no overlap de-count — overlapping
-  *    repeats are counted once per gram occurrence, which only ever
-  *    OVERSTATES the fraction, i.e. the gate errs strict.
+  *    common open implementations.
+  *  - duplicate N-GRAM character mass is the Gopher convention the
+  *    open implementations use (r14 ADVICE — the earlier all-
+  *    occurrences Σ count·len form could exceed 100 % of the document
+  *    and applied the published thresholds far stricter than Table A1
+  *    intends): for each n, take every occurrence of a gram that
+  *    appears more than once, EXCLUDE each gram's first occurrence
+  *    (smallest start position), and count the code points covered by
+  *    the remaining occurrences' spans ONCE — a covered-interval
+  *    union, never exceeding the document length.
   *  - "most frequent n-gram" character mass is `max(count·len)` over
   *    the doc's grams — order-free, so no tiebreak rule can reach the
   *    output (under a count tie the longer gram wins: it covers more
   *    characters, again the conservative direction).
   *  - grams are keyed by the shared [[ShingleHashes]] Horner-mod-prime
   *    hash (the oracle replays it via `polyHashSql`); a same-doc
-  *    collision would merge two grams for BOTH engines identically.
-  *    Per-hash gram length is `min` over its occurrences (order-free;
-  *    lengths only differ under a collision).
+  *    collision would merge two grams for BOTH engines identically
+  *    (counts, first occurrence, and spans all key off the hash).
+  *    Per-hash gram length for the TOP rules is `min` over its
+  *    occurrences (order-free; lengths only differ under a collision);
+  *    the dup rules use each occurrence's own span.
   *  - character counts are CODE POINTS (Spark `length` / DuckDB
   *    `length` semantics), denominators are taken by the consumer from
   *    `length(text)`.
   *
   * Cost: the n = 2..10 hashes extend each other per start position
   * (gram hash at n resumes the fold of n−1 over `' ' + next word`), so
-  * the whole family is one O(9·chars) scan with per-doc hash maps —
-  * no explode, no shuffle, scan-bandwidth at any corpus size, the same
-  * shape that lets t25/t26 run unchanged at the streaming ingest edge.
+  * the whole family is one O(9·chars) scan with per-doc hash maps;
+  * when some n has a repeated gram, a SECOND identical fold pass walks
+  * the occurrences in order and merges covered spans (intervals at
+  * fixed n are sorted by construction, so the union is a running
+  * high-water mark — still O(9·chars), no allocation). No explode, no
+  * shuffle: scan-bandwidth at any corpus size, the same shape that
+  * lets t25/t26 run unchanged at the streaming ingest edge.
   */
 case class RepetitionStats(child: Expression) extends UnaryExpression {
 
@@ -99,11 +112,12 @@ object RepetitionStats {
     var cpl = new Array[Long](256)       // code points per word
     // 9 gram tables (n = 2..10): open addressing, load factor <= 1/2,
     // slot occupied iff stamp(slot) == gen (no clearing between rows)
-    val keys = Array.fill(MaxN - 1)(new Array[Long](2048))
-    val cnt = Array.fill(MaxN - 1)(new Array[Int](2048))
-    val lens = Array.fill(MaxN - 1)(new Array[Long](2048))
-    val stamp = Array.fill(MaxN - 1)(new Array[Int](2048))
-    val used = Array.fill(MaxN - 1)(new Array[Int](1024)) // occupied slots
+    var keys = Array.fill(MaxN - 1)(new Array[Long](2048))
+    var cnt = Array.fill(MaxN - 1)(new Array[Int](2048))
+    var lens = Array.fill(MaxN - 1)(new Array[Long](2048))
+    var fpos = Array.fill(MaxN - 1)(new Array[Int](2048)) // first-occurrence word idx
+    var stamp = Array.fill(MaxN - 1)(new Array[Int](2048))
+    var used = Array.fill(MaxN - 1)(new Array[Int](1024)) // occupied slots
     val usedCnt = new Array[Int](MaxN - 1)
     var gen = 0
 
@@ -121,13 +135,39 @@ object RepetitionStats {
           keys(t) = new Array[Long](c)
           cnt(t) = new Array[Int](c)
           lens(t) = new Array[Long](c)
+          fpos(t) = new Array[Int](c)
           stamp(t) = new Array[Int](c) // fresh zeros: never equal to gen >= 1
         }
         if (used(t).length < nWords) used(t) = new Array[Int](nWords * 2)
         t += 1
       }
     }
+
+    /** Release the workspace grown past a pathological document (r14
+      * ADVICE: one multi-million-word row used to pin ~dozens of bytes
+      * per word × 9 tables on every executor thread that touched it,
+      * forever). Fresh zero stamps are never equal to gen >= 1, so the
+      * reallocated tables are correctly "all empty" without a reset.
+      */
+    def shrinkIfOversized(): Unit = {
+      if (keys(0).length > ShrinkCapacity) {
+        starts = new Array[Int](256)
+        cpl = new Array[Long](256)
+        keys = Array.fill(MaxN - 1)(new Array[Long](2048))
+        cnt = Array.fill(MaxN - 1)(new Array[Int](2048))
+        lens = Array.fill(MaxN - 1)(new Array[Long](2048))
+        fpos = Array.fill(MaxN - 1)(new Array[Int](2048))
+        stamp = Array.fill(MaxN - 1)(new Array[Int](2048))
+        used = Array.fill(MaxN - 1)(new Array[Int](1024))
+      }
+    }
   }
+
+  /** Table-capacity high-water mark (per gram table, slots): ~64 k words
+    * of document keeps the workspace; anything larger is released after
+    * the row so a single pathological document cannot pin the memory.
+    */
+  private val ShrinkCapacity = 1 << 17
 
   private val scratch = new ThreadLocal[Scratch] {
     override def initialValue(): Scratch = new Scratch
@@ -202,6 +242,7 @@ object RepetitionStats {
         while (st(slot) == gen && ks(slot) != acc) slot = (slot + 1) & mask
         if (st(slot) != gen) {
           st(slot) = gen; ks(slot) = acc; cs(slot) = 1; ls(slot) = len
+          sc.fpos(t)(slot) = i
           sc.used(t)(sc.usedCnt(t)) = slot; sc.usedCnt(t) += 1
         } else {
           cs(slot) += 1
@@ -211,6 +252,7 @@ object RepetitionStats {
       }
       i += 1
     }
+    var anyDup = false
     var t = 0
     while (t < MaxN - 1) {
       val cs = sc.cnt(t); val ls = sc.lens(t); val us = sc.used(t)
@@ -224,18 +266,52 @@ object RepetitionStats {
           k += 1
         }
         out(6 + t) = top
-      } else { // n = 5..10: Σ count · len over count > 1
-        var dup = 0L
+      } else { // n = 5..10: any repeated gram at this n?
         var k = 0
-        while (k < m) {
-          val c = cs(us(k))
-          if (c > 1) dup += c.toLong * ls(us(k))
+        while (!anyDup && k < m) {
+          if (cs(us(k)) > 1) anyDup = true
           k += 1
         }
-        out(9 + t - 3) = dup
       }
       t += 1
     }
+    // Second pass, only when some n >= 5 has a repeated gram: walk the
+    // occurrences in start order (the same extending fold), and for each
+    // non-first occurrence of a repeated gram merge its span into a per-n
+    // covered-interval union. Spans at fixed n are sorted by construction
+    // (start(i) and end(i+n-1) both increase with i), so the union is a
+    // running high-water char offset; covered mass is counted in CODE
+    // POINTS over the merged segments.
+    if (anyDup) {
+      val prevEnd = new Array[Int](MaxN + 1) // per n, char offset high-water
+      i = 0
+      while (i < w) {
+        var acc = foldRange(0L, i)
+        var n = 2
+        while (n <= MaxN && i + n - 1 < w) {
+          acc = foldRange((acc * Base + ' ') % Mod, i + n - 1)
+          if (n >= 5) {
+            val t2 = n - 2
+            val ks = sc.keys(t2); val cs = sc.cnt(t2); val st = sc.stamp(t2)
+            val mask = ks.length - 1
+            var slot = ((acc * -7046029254386353131L) >>> 40).toInt & mask
+            while (st(slot) == gen && ks(slot) != acc) slot = (slot + 1) & mask
+            if (cs(slot) > 1 && sc.fpos(t2)(slot) != i) {
+              val a = starts(i)
+              val b = wordEnd(i + n - 1)
+              val from = if (a > prevEnd(n)) a else prevEnd(n)
+              if (b > from) {
+                out(9 + n - 5) += s.codePointCount(from, b)
+                prevEnd(n) = b
+              }
+            }
+          }
+          n += 1
+        }
+        i += 1
+      }
+    }
+    sc.shrinkIfOversized()
     new GenericArrayData(out)
   }
 
@@ -266,14 +342,4 @@ object RepetitionStats {
     out(at + 2) = dupChars
   }
 
-  private def foldWord(from: Long, word: String): Long = {
-    var acc = from
-    var j = 0
-    while (j < word.length) {
-      val cp = word.codePointAt(j)
-      acc = (acc * Base + cp) % Mod
-      j += Character.charCount(cp)
-    }
-    acc
-  }
 }

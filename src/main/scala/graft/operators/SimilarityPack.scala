@@ -1447,8 +1447,15 @@ object SimilarityPack extends QueryPack {
          |    FROM asg WHERE vec_id <> 0)
          |  WHERE cid IN (SELECT cid FROM probes)),
          |pc AS (
+         |  -- bit-exact SQUARED distance for the code-assignment rank (the
+         |  -- r13/r14 ADVICE convention, same as IvfIndex.distListSql): the
+         |  -- earlier list_distance sqrt form was only argmin-monotone and
+         |  -- a correctly-rounded sqrt can collapse distinct squared
+         |  -- distances into a row_number tie.
          |  SELECT c.vec_id, c.cid, s.j, s.i,
-         |    list_distance(c.e[s.j * $sd + 1 : (s.j + 1) * $sd], CAST(s.sv AS DOUBLE[])) AS dd
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+         |      list_zip(c.e[s.j * $sd + 1 : (s.j + 1) * $sd], CAST(s.sv AS DOUBLE[])),
+         |      zz -> (zz[1] - zz[2]) * (zz[1] - zz[2]))), (acc, x) -> acc + x) AS dd
          |  FROM cf c JOIN shifted s ON s.cid = c.cid),
          |code AS (
          |  SELECT vec_id, cid, j, i FROM (

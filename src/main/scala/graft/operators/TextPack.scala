@@ -677,8 +677,12 @@ object TextPack extends QueryPack {
     // the family costs one O(9·chars) pass; no explode, no shuffle, no
     // join: scan-bandwidth at any corpus size, streaming-edge-composable
     // like t25/t26). Stated definitional choices (kernel scaladoc):
-    // beyond-first occurrences for line/para duplicates, ALL occurrences
-    // for dup-gram character mass (no overlap de-count — errs strict),
+    // beyond-first occurrences for line/para duplicates; dup-gram
+    // character mass is the covered-span union of repeated-gram
+    // occurrences EXCLUDING each gram's first occurrence, overlaps
+    // counted once (the Gopher convention the open implementations use —
+    // r14 ADVICE; never exceeds the document, so the published 15..10 %
+    // thresholds apply as Table A1 intends);
     // max(count·len) for the top gram (order-free, no tiebreak can reach
     // the output), grams keyed by the shared poly-hash the oracle
     // replays, denominators = length(text). Thresholds cross-multiplied
@@ -694,9 +698,12 @@ object TextPack extends QueryPack {
     // line-REWRITE companion to the Gopher gates (t26/t27 flag documents;
     // C4 rebuilds them from their surviving lines, then gates the page).
     // Line keep-rules: terminal punctuation ('.', '!', '?', '"'), ≥ 5
-    // words, no "javascript"; page gate: ≥ 3 sentence-end marks in the
-    // KEPT text (the stated proxy for C4's "at least three sentences"),
-    // no "lorem ipsum", no '{' (C4's bad-words page rule is t25). The
+    // words, no "javascript"; page gate: ≥ 5 sentence-end marks in the
+    // KEPT text (the stated proxy for the released C4 implementation's
+    // "fewer than 5 sentences" page drop — the paper's §2.2 prose says 3,
+    // the shipped code says 5; we follow the code, stated here so the
+    // deviation from the paper text is deliberate), no "lorem ipsum", no
+    // '{' (C4's bad-words page rule is t25). The
     // whole pass is ONE compiled scan ([[graft.functions.C4Lines]] —
     // kept-line rebuild + every gate signal, no array materialization,
     // no shuffle/join/state: scan-bandwidth, streaming-edge-composable).
@@ -917,7 +924,7 @@ object TextPack extends QueryPack {
         col("r.n_lines").as("n_lines"), col("r.n_kept").as("n_kept"),
         col("r.n_sent").as("n_sent"), col("r.has_lorem").as("has_lorem"),
         col("r.has_brace").as("has_brace"),
-        (col("r.n_sent") >= 3 && col("r.has_lorem") === 0 &&
+        (col("r.n_sent") >= C4MinSentences && col("r.has_lorem") === 0 &&
           col("r.has_brace") === 0).cast("int").as("kept"),
         length(col("r.clean_text")).cast("long").as("clean_len"),
         col("r.clean_text").as("clean_text"))
@@ -941,6 +948,13 @@ object TextPack extends QueryPack {
     Seq(2 -> 20, 3 -> 18, 4 -> 16)
   private[operators] val DupGramPct: Seq[(Int, Int)] =
     Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** t28's page gate: pages whose KEPT text carries fewer than this many
+    * sentence-end marks are dropped — the released C4 implementation's
+    * "fewer than 5 sentences" rule (Raffel et al. '20 §2.2's prose says
+    * 3; the shipped code says 5 — we follow the code; r14 ADVICE).
+    */
+  private[graft] val C4MinSentences = 5
 
   /** t26's rule constants — Gopher's published thresholds (word-count
     * window and the ≥ 2-stopword sanity rule; the 80 % alpha-word and
@@ -1314,7 +1328,8 @@ object TextPack extends QueryPack {
     * and `pass`.
     */
   private[graft] def repetitionCtes(src: String, pfx: String): String = {
-    val gramCtes = (2 to 10).map { n =>
+    // n = 2..4 (top-gram mass): hash-keyed counts, max(count · min-len).
+    val topCtes = (2 to 4).map { n =>
       s"""${pfx}g$n AS (
          |  SELECT doc_id, s.h AS h, s.gl AS gl FROM (
          |    SELECT doc_id, unnest(list_transform(
@@ -1326,12 +1341,56 @@ object TextPack extends QueryPack {
          |${pfx}c$n AS (SELECT doc_id, h, count(*) AS c, min(gl) AS gl
          |        FROM ${pfx}g$n GROUP BY 1, 2),
          |${pfx}a$n AS (SELECT doc_id,
-         |  ${if (n <= 4)
-             s"CAST(max(c * gl) AS BIGINT) AS top${n}_chars"
-           else
-             s"CAST(sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS BIGINT) AS dup${n}_chars"}
+         |  CAST(max(c * gl) AS BIGINT) AS top${n}_chars
          |  FROM ${pfx}c$n GROUP BY doc_id)""".stripMargin
     }.mkString(",\n")
+    // n = 5..10 (duplicate-gram covered mass, the kernel's r14 stated
+    // definition): occurrences carry their start position and char span;
+    // grams with count > 1 keep every occurrence EXCEPT the first
+    // (min i); spans at fixed n are sorted by i with monotone ends, so
+    // the covered-interval union is a running max over the previous
+    // ends and the mass is Σ (end − max(start, prev_end))⁺ — counted
+    // once, never exceeding the document.
+    val posCtes =
+      s"""${pfx}pw AS (
+         |  SELECT doc_id, CAST(z.i AS BIGINT) AS i, z.wl AS wl FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |      i -> struct_pack(i := i, wl := CAST(length(ws[i]) AS BIGINT)))) AS z
+         |    FROM ${pfx}w)),
+         |${pfx}ps AS (
+         |  SELECT doc_id, i,
+         |    CAST(coalesce(sum(wl + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cs
+         |  FROM ${pfx}pw)""".stripMargin
+    val dupCtes = (5 to 10).map { n =>
+      s"""${pfx}g$n AS (
+         |  SELECT doc_id, i, ${DedupPack.polyHashSql} AS h,
+         |    CAST(length(sh) AS BIGINT) AS gl
+         |  FROM (
+         |    SELECT doc_id, CAST(s.i AS BIGINT) AS i, s.sh AS sh FROM (
+         |      SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+         |        i -> struct_pack(i := i,
+         |               sh := array_to_string(ws[i:i+${n - 1}], ' ')))) AS s
+         |      FROM ${pfx}w WHERE len(ws) >= $n))),
+         |${pfx}c$n AS (SELECT doc_id, h, count(*) AS c, min(i) AS fi
+         |        FROM ${pfx}g$n GROUP BY 1, 2),
+         |${pfx}d$n AS (
+         |  SELECT g.doc_id AS doc_id, g.i AS i, p.cs AS cs, p.cs + g.gl AS ce
+         |  FROM ${pfx}g$n g
+         |  JOIN ${pfx}c$n c ON g.doc_id = c.doc_id AND g.h = c.h
+         |  JOIN ${pfx}ps p ON p.doc_id = g.doc_id AND p.i = g.i
+         |  WHERE c.c > 1 AND g.i > c.fi),
+         |${pfx}m$n AS (
+         |  SELECT doc_id, cs, ce,
+         |    coalesce(max(ce) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+         |  FROM ${pfx}d$n),
+         |${pfx}a$n AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN ce > greatest(cs, pe)
+         |           THEN ce - greatest(cs, pe) ELSE 0 END) AS BIGINT) AS dup${n}_chars
+         |  FROM ${pfx}m$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val gramCtes = s"$topCtes,\n$posCtes,\n$dupCtes"
     def segCtes(tag: String, delimSql: String, what: String): String =
       s"""${pfx}${tag}s AS (SELECT doc_id, unnest(string_split(text, $delimSql)) AS seg
          |  FROM $src),
@@ -1805,9 +1864,11 @@ object TextPack extends QueryPack {
     // t27: every counter replayed with the kernel's stated definitions —
     // lines/paragraphs split-and-grouped as STRINGS (Σ(c−1) /
     // Σ(c−1)·length beyond-first duplicate mass), the n = 2..10 grams
-    // keyed by the same poly-hash (DedupPack.polyHashSql) with min(len)
-    // per hash, max(c·len) for the top rules and Σ c·len over c > 1 for
-    // the dup rules, cross-multiplied integer flags. Docs too short for
+    // keyed by the same poly-hash (DedupPack.polyHashSql), max(c·len)
+    // with min(len) per hash for the top rules, and for the dup rules
+    // the covered-span union: occurrences positioned by a prefix-sum
+    // window, first occurrence (min i) excluded, interval union via a
+    // running max over previous ends. Docs too short for
     // n grams coalesce to 0 (a left join from the base scan). The CTE
     // chain is the shared repetitionCtes builder so s22 can replay the
     // identical rules over the C4-cleaned text.
@@ -1823,7 +1884,7 @@ object TextPack extends QueryPack {
     "t28_c4_filters" ->
       s"""WITH $c4Ctes
          |SELECT doc_id, n_lines, n_kept, n_sent, has_lorem, has_brace,
-         |  CAST(n_sent >= 3 AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS kept,
+         |  CAST(n_sent >= $C4MinSentences AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS kept,
          |  clean_len, clean_text
          |FROM c4g ORDER BY doc_id""".stripMargin,
 

@@ -1506,7 +1506,7 @@ object StreamingPack extends QueryPack {
       s"""WITH ${graft.operators.TextPack.c4Ctes},
          |cleaned AS (
          |  SELECT doc_id,
-         |    CAST(n_sent >= 3 AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS c4_kept,
+         |    CAST(n_sent >= ${graft.operators.TextPack.C4MinSentences} AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS c4_kept,
          |    clean_text AS text
          |  FROM c4g),
          |${graft.operators.TextPack.gopherCtes("cleaned", "gp")},

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.Bench's capture self-defense (r14 verdict #5): the bounded
+  * settle loop and the loud `"contended"` stamp. Pure-function specs —
+  * the mains stay un-launched; the injected clock/load/sleep drive both
+  * settle exits.
+  */
+class BenchSelfDefenseSpec extends AnyFunSuite {
+
+  test("contended stamp: true at/above the threshold, false below") {
+    assert(!Bench.isContended(0.0))
+    assert(!Bench.isContended(2.99))
+    assert(Bench.isContended(3.0))
+    assert(Bench.isContended(4.86)) // the BENCH_r14.json launch load
+  }
+
+  test("loadJson fragment carries the stamp both ways") {
+    val calm = Bench.loadJson(0.93, 1.2, 2)
+    assert(calm.contains("\"contended\":false"))
+    assert(calm.contains("\"load1_start\":0.93"))
+    assert(calm.contains("\"reps\":2"))
+    val hot = Bench.loadJson(4.86, 3.1, 2)
+    assert(hot.contains("\"contended\":true"))
+  }
+
+  test("settle exits immediately on a calm box") {
+    var slept = 0L
+    val polls = Bench.settleUntilCalm(60000000000L, () => 0L,
+      () => 0.5, ms => slept += ms)
+    assert(polls == 0 && slept == 0L)
+  }
+
+  test("settle polls until the load drops, then stops") {
+    // load: hot for 3 polls, then calm
+    var reads = 0
+    val loads = Seq(5.0, 4.0, 3.5, 1.0)
+    var slept = 0L
+    val polls = Bench.settleUntilCalm(60000000000L, () => 0L,
+      () => { val l = loads(math.min(reads, loads.length - 1)); reads += 1; l },
+      ms => slept += ms)
+    assert(polls == 3)
+    assert(slept == 15000L)
+  }
+
+  test("settle NEVER refuses: a never-calm box exits at the budget") {
+    var t = 0L
+    val polls = Bench.settleUntilCalm(20000000000L, () => t,
+      () => 9.9, ms => t += ms * 1000000L)
+    // 5 s sleeps against a 20 s budget: 4 polls, then deadline
+    assert(polls == 4)
+  }
+}

@@ -360,16 +360,35 @@ class Round14OpsSpec extends SparkSuite {
       val (np, dp, dpc) = groupDup(text.split("\n\n", -1).toSeq)
       assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((np, dp, dpc)), s"paras $id")
       val ws = text.split(" ", -1)
+      // char offset where word i starts (words glue back with 1 space)
+      val wordStart = ws.scanLeft(0)((acc, w2) => acc + w2.length + 1)
       for (n <- 2 to 10) {
-        val grams = ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val grams = ws.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
         val byG = grams.groupBy(identity).view.mapValues(_.size.toLong)
         if (n <= 4) {
           val top = if (byG.isEmpty) 0L
             else byG.map { case (g, c) => c * g.length }.max
           assert(r.getAs[Long](s"top${n}_chars") == top, s"top$n $id")
         } else {
-          val dup = byG.collect { case (g, c) if c > 1 => c * g.length }.sum
-          assert(r.getAs[Long](s"dup${n}_chars") == dup, s"dup$n $id")
+          // covered-span replay of the stated dup definition: every
+          // occurrence of a repeated gram except the gram's FIRST
+          // occurrence contributes its char span; spans are unioned
+          // (overlaps counted once)
+          val firstAt = scala.collection.mutable.Map[String, Int]()
+          grams.zipWithIndex.foreach { case (g, i) =>
+            if (!firstAt.contains(g)) firstAt(g) = i }
+          val counts = byG.toMap
+          var covered = 0L
+          var prevEnd = 0
+          grams.zipWithIndex.foreach { case (g, i) =>
+            if (counts(g) > 1 && firstAt(g) != i) {
+              val a = math.max(wordStart(i), prevEnd)
+              val b = wordStart(i) + g.length
+              if (b > a) { covered += b - a; prevEnd = b }
+            }
+          }
+          assert(r.getAs[Long](s"dup${n}_chars") == covered, s"dup$n $id")
         }
       }
     }
@@ -404,15 +423,19 @@ class Round14OpsSpec extends SparkSuite {
         "too short.",
         "enable JavaScript to view this page.",
         "an exclamation with enough words here!",
+        "a fifth sentence with plenty of words.",
+        "the final sentence rounds things out.",
         "he said the words \"yes it works.\"").mkString("\n"),
       // lorem ipsum page marker (mixed case), otherwise clean
       2L -> "the first sentence is fine here.\nLoReM IpSuM dolor sit amet.\nthe third sentence is also fine.",
       // brace page marker
       3L -> "a clean looking sentence right here.\nvar x = function() { return 1; }\nanother clean sentence sits here.\nthird clean sentence also sits here.",
-      // only 2 sentence marks survive → dropped by the ≥ 3 rule
-      4L -> "first kept sentence with words.\nsecond kept sentence with words!\nbut this line has no punctuation",
-      // clean page: 3 kept sentences (one line carries two marks)
-      5L -> "what a fine question to ask? indeed.\nand a second line with words too.")
+      // exactly 4 sentence marks survive → dropped by the ≥ 5 rule
+      // (one below the boundary — pins the threshold from below)
+      4L -> "first kept sentence with words.\nsecond kept sentence with words!\nthird kept sentence has words too.\nis this a kept question line?\nbut this line has no punctuation",
+      // clean page: exactly 5 kept marks (two lines carry two marks
+      // each — pins the threshold from above)
+      5L -> "what a fine question to ask? indeed.\nand a second line with words too.\nis this enough marks now? yes it is.")
     val got = TextPack.c4Filters(pages.toDF("doc_id", "page"))
       .collect().map(r => r.getLong(0) -> r).toMap
     val terminal = Set('.', '!', '?', '"')
@@ -433,14 +456,15 @@ class Round14OpsSpec extends SparkSuite {
       assert(r.getString(8) == clean, s"clean_text $id")
       assert(r.getLong(7) == clean.length.toLong, s"clean_len $id")
     }
-    // gate bites per plant: 1 passes (3 kept marks), 2 lorem, 3 brace,
-    // 4 too few sentences, 5 passes (the '?'+'.' line carries two)
+    // gate bites per plant: 1 passes (5 kept marks), 2 lorem, 3 brace,
+    // 4 too few sentences (exactly 4 — one under the ≥ 5 boundary),
+    // 5 passes with exactly 5 (the '?'+'.' lines carry two each)
     assert(got(1L).getAs[Int]("kept") == 1)
-    assert(got(1L).getAs[Long]("n_kept") == 3L)
+    assert(got(1L).getAs[Long]("n_kept") == 5L)
     assert(got(2L).getAs[Int]("kept") == 0 && got(2L).getAs[Int]("has_lorem") == 1)
     assert(got(3L).getAs[Int]("kept") == 0 && got(3L).getAs[Int]("has_brace") == 1)
-    assert(got(4L).getAs[Int]("kept") == 0 && got(4L).getAs[Long]("n_sent") == 2L)
-    assert(got(5L).getAs[Int]("kept") == 1 && got(5L).getAs[Long]("n_sent") == 3L)
+    assert(got(4L).getAs[Int]("kept") == 0 && got(4L).getAs[Long]("n_sent") == 4L)
+    assert(got(5L).getAs[Int]("kept") == 1 && got(5L).getAs[Long]("n_sent") == 5L)
   }
 
   test("t29: the perceptron replays an independent BigInt trainer and separates the gate well past chance") {
