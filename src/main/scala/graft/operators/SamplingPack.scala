@@ -668,34 +668,45 @@ object SamplingPack extends QueryPack {
     // schedule is sequential water-filling with CAP CARRYOVER: phase 1
     // fills under cap = MaxUniqueEpochs×unique (x15's rule, main rates);
     // phase 2 fills its own budget under cap = the phase-1 LEFTOVER
-    // (cap − main alloc), with the anneal rate table. Exact integers
-    // end to end — each phase is the same [[waterFillCore]] fixpoint
-    // x15 runs (one shared def; the schedule and the single-phase plan
-    // cannot disagree), and the invariant the carryover exists to hold
-    // — cumulative allocation ≤ MaxUniqueEpochs×unique ALWAYS — is by
-    // construction. Budgets partition the run total
-    // (Main + Anneal = TrainBudgetTokens), so x17 is x15's budget
-    // split over time. Scale shape: the corpus-sized work is STILL the
-    // one (source, fp) shuffle (shared front, computed once for both
-    // phases); the fills run driver-side over the |sources|-row catalog
-    // (e10's bounded-pull contract). Oracle replays both phases
-    // CTE-by-CTE (the same prefixed round chain as x15) with the
-    // carryover as a join between them.
+    // (cap − main alloc). The anneal rates are DERIVED FROM MEASURED
+    // QUALITY (r14 verdict #2 — the r14 form consumed a hand-set
+    // constant table keyed by a brittle source-name parse): per-source
+    // t26 gate pass rate (the engine's own A1.1 quality measurement,
+    // one more map-side-combined scan), integer qscore =
+    // ⌊10⁶·n_pass/n_docs⌋, sources ranked (qscore DESC, source ASC),
+    // rank QUARTILES mapped to [[AnnealTierRates]] — the stated
+    // monotone mapping, so a quality shift moves the anneal share
+    // (spec-pinned through [[annealRatesOf]]). The main-phase rates are
+    // the x1 policy column the shared front already carries — no name
+    // parse anywhere. Exact integers end to end — each phase is the
+    // same [[waterFillCore]] fixpoint x15 runs (one shared def; the
+    // schedule and the single-phase plan cannot disagree), and the
+    // invariant the carryover exists to hold — cumulative allocation ≤
+    // MaxUniqueEpochs×unique ALWAYS — is by construction. Budgets
+    // partition the run total (Main + Anneal = TrainBudgetTokens), so
+    // x17 is x15's budget split over time. Scale shape: the
+    // corpus-sized work is the one (source, fp) shuffle plus the one
+    // quality scan (both linear, map-side combined, no join); the
+    // fills run driver-side over the |sources|-row catalog (e10's
+    // bounded-pull contract). Oracle replays both phases CTE-by-CTE
+    // (the same prefixed round chain as x15) with the carryover as a
+    // join between them and the rate derivation from the same
+    // gopherCtes chain t26 hash-checks.
     "x17_anneal_schedule" -> ((s, dir) => {
       val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
       val src = per.map(_.getString(0))
       val nUniq = per.map(_.getLong(1))
       val uTok = per.map(_.getLong(2))
-      def rates(tbl: Seq[Int]): Array[Long] = src.map { name =>
-        val g = name.drop(3).toInt / 5
-        (if (g < tbl.length) tbl(g) else tbl.last).toLong
-      }
+      val mainRate = per.map(_.getLong(3))
+      val q = sourceQualityScores(s, dir)
+      val aRates = annealRatesOf(src.toSeq.map(x => x -> q(x)))
+      val annealRate = src.map(aRates)
       val runCap = uTok.map(_ * MaxUniqueEpochs)
       import s.implicits._
       var capLeft = runCap
       var cum = Array.fill(src.length)(0L)
-      val phases = Seq(("main", 1, rates(Rates), MainBudgetTokens),
-        ("anneal", 2, rates(AnnealRates), AnnealBudgetTokens))
+      val phases = Seq(("main", 1, mainRate, MainBudgetTokens),
+        ("anneal", 2, annealRate, AnnealBudgetTokens))
       val rows = phases.flatMap { case (phase, ord, rate, budget) =>
         val capIn = capLeft
         val (target, alloc, capped, pool) = waterFillCore(rate, capIn, budget)
@@ -807,19 +818,51 @@ object SamplingPack extends QueryPack {
   private[operators] val MaxUniqueEpochs = 4
 
   /** x17's schedule: the run budget split over time (Main + Anneal =
-    * TrainBudgetTokens exactly), and the anneal-phase rate table — the
-    * re-weighting toward the high-quality source group the anneal
-    * exists for (group 0 boosted 3×, the long tail cut). Policy
-    * constants like Rates. On the data-constrained fixture the
-    * carryover is what the schedule demonstrates: the anneal POLICY
-    * targets group 0 at 82 % of its budget, but main already consumed
-    * those sources' 4-epoch caps, so their realized anneal draw pins to
-    * the leftover and the water-fill reroutes the rest — exactly the
-    * over-draw protection the phase cap exists for (spec-pinned).
+    * TrainBudgetTokens exactly), and the QUALITY-TIER anneal rates —
+    * the measured-quality re-weighting the anneal exists for. Sources
+    * are ranked by the engine's own t26 gate pass rate and the rank
+    * quartiles map to these rates (top quartile boosted hard, the tail
+    * cut) — the ONLY policy constants left in the schedule; which
+    * sources get them is measured, not named. On the data-constrained
+    * fixture the carryover is what the schedule demonstrates: the
+    * anneal POLICY concentrates most of its budget on the top tier,
+    * but main already consumed several of those sources' 4-epoch caps,
+    * so their realized anneal draw pins to the leftover and the
+    * water-fill reroutes the rest — exactly the over-draw protection
+    * the phase cap exists for (spec-pinned).
     */
   private[operators] val MainBudgetTokens = 72000L
   private[operators] val AnnealBudgetTokens = 18000L
-  private[operators] val AnnealRates = Seq(3000, 250, 100, 300)
+  private[operators] val AnnealTierRates = Seq(1600, 400, 150, 50)
+
+  /** The stated monotone quality→rate mapping (r14 verdict #2): rank
+    * sources by (qscore DESC, source ASC), map 0-based rank r of S
+    * sources to tier ⌊4·r/S⌋, tier to [[AnnealTierRates]]. Raising a
+    * source's qscore can only raise (never lower) its rate — the
+    * monotonicity the spec pins.
+    */
+  private[operators] def annealRatesOf(q: Seq[(String, Long)]): Map[String, Long] = {
+    val n = q.size
+    q.sortBy { case (s, v) => (-v, s) }.zipWithIndex.map { case ((s, _), r) =>
+      s -> AnnealTierRates(r * 4 / n).toLong
+    }.toMap
+  }
+
+  /** Per-source measured quality for the anneal derivation: the t26
+    * gate pass rate as an exact integer qscore = ⌊10⁶·n_pass/n_docs⌋ —
+    * one map-side-combined scan over the shared gopherRules projection,
+    * pulled as a |sources|-row catalog (e10's bounded-pull contract).
+    */
+  private[operators] def sourceQualityScores(
+      s: SparkSession, dir: String): Map[String, Long] = {
+    graft.operators.TextPack
+      .gopherRules(Tables(s, dir, "documents"), carry = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2) * 1000000L / r.getLong(1))
+      .toMap
+  }
 
   /** x15's unrolled round count: the fixpoint arrives in ≤ |sources|+2
     * rounds (every non-identity round caps ≥ 1 new source) and the
@@ -917,19 +960,32 @@ object SamplingPack extends QueryPack {
     * exhaustion at 24 rounds). Shared by the x15 and x16 oracles so the
     * plan's replay and the sampler's replay cannot drift.
     */
-  /** A per-source rate table + its sum as CTEs `${pfx}r`/`${pfx}t`
-    * (from the shared front's `b`) — x15 uses the main Rates via
-    * budgetFrontSql's unprefixed `r`/`t`; x17's anneal phase derives a
-    * second table from [[AnnealRates]].
+  /** x17's anneal rate table as CTEs `ar`/`at` (from the shared
+    * front's `b`): the quality derivation replayed from the SAME
+    * gopherCtes chain the t26 oracle hash-checks — per-source pass
+    * counts, integer qscore, (qscore DESC, source) rank, rank-quartile
+    * tier → [[AnnealTierRates]]. No constants beyond the tier table,
+    * no source-name parse.
     */
-  private def ratesCteSql(pfx: String, rates: Seq[Int]): String =
-    s"""${pfx}r AS (
-       |  SELECT source, n_unique, unique_tokens,
-       |    CAST(CASE (CAST(substring(source, 4) AS INT) // 5)
-       |      ${rates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
-       |      ELSE ${rates.last} END AS BIGINT) AS rate
-       |  FROM b),
-       |${pfx}t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM ${pfx}r)""".stripMargin
+  private def annealRatesCteSql: String =
+    s"""${graft.operators.TextPack.gopherCtes("documents", "xq")},
+       |aq AS MATERIALIZED (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(q.pass) AS BIGINT) AS n_pass
+       |  FROM documents d JOIN xqr q ON d.doc_id = q.doc_id
+       |  GROUP BY d.source),
+       |arnk AS MATERIALIZED (
+       |  SELECT source,
+       |    row_number() OVER (ORDER BY (n_pass * 1000000) // n_docs DESC, source) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS ns
+       |  FROM aq),
+       |ar AS (
+       |  SELECT b.source, b.n_unique, b.unique_tokens,
+       |    CAST(CASE ((rnk - 1) * 4) // ns
+       |      ${AnnealTierRates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
+       |      ELSE ${AnnealTierRates.last} END AS BIGINT) AS rate
+       |  FROM b JOIN arnk USING (source)),
+       |at AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM ar)""".stripMargin
 
   /** One water-filling fixpoint as prefixed CTEs — base (integer-div
     * targets + caps from `capSql` over `fromSql`), st0/pl0, and every
@@ -1165,8 +1221,10 @@ object SamplingPack extends QueryPack {
     // x17: the same shared front, then TWO fill chains — the main phase
     // is x15's round arithmetic under the run cap (prefix m), the anneal
     // phase the identical chain under the CARRYOVER cap (cap − main
-    // alloc, the `carry` join) with the anneal rate table; both phases'
-    // rows union with cumulative columns.
+    // alloc, the `carry` join) with the QUALITY-DERIVED anneal rates
+    // (annealRatesCteSql — the t26 pass-rate rank replayed from the
+    // shared gopherCtes chain); both phases' rows union with cumulative
+    // columns.
     "x17_anneal_schedule" -> {
       val r = RebalanceRounds
       s"""WITH $budgetFrontSql,
@@ -1175,7 +1233,7 @@ object SamplingPack extends QueryPack {
          |carry AS MATERIALIZED (
          |  SELECT b.source, b.cap - z.alloc AS capleft, z.alloc AS main_alloc
          |  FROM mbase b JOIN mst$r z ON z.source = b.source),
-         |${ratesCteSql("a", AnnealRates)},
+         |$annealRatesCteSql,
          |${fillRoundsSql("a", AnnealBudgetTokens, "cl.capleft",
             "ar JOIN carry cl USING (source), at")}
          |SELECT 'main' AS phase, 1 AS phase_ord, b.source, b.n_unique,

@@ -724,31 +724,36 @@ object TextPack extends QueryPack {
     // t29: in-engine QUALITY-CLASSIFIER training — the step the modern
     // pipelines run after the rule canon (FineWeb-Edu, DCLM: distill
     // gate decisions into a learned scorer, then score at scan speed).
-    // A batch perceptron over integer RULE-MARGIN features — the signed
-    // distances to three gate boundaries (n_words − 50, n_stop − 2,
-    // 10·n_alpha − 8·n_words), plus bias: raw counts leave a threshold
-    // rule like "≥ 50 words" to a bias that moves ±1 per miss and the
-    // 4-epoch model degenerates to all-positive (measured at sf0.001);
-    // margins put the boundary at 0 where a linear separator can find
-    // it — labeled by the t26 gate itself
-    // (y = 2·pass − 1): per epoch the misclassified-set gradient
-    // Σ y·x over {y·(w·x) ≤ 0} (ties count as misses — w starts at 0,
-    // so epoch 1's gradient is Σ y·x by construction) is ONE corpus
-    // scan reduced to a 4-number aggregate pulled to the driver (e10's
-    // bounded-pull training contract), and the weight update is exact
-    // BIGINT arithmetic — no learning rate, no float, no libm: the
-    // reason this trainer hash-checks cross-engine where a logistic
-    // regression (sigmoid ulps) never could. The served weights are the
-    // POCKET (Gallant '90): of the E epoch vectors, the one with the
-    // fewest training misses, ties to the earliest — the standard
-    // non-separable-data fix, and the labels here are genuinely not
-    // linearly separable (pass = an AND of rules; measured: plain
-    // last-epoch 0.57/0.83, averaged 0.60/0.67 across the two SFs,
-    // 12-epoch pocket 0.974/0.984). PerceptronEpochs = 12 static
-    // epochs (t17's bounded-unroll discipline); the oracle replays
-    // every epoch CTE-by-CTE from the shared gopherCtes features and
-    // picks the pocket by the same (misses, epoch) ORDER BY.
-    // Scale: E+1 scans + E+1 five-number shuffles, embarrassingly
+    // A batch perceptron over integer RULE-MARGIN features. Round 15
+    // widens the frame from 3 A1.1 margins to the FULL CANON (r14
+    // verdict #1): the signed distances to all 23 gate boundaries the
+    // s22 chain evaluates — 10 Gopher A1.1 margins, 13 A1.2 repetition
+    // margins, 3 C4 page signals ([[CanonFeatures]], one shared
+    // (name, expr) list both engines compile verbatim) — over the SAME
+    // C4-cleaned text s22 gates on, labeled by the composed canon
+    // verdict itself (y = 2·canon_keep − 1). Margins, not raw counts:
+    // they put every boundary at 0 where a linear separator can find
+    // it. Per epoch the misclassified-set gradient Σ y·x over
+    // {y·(w·x) ≤ 0} (ties count as misses — w starts at 0, so epoch
+    // 1's gradient is Σ y·x by construction) is ONE scan of the pinned
+    // feature frame reduced to a 28-number aggregate pulled to the
+    // driver (e10's bounded-pull training contract), and the weight
+    // update is exact BIGINT arithmetic — no learning rate, no float,
+    // no libm: the reason this trainer hash-checks cross-engine where
+    // a logistic regression (sigmoid ulps) never could. Overflow
+    // headroom is structural: margins are O(20·len) ≤ ~1.2e4 on this
+    // corpus, so 12 epochs of 27 weights stay ≤ ~1e15 « 2^63. The
+    // served weights are the POCKET (Gallant '90): of the E epoch
+    // vectors, the one with the fewest training misses, ties to the
+    // earliest — the standard non-separable-data fix (the label is an
+    // AND of 23 rules). PerceptronEpochs = 12 static epochs (t17's
+    // bounded-unroll discipline); the oracle replays every epoch
+    // CTE-by-CTE from the shared canon CTE builders (c4Ctes →
+    // canonCleanedCte → gopherCtes/repetitionCtes) and picks the
+    // pocket by the same (misses, epoch) ORDER BY. The serve side is
+    // s23_stream_quality_score: the same pocket weights applied as a
+    // stateless compiled projection at the streaming ingest edge.
+    // Scale: E+1 scans + E+1 28-number shuffles, embarrassingly
     // parallel — at 100 TB you train on a bounded sample exactly like
     // the Pretrained artifacts; this query proves the trainer is
     // in-engine, deterministic, and oracle-checkable. Output: per-doc
@@ -756,43 +761,14 @@ object TextPack extends QueryPack {
     "t29_quality_perceptron" -> ((s, dir) => {
       // Features are parsed from the corpus ONCE and pinned
       // (localCheckpoint — the t23/e22 materialization pattern): the
-      // E+1 epoch aggregates then scan a (doc_id, 4 longs) frame, not
+      // E+1 epoch aggregates then scan a (doc_id, 27 longs) frame, not
       // the raw text. Without the pin every epoch re-ran the full
-      // tokenize/count front — measured 165 s vs ~26 s at 5 M docs.
-      val feats = gopherRules(Tables(s, dir, "documents"))
-        .select(col("doc_id"),
-          (col("n_words") - GopherMinWords).cast("long").as("x1"),
-          (col("n_stop") - GopherMinStop).cast("long").as("x2"),
-          (col("n_alpha") * 10 - col("n_words") * 8).cast("long").as("x3"),
-          (col("pass") * 2 - 1).cast("long").as("y"))
-        .localCheckpoint()
-      def margin(w: Array[Long]): Column =
-        lit(w(0)) + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-      var w = Array(0L, 0L, 0L, 0L)
-      var bestW = Array(0L, 0L, 0L, 0L)
-      var bestM = Long.MaxValue
-      // E+1 aggregates: pass e computes w_{e-1}'s miss count AND the
-      // gradient that produces w_e; the last pass only evaluates w_E.
-      for (e <- 1 to PerceptronEpochs + 1) {
-        val mis = col("y") * margin(w) <= 0
-        val g = feats.agg(
-          sum(when(mis, col("y")).otherwise(0L)).as("g0"),
-          sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("g1"),
-          sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("g2"),
-          sum(when(mis, col("y") * col("x3")).otherwise(0L)).as("g3"),
-          sum(when(mis, 1L).otherwise(0L)).as("m"))
-          .collect().head
-        if (e >= 2 && g.getLong(4) < bestM) { // pocket w_1..w_E; ties → earliest
-          bestM = g.getLong(4)
-          bestW = w.clone()
-        }
-        if (e <= PerceptronEpochs)
-          w = Array(w(0) + g.getLong(0), w(1) + g.getLong(1),
-            w(2) + g.getLong(2), w(3) + g.getLong(3))
-      }
+      // clean/tokenize/count front — measured 165 s vs ~26 s at 5 M
+      // docs on the 3-feature form.
+      val feats = canonFeats(Tables(s, dir, "documents")).localCheckpoint()
+      val bestW = trainPocket(feats)
       feats
-        .select(col("doc_id"), col("y"), margin(bestW).as("score"))
+        .select(col("doc_id"), col("y"), canonMargin(bestW).as("score"))
         .select(col("doc_id"), col("y"), col("score"),
           (col("score") > 0).cast("int").as("pred"),
           (when(col("score") > 0, 1L).otherwise(-1L) === col("y"))
@@ -801,13 +777,242 @@ object TextPack extends QueryPack {
     })
   )
 
-  /** t29's static epoch count — enough pocket candidates to reach ≥ 0.97
-    * gate agreement at both SFs (4 epochs measured 0.94/0.65 — the
-    * pocket needs the longer walk on the non-separable side); the unroll
-    * is exact on both engines (a convergence-tested loop would need a
-    * data-dependent CTE depth the oracle can't express).
+  /** The 26 canon rule-margin features, ONE definition both engines
+    * compile verbatim (Spark `expr`, DuckDB inline SQL): the signed
+    * integer distance to each gate boundary the s22 canon evaluates —
+    * positive iff the rule passes. Order is part of the contract
+    * (feature i becomes column x{i+1} and weight w{i+1}). Column names
+    * the expressions reference are the shared canon-frame names
+    * ([[canonFrame]] / the oracle's `cfin` CTE).
     */
-  private[operators] val PerceptronEpochs = 12
+  // lazy: references TopGramPct/DupGramPct declared below in this object
+  private[graft] lazy val CanonFeatures: Seq[(String, String)] = Seq(
+    // Gopher A1.1 (t26's seven rules as ten one-sided margins)
+    "words_lo" -> s"n_words - $GopherMinWords",
+    "words_hi" -> s"$GopherMaxWords - n_words",
+    "wchars_lo" -> "sum_word_chars - 3 * n_words",
+    "wchars_hi" -> "10 * n_words - sum_word_chars",
+    "stopwords" -> s"n_stop - $GopherMinStop",
+    "alpha" -> "10 * n_alpha - 8 * n_words",
+    "bullet" -> "9 * n_lines - 10 * n_bullet_lines",
+    "ell_lines" -> "3 * n_lines - 10 * n_ellipsis_lines",
+    "hash_sym" -> "n_words - 10 * n_hash",
+    "ell_sym" -> "n_words - 10 * n_ellipsis_marks",
+    // Gopher A1.2 (t27's thirteen rules; n_lines/n_paras/len are the
+    // repetition chain's split-based counters)
+    "dup_lines" -> "3 * n_lines - 10 * dup_lines",
+    "dup_paras" -> "3 * n_paras - 10 * dup_paras",
+    "dup_lchars" -> "2 * len - 10 * dup_line_chars",
+    "dup_pchars" -> "2 * len - 10 * dup_para_chars") ++
+    TopGramPct.map { case (n, pct) =>
+      s"top$n" -> s"$pct * len - 100 * top${n}_chars" } ++
+    DupGramPct.map { case (n, pct) =>
+      s"dup$n" -> s"$pct * len - 100 * dup${n}_chars" } ++ Seq(
+    // C4 page signals (t28's three gates)
+    "sent" -> s"n_sent - $C4MinSentences",
+    "lorem" -> "1 - 2 * has_lorem",
+    "brace" -> "1 - 2 * has_brace")
+
+  /** The composed canon over raw documents — the s22 chain in batch:
+    * C4 page construction + line rewrite, then the Gopher A1.1 and
+    * A1.2 rule chains ON THE CLEANED TEXT, every counter carried, plus
+    * the composed `canon_keep` verdict. Stateless projections end to
+    * end, so the same function runs unchanged on a streaming frame
+    * (s23 does exactly that).
+    */
+  private[graft] def canonFrame(docs: DataFrame): DataFrame = {
+    val cleaned = c4Filters(c4Pages(docs)).select(
+      col("doc_id"), col("kept").as("c4_kept"), col("n_sent"),
+      col("has_lorem"), col("has_brace"), col("clean_text").as("text"))
+    val carryC4 = Seq("c4_kept", "n_sent", "has_lorem", "has_brace")
+    val gophered = gopherRules(cleaned, carry = carryC4 :+ "text")
+      .select((Seq("doc_id", "text") ++ carryC4).map(col) ++ Seq(
+        col("n_words"), col("sum_word_chars"), col("n_stop"),
+        col("n_alpha"), col("n_bullet_lines"), col("n_ellipsis_lines"),
+        col("n_hash"), col("n_ellipsis_marks"),
+        col("pass").as("gopher_pass")): _*)
+    val carryAll = carryC4 ++ Seq("n_words", "sum_word_chars", "n_stop",
+      "n_alpha", "n_bullet_lines", "n_ellipsis_lines", "n_hash",
+      "n_ellipsis_marks", "gopher_pass")
+    repetitionRules(gophered, carry = carryAll)
+      .withColumn("canon_keep",
+        (col("c4_kept") === 1 && col("gopher_pass") === 1 &&
+          col("pass") === 1).cast("int"))
+  }
+
+  /** (doc_id, canon_keep, y, x1..x26): the canon frame reduced to the
+    * training columns — label y = 2·canon_keep − 1, feature i the
+    * SIGNUM of margin i (+1 iff the rule passes, −1 otherwise; margin
+    * ≥ 0 is a pass, matching every gate's boundary rule). Signum, not
+    * the raw margin: the margins span five orders of magnitude (±1
+    * lorem flags vs ~2·10⁴ len-scaled masses) and the learning-rate-free
+    * integer perceptron OSCILLATES on them (measured: misses flip
+    * 75 ↔ 425 across epochs, pocket stuck at the all-negative 0.85);
+    * on ±1 verdicts the canon AND is exactly linearly separable
+    * (w = 1, b = −25 witnesses it), the pocket reaches agreement 1.0
+    * at both SFs by epoch ~24, and the served score stays a graded
+    * weighted-rule count (the FineWeb-Edu-style integer quality dial).
+    */
+  private[graft] def canonFeats(docs: DataFrame): DataFrame = {
+    val margins = CanonFeatures.zipWithIndex.map { case ((_, e), i) =>
+      when(expr(e) >= 0, 1L).otherwise(-1L).as(s"x${i + 1}") }
+    canonFrame(docs).select(
+      col("doc_id") +: col("canon_keep") +:
+        (col("canon_keep") * 2 - 1).cast("long").as("y") +: margins: _*)
+  }
+
+  /** w·x over the x1..x26 frame for a concrete weight vector (w(0) is
+    * the bias) — a literal-weight compiled projection, the exact shape
+    * s23 serves at the ingest edge.
+    */
+  private[graft] def canonMargin(w: Array[Long]): Column =
+    CanonFeatures.indices.foldLeft(lit(w(0)): Column) { (acc, i) =>
+      acc + lit(w(i + 1)) * col(s"x${i + 1}") }
+
+  /** The pocket-perceptron training loop over a pinned feature frame:
+    * E+1 bounded-pull aggregates (pass e computes w_{e−1}'s miss count
+    * AND the gradient that produces w_e; the last pass only evaluates
+    * w_E), exact Long arithmetic, pocket = fewest misses with ties to
+    * the earliest epoch. Shared by t29 (train + score in batch) and
+    * s23 (train in batch, serve on the stream).
+    */
+  private[graft] def trainPocket(feats: DataFrame): Array[Long] = {
+    val nx = CanonFeatures.size
+    var w = new Array[Long](nx + 1)
+    var bestW = w.clone()
+    var bestM = Long.MaxValue
+    for (e <- 1 to PerceptronEpochs + 1) {
+      val mis = col("y") * canonMargin(w) <= 0
+      val aggs = (0 to nx).map { i =>
+        val xi: Column = if (i == 0) lit(1L) else col(s"x$i")
+        sum(when(mis, col("y") * xi).otherwise(0L)).as(s"g$i")
+      } :+ sum(when(mis, 1L).otherwise(0L)).as("m")
+      val g = feats.agg(aggs.head, aggs.tail: _*).collect().head
+      if (e >= 2 && g.getLong(nx + 1) < bestM) { // pocket w_1..w_E
+        bestM = g.getLong(nx + 1)
+        bestW = w.clone()
+      }
+      if (e <= PerceptronEpochs)
+        w = Array.tabulate(nx + 1)(i => w(i) + g.getLong(i))
+    }
+    bestW
+  }
+
+  /** t29's static epoch count — enough for the pocket to reach the
+    * exact separator on the ±1 verdict features at both SFs (measured:
+    * misses 29/25 at epoch 12, 0 by epoch 24 — agreement 1.0; the
+    * canon AND is separable on signum features, so the walk terminates
+    * instead of pocketing a compromise); the unroll is exact on both
+    * engines (a convergence-tested loop would need a data-dependent
+    * CTE depth the oracle can't express).
+    */
+  private[operators] val PerceptronEpochs = 24
+
+  /** The cleaned relation as a CTE over `c4g` — ONE definition shared
+    * by the s22 oracle and the canon feature chain (t29/s23): the C4
+    * page verdict plus the page signals the feature frame needs, and
+    * the cleaned text the Gopher chains re-gate.
+    */
+  // lazy: references C4MinSentences declared below in this object
+  private[graft] lazy val canonCleanedCte: String =
+    s"""cleaned AS (
+       |  SELECT doc_id,
+       |    CAST(n_sent >= $C4MinSentences AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS c4_kept,
+       |    n_sent, has_lorem, has_brace,
+       |    clean_text AS text
+       |  FROM c4g)""".stripMargin
+
+  /** The canon feature frame as CTEs ending in
+    * `f(doc_id, canon_keep, y, x1..x26)` — the DuckDB twin of
+    * [[canonFeats]], built from the SAME shared chain (c4Ctes →
+    * canonCleanedCte → gopherCtes/repetitionCtes over the cleaned
+    * relation) and the SAME [[CanonFeatures]] expression strings, so
+    * the two engines' features cannot drift. Shared by the t29 and s23
+    * oracles.
+    */
+  private[graft] def canonFeatureCtes: String = {
+    val margins = CanonFeatures.zipWithIndex.map { case ((_, e), i) =>
+      s"CAST(CASE WHEN $e >= 0 THEN 1 ELSE -1 END AS BIGINT) AS x${i + 1}" }
+      .mkString(",\n    ")
+    val keepSql = "CAST(c4_kept = 1 AND gopher_pass = 1 AND rep_pass = 1 AS INTEGER)"
+    s"""$c4Ctes,
+       |$canonCleanedCte,
+       |${gopherCtes("cleaned", "cg")},
+       |${repetitionCtes("cleaned", "cr")},
+       |cfin AS MATERIALIZED (
+       |  SELECT c.doc_id, c.c4_kept, c.n_sent, c.has_lorem, c.has_brace,
+       |    g.n_words, g.sum_word_chars, g.n_stop, g.n_alpha,
+       |    g.n_bullet_lines, g.n_ellipsis_lines, g.n_hash, g.n_ellipsis_marks,
+       |    g.pass AS gopher_pass,
+       |    r.len, r.n_lines, r.dup_lines, r.dup_line_chars,
+       |    r.n_paras, r.dup_paras, r.dup_para_chars,
+       |    r.top2_chars, r.top3_chars, r.top4_chars,
+       |    r.dup5_chars, r.dup6_chars, r.dup7_chars, r.dup8_chars,
+       |    r.dup9_chars, r.dup10_chars,
+       |    r.pass AS rep_pass
+       |  FROM cleaned c JOIN cgr g ON c.doc_id = g.doc_id
+       |    JOIN crp r ON c.doc_id = r.doc_id),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $keepSql AS canon_keep,
+       |    CAST(2 * $keepSql - 1 AS BIGINT) AS y,
+       |    $margins
+       |  FROM cfin)""".stripMargin
+  }
+
+  /** The pocket-perceptron training replayed as CTEs over `f`, ending
+    * in `sc(doc_id, canon_keep, y, score)` — the DuckDB twin of
+    * [[trainPocket]] + [[canonMargin]]: per epoch e, `ym{e}` names the
+    * margin y·(w_{e−1}·x) once, `w{e}e` folds the misclassified-set
+    * gradient (ties ≤ 0 are misses), `mc{e}` counts w_e's misses from
+    * `ym{e+1}`, and `pocket` picks (min misses, earliest epoch) —
+    * exactly the Spark E+1 aggregate loop. Shared by the t29 and s23
+    * oracles.
+    */
+  private[graft] def canonPocketCtes: String = {
+    val nx = CanonFeatures.size
+    def marginSql = "pw.w0 + " +
+      (1 to nx).map(i => s"pw.w$i * x$i").mkString(" + ")
+    val w0 = s"w0e AS (SELECT ${(0 to nx).map(i =>
+      s"CAST(0 AS BIGINT) AS w$i").mkString(", ")})"
+    // every chain CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+    // default and w{e-1}e is referenced twice per epoch (ym{e} and
+    // w{e}e) — inlined, the weight chain re-expands 2^E times and the
+    // full canon front under f re-opens the parquet until the process
+    // runs out of file handles (the e16 lesson, measured again here).
+    def ymCte(e: Int): String =
+      s"""ym$e AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, ${(1 to nx).map(i => s"f.x$i").mkString(", ")},
+         |    f.y * ($marginSql) AS ym
+         |  FROM f, w${e - 1}e AS pw)""".stripMargin
+    def wCte(e: Int): String =
+      s"""w${e}e AS MATERIALIZED (
+         |  SELECT ${(0 to nx).map(i =>
+             s"pw.w$i + CAST(sum(CASE WHEN ym <= 0 THEN y${if (i == 0) "" else s" * x$i"} ELSE 0 END) AS BIGINT) AS w$i")
+             .mkString(",\n    ")}
+         |  FROM ym$e, w${e - 1}e AS pw
+         |  GROUP BY ${(0 to nx).map(i => s"pw.w$i").mkString(", ")})""".stripMargin
+    // dependency order: w0, then per epoch ym{e} (margin under w_{e-1})
+    // and w{e}e; ym{E+1} evaluates w_E so mc{E} can count its misses
+    val chain = (1 to PerceptronEpochs)
+      .flatMap(e => Seq(ymCte(e), wCte(e))) :+ ymCte(PerceptronEpochs + 1)
+    val mcs = (1 to PerceptronEpochs).map { e =>
+      s"mc$e AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ym${e + 1} WHERE ym <= 0)"
+    }
+    val pocket =
+      s"""pocket AS (
+         |  SELECT ${(0 to nx).map(i => s"w$i").mkString(", ")} FROM (
+         |    ${(1 to PerceptronEpochs).map(e =>
+               s"SELECT $e AS e, mc$e.m AS m, w${e}e.* FROM mc$e, w${e}e")
+               .mkString("\n    UNION ALL ")}
+         |  ) ORDER BY m, e LIMIT 1)""".stripMargin
+    val sc =
+      s"""sc AS (
+         |  SELECT f.doc_id AS doc_id, f.canon_keep AS canon_keep, f.y AS y,
+         |    CAST(pw.w0 + ${(1 to nx).map(i => s"pw.w$i * f.x$i").mkString(" + ")} AS BIGINT) AS score
+         |  FROM f, pocket AS pw)""".stripMargin
+    (Seq(w0) ++ chain ++ mcs ++ Seq(pocket, sc)).mkString(",\n")
+  }
 
   /** The t26 gate over any (doc_id, text) frame — factored so the spec
     * can drive it over planted multiline rows, and so s22 can run it
@@ -1890,49 +2095,17 @@ object TextPack extends QueryPack {
 
     // t29: every epoch replayed CTE-by-CTE — the same misclassified-set
     // predicate over the previous epoch's (1-row, qualified) weights,
-    // the same exact BIGINT gradient sums, the same features out of the
-    // shared gopherCtes chain.
-    "t29_quality_perceptron" -> {
-      val epochs = (1 to PerceptronEpochs).map { e =>
-        s"""w$e AS (
-           |  SELECT
-           |    pw.b  + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y      ELSE 0 END) AS BIGINT) AS b,
-           |    pw.wa + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS wa,
-           |    pw.wb + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS wb,
-           |    pw.wc + CAST(sum(CASE WHEN y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS wc
-           |  FROM f, w${e - 1} AS pw
-           |  GROUP BY pw.b, pw.wa, pw.wb, pw.wc)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ${gopherCtes("documents", "qp")},
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(n_words - $GopherMinWords AS BIGINT) AS x1,
-         |    CAST(n_stop - $GopherMinStop AS BIGINT) AS x2,
-         |    CAST(n_alpha * 10 - n_words * 8 AS BIGINT) AS x3,
-         |    CAST(2 * pass - 1 AS BIGINT) AS y
-         |  FROM qpr),
-         |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wa,
-         |              CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wc),
-         |$epochs,
-         |${(1 to PerceptronEpochs).map(e =>
-             s"""m$e AS (SELECT CAST(count(*) AS BIGINT) AS m FROM f, w$e AS pw
-                |  WHERE y*(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3) <= 0)""".stripMargin)
-             .mkString(",\n")},
-         |pocket AS (
-         |  SELECT b, wa, wb, wc FROM (
-         |    ${(1 to PerceptronEpochs).map(e =>
-               s"SELECT $e AS e, m$e.m AS m, w$e.b, w$e.wa, w$e.wb, w$e.wc FROM m$e, w$e")
-               .mkString("\n    UNION ALL ")}
-         |  ) ORDER BY m, e LIMIT 1),
-         |sc AS (
-         |  SELECT f.doc_id AS doc_id, f.y AS y,
-         |    CAST(pw.b + pw.wa*x1 + pw.wb*x2 + pw.wc*x3 AS BIGINT) AS score
-         |  FROM f, pocket AS pw)
+    // the same exact BIGINT gradient sums, the same 26 canon rule-margin
+    // features out of the shared canon chain (canonFeatureCtes) and the
+    // same pocket pick (canonPocketCtes) — both builders shared verbatim
+    // with the s23 oracle.
+    "t29_quality_perceptron" ->
+      s"""WITH $canonFeatureCtes,
+         |$canonPocketCtes
          |SELECT doc_id, y, score,
          |  CAST(score > 0 AS INTEGER) AS pred,
          |  CAST((CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS INTEGER) AS correct
          |FROM sc ORDER BY doc_id""".stripMargin
-    }
   )
 
   /** The t28 replay as CTEs: deterministic page construction over the

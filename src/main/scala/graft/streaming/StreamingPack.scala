@@ -1067,6 +1067,51 @@ object StreamingPack extends QueryPack {
         .start()
       q.awaitTermination()
       ss.table("graft_s22_canon").orderBy("doc_id")
+    }),
+
+    // s23: SERVE the learned quality scorer at the ingest edge — the
+    // FineWeb-Edu/DCLM deployment shape t29 trains for: distill the
+    // canon into pocket weights OFFLINE (the batch trainer, bounded
+    // driver pulls — the stagedLmModel artifact pattern), then score
+    // every arriving document with ONE literal-weight compiled
+    // projection chained after the same stateless canon feature chain
+    // s22 composes. No stream-stream join, no state store, no
+    // watermark: the scorer adds a dot product over 26 integer margins
+    // to a scan that already computes the margins' counters, so the
+    // per-event cost is the canon's scan-bandwidth plus ~27 multiplies.
+    // Exact Long end to end — the stream's scores equal the batch
+    // trainer's bit for bit, which is what lets the oracle replay
+    // training AND serving in one CTE chain.
+    "s23_stream_quality_score" -> ((s, dir) => {
+      val tmp = scratch("graft-s23-")
+      // Train offline on the same corpus (the model artifact; t29's
+      // exact loop — shared code, shared weights).
+      val batchDocs = Tables(s, dir, "documents").select("doc_id", "text")
+      val w = graft.operators.TextPack.trainPocket(
+        graft.operators.TextPack.canonFeats(batchDocs).localCheckpoint())
+      // Serve on the stream: canon features -> literal-weight score.
+      val schema = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir).schema
+      val ss = tunedChild(s, width = 4)
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val scored = graft.operators.TextPack.canonFeats(stream)
+        .select(col("doc_id"), col("canon_keep"),
+          graft.operators.TextPack.canonMargin(w).as("score"))
+        .select(col("doc_id"), col("canon_keep"), col("score"),
+          (col("score") > 0).cast("int").as("pred"))
+        .withColumn("agree",
+          (col("pred") === col("canon_keep")).cast("int"))
+      val q = scored.writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_s23_score")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table("graft_s23_score").orderBy("doc_id")
     })
   )
 
@@ -1504,11 +1549,7 @@ object StreamingPack extends QueryPack {
     // definition per stage, so they cannot drift.
     "s22_stream_canon_gate" ->
       s"""WITH ${graft.operators.TextPack.c4Ctes},
-         |cleaned AS (
-         |  SELECT doc_id,
-         |    CAST(n_sent >= ${graft.operators.TextPack.C4MinSentences} AND has_lorem = 0 AND has_brace = 0 AS INTEGER) AS c4_kept,
-         |    clean_text AS text
-         |  FROM c4g),
+         |${graft.operators.TextPack.canonCleanedCte},
          |${graft.operators.TextPack.gopherCtes("cleaned", "gp")},
          |${graft.operators.TextPack.repetitionCtes("cleaned", "rp")}
          |SELECT c.doc_id, c.c4_kept, g.n_words,
@@ -1516,7 +1557,22 @@ object StreamingPack extends QueryPack {
          |  CAST(c.c4_kept = 1 AND g.pass = 1 AND r.pass = 1 AS INTEGER) AS canon_keep
          |FROM cleaned c JOIN gpr g ON c.doc_id = g.doc_id
          |  JOIN rpp r ON c.doc_id = r.doc_id
-         |ORDER BY c.doc_id""".stripMargin
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // s23: the distill-then-SCORE serve side (r14 verdict #1b) — the
+    // pocket weights learned by the t29 trainer applied at the ingest
+    // edge as one stateless compiled projection, chained after the same
+    // canon feature chain s22 composes. The oracle replays TRAINING AND
+    // SCORING from the builders t29's oracle shares verbatim
+    // (canonFeatureCtes + canonPocketCtes), so the served scorer cannot
+    // drift from the trained one.
+    "s23_stream_quality_score" ->
+      s"""WITH ${graft.operators.TextPack.canonFeatureCtes},
+         |${graft.operators.TextPack.canonPocketCtes}
+         |SELECT doc_id, canon_keep, score,
+         |  CAST(score > 0 AS INTEGER) AS pred,
+         |  CAST(CAST(score > 0 AS INTEGER) = canon_keep AS INTEGER) AS agree
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 
 }

@@ -141,7 +141,7 @@ class Round14OpsSpec extends SparkSuite {
     assert(rows.forall(_._4 <= SamplingPack.MaxUniqueEpochs))
   }
 
-  test("x17: both phases replay a BigInt two-phase water-fill; the carryover cap binds; the anneal tilt shifts shares") {
+  test("x17: both phases replay a BigInt two-phase water-fill; the carryover cap binds; the anneal tilt is measured quality") {
     val rows = SparkEntry.queries("x17_anneal_schedule")(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(2)),
         (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
@@ -152,10 +152,30 @@ class Round14OpsSpec extends SparkSuite {
     val sources = docs.map(_._1).distinct.sorted
     assert(rows.size == 2 * sources.length)
 
+    // main phase: the x1 policy restated literally (the x15 test's
+    // convention)
     def rateOf(tbl: Seq[Int])(src: String): Long = {
       val g = src.stripPrefix("src").toInt / 5
       (if (g < tbl.length) tbl(g) else tbl.last).toLong
     }
+    // anneal phase: the STATED quality derivation replayed
+    // independently — per-source t26 pass counts from the factored gate
+    // frame (the r14 discipline), integer qscore, (qscore DESC, source)
+    // rank, rank-quartile tiers, the tier table restated literally.
+    val passBySrc = {
+      val gr = TextPack.gopherRules(
+          graft.Tables(spark, dir, "documents"), carry = Seq("source"))
+        .select("source", "pass").collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+      sources.map { s =>
+        val mine = gr.filter(_._1 == s)
+        s -> (mine.length.toLong, mine.map(_._2.toLong).sum)
+      }.toMap
+    }
+    val qscore = passBySrc.map { case (s, (n, p)) => s -> p * 1000000L / n }
+    val tierRates = Seq(1600L, 400L, 150L, 50L)
+    val annealRate = sources.sortBy(s => (-qscore(s), s)).zipWithIndex
+      .map { case (s, r) => s -> tierRates(r * 4 / sources.length) }.toMap
     val uniqTokens = sources.map { s =>
       s -> BigInt(docs.filter(_._1 == s).map(_._2).distinct
         .map(_.split(" ", -1).length.toLong).sum)
@@ -205,10 +225,12 @@ class Round14OpsSpec extends SparkSuite {
       sources.map(s => s -> rateOf(mainRates)(s)).toMap, runCap)
     val annealCap = sources.map(s => s -> (runCap(s) - mainAlloc(s))).toMap
     val (annAlloc, annPool) = fill(BigInt(SamplingPack.AnnealBudgetTokens),
-      sources.map(s => s -> rateOf(SamplingPack.AnnealRates)(s)).toMap, annealCap)
+      annealRate, annealCap)
 
     sources.foreach { s =>
       val m = rows(("main", s)); val a = rows(("anneal", s))
+      assert(m._2 == rateOf(mainRates)(s), s"main rate $s (x1 policy)")
+      assert(a._2 == annealRate(s), s"anneal rate $s (quality derivation)")
       assert(BigInt(m._5) == mainAlloc(s), s"main final $s")
       assert(BigInt(m._4) == runCap(s), s"main cap $s")
       assert(BigInt(a._4) == annealCap(s), s"anneal cap = carryover $s")
@@ -229,23 +251,32 @@ class Round14OpsSpec extends SparkSuite {
     assert(sources.exists { s =>
       rows(("anneal", s))._6 == 1 && rows(("anneal", s))._7 == 1
     }, "no anneal clamp-after-receive cascade")
-    // the tilt is in the POLICY (anneal targets group 0 far harder than
-    // main does) — and the carryover is what stops it from over-drawing:
-    // on this fixture every group-0 source is data-capped in the anneal,
-    // so its realized allocation is exactly its main-phase leftover.
-    // That asymmetry (target share up, realized share pinned to capleft)
-    // is the behavior the phase cap exists to produce.
-    val g0 = sources.filter(_.stripPrefix("src").toInt / 5 == 0)
-    def g0target(tbl: Seq[Int]): Double = {
-      val tot = sources.map(rateOf(tbl)).sum.toDouble
-      g0.map(rateOf(tbl)).sum.toDouble / tot
+    // the tilt is MEASURED quality, not a named group: the best-ranked
+    // source carries the top tier rate, the worst the bottom, and rates
+    // never increase as measured quality falls
+    val ranked = sources.sortBy(s => (-qscore(s), s))
+    assert(annealRate(ranked.head) == tierRates.head, "top source must get the top tier")
+    assert(annealRate(ranked.last) == tierRates.last, "bottom source must get the tail tier")
+    ranked.sliding(2).foreach { pair =>
+      val (hi, lo) = (pair(0), pair(1))
+      assert(annealRate(hi) >= annealRate(lo), s"tier monotonicity $hi vs $lo")
     }
-    assert(g0target(SamplingPack.AnnealRates) > g0target(mainRates),
-      "anneal policy must tilt toward group 0")
-    g0.foreach { s =>
-      assert(rows(("anneal", s))._6 == 1, s"$s must be data-capped in anneal")
-      assert(annAlloc(s) == annealCap(s), s"$s anneal alloc must equal its leftover")
-    }
+    // all four tiers present on this fixture (the mapping bites)
+    assert(sources.map(annealRate).toSet == tierRates.toSet)
+    // a QUALITY SHIFT MOVES THE ANNEAL SHARE (the r14 verdict's pin):
+    // lift the measured-worst source's qscore above everyone, re-derive
+    // rates through the production mapping, and its water-fill target
+    // strictly rises
+    val worst = ranked.last
+    val shifted = sources.map(s =>
+      s -> (if (s == worst) qscore.values.max + 1 else qscore(s)))
+    val before = SamplingPack.annealRatesOf(sources.map(s => s -> qscore(s)))
+    val after = SamplingPack.annealRatesOf(shifted)
+    assert(after(worst) == tierRates.head && before(worst) == tierRates.last)
+    def targetOf(rates: Map[String, Long], s: String): BigInt =
+      BigInt(SamplingPack.AnnealBudgetTokens) * rates(s) / rates.values.sum
+    assert(targetOf(after, worst) > targetOf(before, worst),
+      "a quality shift must move the anneal target share")
   }
 
   test("t26 line rules: counts replay the split-lines definition and each rule bites on planted rows") {
@@ -467,51 +498,7 @@ class Round14OpsSpec extends SparkSuite {
     assert(got(5L).getAs[Int]("kept") == 1 && got(5L).getAs[Long]("n_sent") == 5L)
   }
 
-  test("t29: the perceptron replays an independent BigInt trainer and separates the gate well past chance") {
-    val rows = SparkEntry.queries("t29_quality_perceptron")(spark, dir)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
-    // independent replay: features straight from the factored gate
-    // frame, training over BigInt with the STATED rules (ties are
-    // misses, no learning rate, 4 static epochs)
-    val feats = TextPack.gopherRules(
-        graft.Tables(spark, dir, "documents")).collect()
-      .map(r => (r.getAs[Long]("doc_id"),
-        BigInt(r.getAs[Int]("n_words") - TextPack.GopherMinWords),
-        BigInt(r.getAs[Int]("n_stop") - TextPack.GopherMinStop),
-        BigInt(10 * r.getAs[Int]("n_alpha") - 8 * r.getAs[Int]("n_words")),
-        BigInt(2 * r.getAs[Int]("pass") - 1)))
-    var w = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
-    def missesOf(v: (BigInt, BigInt, BigInt, BigInt)): Int =
-      feats.count { case (_, x1, x2, x3, y) =>
-        y * (v._1 + v._2 * x1 + v._3 * x2 + v._4 * x3) <= 0 }
-    var pocket = w
-    var pocketM = Int.MaxValue
-    for (_ <- 1 to TextPack.PerceptronEpochs) {
-      var g = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
-      feats.foreach { case (_, x1, x2, x3, y) =>
-        if (y * (w._1 + w._2 * x1 + w._3 * x2 + w._4 * x3) <= 0)
-          g = (g._1 + y, g._2 + y * x1, g._3 + y * x2, g._4 + y * x3)
-      }
-      w = (w._1 + g._1, w._2 + g._2, w._3 + g._3, w._4 + g._4)
-      val m = missesOf(w) // pocket: fewest misses, ties → earliest epoch
-      if (m < pocketM) { pocketM = m; pocket = w }
-    }
-    val ws = pocket
-    val expect = feats.map { case (id, x1, x2, x3, y) =>
-      id -> (y, ws._1 + ws._2 * x1 + ws._3 * x2 + ws._4 * x3) }.toMap
-    assert(rows.length == feats.length)
-    rows.foreach { case (id, y, score, pred, correct) =>
-      val (ey, es) = expect(id)
-      assert(BigInt(y) == ey, s"label $id")
-      assert(BigInt(score) == es, s"score $id (weights replay)")
-      assert(pred == (if (score > 0) 1 else 0), s"pred $id")
-      assert(correct == (if ((if (score > 0) 1 else -1) == y) 1 else 0), s"correct $id")
-    }
-    // the learned scorer must track its own training gate closely
-    // (both classes present; ≥ 90 % agreement — measured 0.984)
-    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0), "degenerate predictor")
-    val acc = rows.count(_._5 == 1).toDouble / rows.length
-    assert(acc >= 0.9, s"agreement $acc below 0.9")
-  }
+  // t29's independent BigInt trainer replay moved to Round15OpsSpec when
+  // round 15 widened the feature frame from 3 A1.1 margins to the full
+  // 26-verdict canon (r14 verdict #1).
 }
