@@ -29,13 +29,24 @@ import graft.streaming.StreamingProjection
   * updates): [[startLive]] serves the routes off the streaming
   * projection's [[graft.streaming.BucketedStateStore]] — every request
   * observes the newest complete generation, so a signal merged by the
-  * stream between two requests is visible to the second one. The serving
-  * plans are still memoized, but per GENERATION: a new generation swaps
-  * in a fresh plan set (one volatile reference), so memoization never
-  * serves stale state and a hot serving loop between generations still
-  * plans each listing exactly once.
+  * stream between two requests is visible to the second one. Both the
+  * serving PLANS and the rendered RESULTS are memoized, per GENERATION:
+  * a new generation swaps in a fresh serving set (one volatile
+  * reference), so memoization never serves stale state, and within a
+  * generation a listing costs one collect and a repeated point lookup
+  * costs a map probe — the reference's Redis read path (the rendered
+  * view IS the cache; the consumer's writes are the invalidation).
   */
 object HttpServe {
+
+  // TCP_NODELAY for the JDK http server (read once at ServerConfig class
+  // init, so it must be set before the first HttpServer.create in this
+  // JVM — this object initializer runs before any start()). Without it,
+  // every keep-alive response written as headers+body (two small writes)
+  // rides Nagle against the client's delayed ACK: a flat ~40 ms floor on
+  // cached responses (measured — the ServeLatency clients saw 44 ms p50
+  // on bodies curl fetched in 1 ms over fresh connections).
+  System.setProperty("sun.net.httpserver.nodelay", "true")
 
   def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -129,6 +140,45 @@ object HttpServe {
     def listing(priority: Option[String]): DataFrame =
       if (memoizable(priority)) memo.computeIfAbsent(priority, build)
       else build(priority)
+
+    // RESULT memo (r14 verdict #3): memoizing the PLAN still executed
+    // the top-50 collect per request (§10 measured list p50 176 ms at
+    // generation-cache hit rate 1.0 — all plan hits, all paying the
+    // collect). The rendered JSON bodies are cached instead, keyed
+    // exactly like the plans and generation-scoped BY CONSTRUCTION:
+    // the caches live inside this Serving, the volatile swap replaces
+    // the whole Serving when the source's generation token moves, and
+    // a generation's parquet files are immutable — so a cached body can
+    // never outlive its data (the reference's read path is precisely
+    // this: Redis IS the rendered result, invalidated by the consumer's
+    // writes). Listings: the same bounded 4-key domain as the plan
+    // memo. Point lookups: per-id bodies INCLUDING misses (a 404 is as
+    // immutable as a hit within a generation), bounded by clear-on-full
+    // — a full clear at 4096 keys costs one re-collect per key, and a
+    // serving tier's hot-key skew (the reference's whole Redis design
+    // bet) keeps the steady state inside the bound.
+    private val listingBodies =
+      new java.util.concurrent.ConcurrentHashMap[Option[String], String]()
+    def listingBody(priority: Option[String]): String = {
+      def render =
+        listing(priority).collect().map(rowJson).mkString("[", ",", "]")
+      if (memoizable(priority)) listingBodies.computeIfAbsent(priority, _ => render)
+      else render
+    }
+    private val PointCacheMax = 4096
+    private val pointBodies =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+    def pointBody(id: String): Option[String] = {
+      val hit = pointBodies.get(id)
+      if (hit != null) hit
+      else {
+        val v = readModel(view.where(col("id") === id)).limit(1).collect()
+          .headOption.map(rowJson)
+        if (pointBodies.size >= PointCacheMax) pointBodies.clear()
+        pointBodies.put(id, v)
+        v
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -200,6 +250,18 @@ object HttpServe {
 
   def start(spark: SparkSession, source: ViewSource, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // Concurrent handler pool (r14 verdict #3's second half): with no
+    // executor, com.sun.net.httpserver runs EVERY handler on the one
+    // dispatcher thread — a cached listing then queues behind whatever
+    // uncached collect is in flight (measured: cached-body p50 ~44 ms
+    // behind health's ~56 ms probe; with the pool, ≤ ~5 ms). Daemon
+    // threads so an un-stopped ephemeral server never blocks JVM exit.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http")
+        t.setDaemon(true)
+        t
+      }))
 
     // Generation-checked swap: one volatile reference; requests in flight
     // keep serving their generation's plans (parquet generation dirs are
@@ -254,10 +316,8 @@ object HttpServe {
       val id = path.stripPrefix("/signals").stripPrefix("/")
       try {
         if (id.nonEmpty) {
-          val rows = attempt(s =>
-            readModel(s.view.where(col("id") === id)).limit(1).collect())
-          rows.headOption match {
-            case Some(r) => respond(ex, 200, rowJson(r))
+          attempt(_.pointBody(id)) match {
+            case Some(body) => respond(ex, 200, body)
             case None => respond(ex, 404, """{"error": "not found"}""")
           }
         } else {
@@ -265,9 +325,7 @@ object HttpServe {
             .flatMap(_.split("&").collectFirst {
               case kv if kv.startsWith("priority=") => kv.stripPrefix("priority=")
             })
-          val body = attempt(_.listing(priority).collect())
-            .map(rowJson).mkString("[", ",", "]")
-          respond(ex, 200, body)
+          respond(ex, 200, attempt(_.listingBody(priority)))
         }
       } catch {
         case e: Throwable => respond(ex, 500, s"""{"error": "${jsonEscape(e.getMessage)}"}""")

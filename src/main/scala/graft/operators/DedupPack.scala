@@ -113,8 +113,34 @@ object DedupPack extends QueryPack {
     * by construction; AQE skew splitting remains the runtime backstop
     * for the aggregation stages.
     */
-  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsOf(signatures(s, dir).localCheckpoint(true))
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir).localCheckpoint(true)
+    val shards = s.conf.get("graft.dedup.bandShards", "1").toInt
+    if (shards <= 1) lshPairsOf(sig)
+    else {
+      // graft.dedup.bandShards (r14 verdict #4 — the §3f spill lever):
+      // §3f measured the 50 M-doc d3 cell at the ONSET of the spill
+      // regime (21.3 GB mem / 3.9 GB disk — the df aggregation and
+      // bucket self-join over the whole 200 M-row signature matrix
+      // recycle aggregation buffers) and that more shuffle partitions
+      // are NOT the lever (sp=768 probe). This is the lever t23's
+      // dfShards proved: BANDS PARTITION THE KEY SPACE, so the df agg +
+      // capped self-join run per band-group, each pass over ~1/G of the
+      // matrix, MATERIALIZED sequentially (eager localCheckpoint — the
+      // next pass starts only after the previous released its scratch);
+      // the union then needs one global distinct because the same doc
+      // pair can emerge from bands in different groups. Output
+      // identical to shards=1 BY CONSTRUCTION (per-bucket work never
+      // crosses a band boundary) — spec-pinned value-equal. Default 1:
+      // the re-scan trade (G passes over the checkpointed matrix) only
+      // pays where the one-pass scratch exceeds the node budget.
+      val parts = (0 until shards).map { g =>
+        rawPairsOf(sig.where(pmod(col("band"), lit(shards)) === g))
+          .localCheckpoint(true)
+      }
+      parts.reduce(_ union _).distinct()
+    }
+  }
 
   /** [[lshPairs]] over an already-materialized signature matrix (d11
     * shares its matrix between candidate generation and the agreement
@@ -133,13 +159,19 @@ object DedupPack extends QueryPack {
         .where(col("df") <= MaxBandDf)
         .select("band", "minhash"), Seq("band", "minhash"))
 
-  private def lshPairsOf(sig: DataFrame): DataFrame = {
+  private def lshPairsOf(sig: DataFrame): DataFrame =
+    rawPairsOf(sig).distinct()
+
+  /** The capped bucket self-join WITHOUT the terminal distinct — the
+    * band-sharded path dedups once globally across its shard union.
+    */
+  private def rawPairsOf(sig: DataFrame): DataFrame = {
     val keep = cappedSignatures(sig)
     val a = keep.select(col("band"), col("minhash"), col("doc_id").as("doc_a"))
     val b = keep.select(col("band"), col("minhash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "minhash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
   }
 
   /** LSH bucket df cap (see [[lshPairs]]): sized to the largest

@@ -66,6 +66,24 @@ class Round15OpsSpec extends SparkSuite {
     assert(acc >= 0.974, s"agreement $acc below the 0.974 bar")
   }
 
+  test("d3: the band-sharded spill lever is value-identical to the one-pass plan") {
+    // graft.dedup.bandShards partitions the df-agg + bucket-join by
+    // band group and dedups once across the union; bands partition the
+    // key space, so the pair SET cannot change — pinned here against
+    // the default path, including a shard count that doesn't divide
+    // NumBands evenly.
+    def pairs(): Set[(Long, Long)] =
+      SparkEntry.queries("d3_lsh_pairs")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs()
+    assert(base.nonEmpty)
+    for (g <- Seq(2, 3)) {
+      spark.conf.set("graft.dedup.bandShards", g.toString)
+      try assert(pairs() == base, s"bandShards=$g changed the pair set")
+      finally spark.conf.unset("graft.dedup.bandShards")
+    }
+  }
+
   test("s23: the stream serves the batch-trained scorer bit for bit") {
     val served = SparkEntry.queries("s23_stream_quality_score")(spark, dir)
       .collect()
