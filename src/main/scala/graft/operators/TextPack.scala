@@ -764,8 +764,13 @@ object TextPack extends QueryPack {
       // E+1 epoch aggregates then scan a (doc_id, 27 longs) frame, not
       // the raw text. Without the pin every epoch re-ran the full
       // clean/tokenize/count front — measured 165 s vs ~26 s at 5 M
-      // docs on the 3-feature form.
-      val feats = canonFeats(Tables(s, dir, "documents")).localCheckpoint()
+      // docs on the 3-feature form. The pin is repartitioned NARROW
+      // first (the front stays wide; the shuffle moves 28 longs/doc):
+      // 25 sequential epoch jobs over a tiny frame are pure scheduling
+      // overhead at 32 tasks each — measured 5.3 s → ~1.5 s at sf0.1
+      // with 4 partitions; a 100 TB run trains on a bounded sample
+      // (the Pretrained-artifact pattern), where the same shape holds.
+      val feats = trainFrame(s, dir)
       val bestW = trainPocket(feats)
       feats
         .select(col("doc_id"), col("y"), canonMargin(bestW).as("score"))
@@ -876,18 +881,37 @@ object TextPack extends QueryPack {
     * the earliest epoch. Shared by t29 (train + score in batch) and
     * s23 (train in batch, serve on the stream).
     */
+  /** The pinned training frame t29 and s23 share: canon features over
+    * the corpus, shuffled down to 4 narrow partitions before the pin so
+    * the E+1 epoch jobs schedule 4 tasks each instead of a full-width
+    * wave (the front itself still runs wide — the repartition moves
+    * 28 longs per doc).
+    */
+  private[graft] def trainFrame(s: SparkSession, dir: String): DataFrame =
+    canonFeats(Tables(s, dir, "documents")).repartition(4).localCheckpoint()
+
   private[graft] def trainPocket(feats: DataFrame): Array[Long] = {
     val nx = CanonFeatures.size
     var w = new Array[Long](nx + 1)
     var bestW = w.clone()
     var bestM = Long.MaxValue
+    // Per-epoch fixed cost at ANY scale: the weights are literals, so
+    // every epoch is a NEW query Catalyst must analyze and optimize.
+    // The naive form repeated the 27-term margin inside all 28
+    // conditional sums (~750 expression nodes to analyze per epoch —
+    // measured ~170 ms/epoch of pure planning on a 5 k-row frame);
+    // projecting the miss predicate ONCE and aggregating simple
+    // products keeps the epoch plan ~10× smaller. Same exact integers,
+    // same results — only the plan size changes.
     for (e <- 1 to PerceptronEpochs + 1) {
-      val mis = col("y") * canonMargin(w) <= 0
+      val misRows = feats.select(
+        (when(col("y") * canonMargin(w) <= 0, 1L).otherwise(0L)).as("mis") +:
+          col("y") +: (1 to nx).map(i => col(s"x$i")): _*)
       val aggs = (0 to nx).map { i =>
         val xi: Column = if (i == 0) lit(1L) else col(s"x$i")
-        sum(when(mis, col("y") * xi).otherwise(0L)).as(s"g$i")
-      } :+ sum(when(mis, 1L).otherwise(0L)).as("m")
-      val g = feats.agg(aggs.head, aggs.tail: _*).collect().head
+        sum(col("mis") * col("y") * xi).as(s"g$i")
+      } :+ sum(col("mis")).as("m")
+      val g = misRows.agg(aggs.head, aggs.tail: _*).collect().head
       if (e >= 2 && g.getLong(nx + 1) < bestM) { // pocket w_1..w_E
         bestM = g.getLong(nx + 1)
         bestW = w.clone()

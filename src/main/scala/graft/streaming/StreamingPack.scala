@@ -1085,10 +1085,9 @@ object StreamingPack extends QueryPack {
     "s23_stream_quality_score" -> ((s, dir) => {
       val tmp = scratch("graft-s23-")
       // Train offline on the same corpus (the model artifact; t29's
-      // exact loop — shared code, shared weights).
-      val batchDocs = Tables(s, dir, "documents").select("doc_id", "text")
+      // exact loop — shared code, shared weights, shared pinned frame).
       val w = graft.operators.TextPack.trainPocket(
-        graft.operators.TextPack.canonFeats(batchDocs).localCheckpoint())
+        graft.operators.TextPack.trainFrame(s, dir))
       // Serve on the stream: canon features -> literal-weight score.
       val schema = s.read.option("pathGlobFilter", "documents.parquet")
         .parquet(dir).schema
