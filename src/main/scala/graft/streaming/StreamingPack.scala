@@ -471,11 +471,7 @@ object StreamingPack extends QueryPack {
     "s9_stream_curation" -> ((s, dir) => {
       val tmp = scratch("graft-s9-")
       val ss = tunedChild(s, width = 4)
-      val schema = s.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(dir).schema
-      val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      val stream = documentsStream(s, ss, dir)
         .select(col("doc_id"), col("lang"), col("text"))
       val q = graft.operators.CurationPipeline.rowFeatures(stream)
         .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
@@ -1036,12 +1032,8 @@ object StreamingPack extends QueryPack {
     // batch SQL and the streaming dataflow cannot drift.
     "s22_stream_canon_gate" -> ((s, dir) => {
       val tmp = scratch("graft-s22-")
-      val schema = s.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(dir).schema
       val ss = tunedChild(s, width = 4)
-      val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      val stream = documentsStream(s, ss, dir)
         .select(col("doc_id"), col("text"))
       val cleaned = graft.operators.TextPack.c4Filters(
           graft.operators.TextPack.c4Pages(stream))
@@ -1089,12 +1081,8 @@ object StreamingPack extends QueryPack {
       val w = graft.operators.TextPack.trainPocket(
         graft.operators.TextPack.trainFrame(s, dir))
       // Serve on the stream: canon features -> literal-weight score.
-      val schema = s.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(dir).schema
       val ss = tunedChild(s, width = 4)
-      val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      val stream = documentsStream(s, ss, dir)
         .select(col("doc_id"), col("text"))
       val scored = graft.operators.TextPack.canonFeats(stream)
         .select(col("doc_id"), col("canon_keep"),
@@ -1113,6 +1101,31 @@ object StreamingPack extends QueryPack {
       ss.table("graft_s23_score").orderBy("doc_id")
     })
   )
+
+  /** Streaming source over the documents table, robust to BOTH fixture
+    * layouts (found the hard way when s23's first scale run died with
+    * UNABLE_TO_INFER_SCHEMA): the testdata dirs keep documents.parquet
+    * as a single FILE beside the other tables — a pathGlobFilter on the
+    * parent picks it out — while the scale/ fixtures (ScaleUp output)
+    * keep it as a DIRECTORY of part files, where that same glob matches
+    * nothing. Same rows either way.
+    */
+  private def documentsStream(s: SparkSession, ss: SparkSession,
+      dir: String): DataFrame = {
+    val path = new java.io.File(dir, "documents.parquet")
+    if (path.isDirectory) {
+      val schema = s.read.parquet(path.toString).schema
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path.toString)
+    } else {
+      val schema = s.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir).schema
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+    }
+  }
 
   /** The serialized event log for `dir`, staged ONCE per process and
     * shared by every replay query (s1/s6/...): the log is a pure,
