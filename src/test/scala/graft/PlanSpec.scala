@@ -676,6 +676,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("the canon feature chain runs each kernel once, no join, no exchange") {
+    // t29/s23's shared front (c4 construction + line rewrite + A1.1 +
+    // A1.2 + 26 margins) must stay ONE wide scan: every compiled kernel
+    // exactly once per row, no shuffle anywhere before the training
+    // repartition — the scan-bandwidth claim §3g-addendum prices.
+    val p = graft.operators.TextPack.canonFeats(
+        graft.Tables(spark, sf("sf0.001"), "documents"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("c4_lines", "repetition_stats", "alpha_word_count").foreach { k =>
+      assert(p.split(k, -1).length - 1 == 1, s"kernel $k not exactly once:\n$p")
+    }
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("t29 scoring reads the pinned feature frame, never re-parsing the corpus") {
     // the trainer localCheckpoints (doc_id, 4 longs) once; the scoring
     // job must scan that pin (ExistingRDD), not the documents parquet —
