@@ -340,8 +340,14 @@ object DedupPack extends QueryPack {
     // touches reference document text — only its signatures.
     "d15_cross_dedup" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // try_cast + coalesce: an unknown catalog name classifies as the
+      // REFERENCE side (the conservative read for a decontamination
+      // split — unknowns are checked against, never treated as fresh);
+      // the oracle states the same TRY_CAST + COALESCE, so the split is
+      // total on both engines instead of an ANSI cast failure.
       val side = docs.select(col("doc_id"),
-        (expr("CAST(substring(source, 4) AS INT)") >= 10).as("is_new"))
+        (expr("coalesce(try_cast(substring(source, 4) AS INT), 0)") >= 10)
+          .as("is_new"))
       val sig = signatures(s, dir).localCheckpoint(true)
       // the SHARED cap policy (cappedSignatures) — never an inline copy
       val keep = cappedSignatures(sig).join(side, "doc_id")
@@ -1104,7 +1110,7 @@ object DedupPack extends QueryPack {
         """, ns AS (
           |  SELECT s.doc_id, s.band, s.minhash FROM sigk s
           |  JOIN documents d USING (doc_id)
-          |  WHERE CAST(substr(d.source, 4) AS INTEGER) >= 10),
+          |  WHERE COALESCE(TRY_CAST(substr(d.source, 4) AS INTEGER), 0) >= 10),
           |rs AS (
           |  SELECT s.doc_id AS ref_id, s.band, s.minhash FROM sigk s
           |  JOIN documents d USING (doc_id)
@@ -1121,7 +1127,7 @@ object DedupPack extends QueryPack {
           |  CAST(coalesce(a.best_shared, 0) AS BIGINT) AS best_shared,
           |  CAST(coalesce(a.best_shared, 0) >= 2 AS INTEGER) AS is_dup
           |FROM documents d LEFT JOIN agg a USING (doc_id)
-          |WHERE CAST(substr(d.source, 4) AS INTEGER) >= 10
+          |WHERE COALESCE(TRY_CAST(substr(d.source, 4) AS INTEGER), 0) >= 10
           |ORDER BY d.doc_id""".stripMargin),
 
     // d16: the d3/d11 capped candidate CTE, then EXACT intersection via

@@ -84,6 +84,21 @@ class Round15OpsSpec extends SparkSuite {
     }
   }
 
+  test("the x1 rate policy is TOTAL: an unknown catalog name gets the tail rate, no cast failure") {
+    import spark.implicits._
+    // r14 verdict "What's wrong" #3: the srcNN parse would throw under
+    // ANSI on any real catalog name. try_cast + the otherwise/ELSE
+    // branch now classify unknowns to the tail rate on BOTH engines.
+    val rows = SamplingPack.mixtureSample(
+      Seq((1L, "src01"), (2L, "common-crawl-2409"), (3L, "src17"))
+        .toDF("doc_id", "source"))
+      .select("doc_id", "permille").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows(1L) == 1000) // group 0
+    assert(rows(3L) == 750)  // tail group
+    assert(rows(2L) == 750, "unknown name must fall to the tail rate")
+  }
+
   test("s23: the stream serves the batch-trained scorer bit for bit") {
     val served = SparkEntry.queries("s23_stream_quality_score")(spark, dir)
       .collect()
