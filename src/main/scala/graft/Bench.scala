@@ -30,6 +30,30 @@ object Bench {
       reps: Int): String =
     s""""load1_start":$load1Start,"load1_end":$load1End,"reps":$reps,"contended":${isContended(load1Start)}"""
 
+  /** Per-query suspect rule (r15 verdict "what's wrong" #2: the launch
+    * stamp bounds launch load, so a MID-RUN spike — r15's t11 39× single-
+    * query transient under load1 2.83 at launch — was invisible in the
+    * artifact). A query is stamped suspect when its own reported wall is
+    * non-trivial AND the 1-min load average read right after its reps is
+    * in the contended regime: the artifact then attributes the outlier
+    * machine-readably instead of needing a manual calm re-run to notice.
+    * Wall floor 2 s — sub-second queries can't carry a 39× story and the
+    * stdout line's truncation budget is real.
+    */
+  private[graft] def suspectQuery(wallSec: Double, load1AtEnd: Double): Boolean =
+    wallSec >= 2.0 && load1AtEnd >= ContendedLoad
+
+  /** Render the per-query environment map ({name: {load1, cpu_wall}}) —
+    * load1 read at the query's end, cpu_wall = this JVM's process-CPU
+    * seconds over the reps divided by their wall seconds (a mid-run
+    * external spike starves the JVM, so cpu_wall DROPS while wall
+    * inflates — the second attribution signal, orthogonal to load1).
+    */
+  private[graft] def queryEnvJson(env: Seq[(String, (Double, Double))]): String =
+    env.map { case (n, (l, cw)) =>
+      f""""$n":{"load1":$l,"cpu_wall":$cw%.2f}"""
+    }.mkString("{", ",", "}")
+
   /** Bounded pre-capture settle (the slope.sh discipline, in-process):
     * poll until the load average drops below [[ContendedLoad]] or the
     * budget runs out. NEVER refuses to run — the driver contract is one
@@ -156,8 +180,16 @@ object Bench {
     // Bounded settle BEFORE the timed section (r14 verdict #5):
     // SPARK_GRAFT_SETTLE_SECS overrides the 60 s budget (0 disables —
     // the scaling tools that already settled themselves set 0).
+    // Tolerant parse (r15 ADVICE): a malformed value must degrade to the
+    // default budget, not NumberFormatException the capture before any
+    // JSON is emitted — the settle path's contract is NEVER refusing.
     val settleSecs = sys.env.get("SPARK_GRAFT_SETTLE_SECS")
-      .map(_.toInt).getOrElse(60)
+      .flatMap { v =>
+        val p = scala.util.Try(v.trim.toInt).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_SETTLE_SECS='$v'; using 60")
+        p
+      }.getOrElse(60)
     if (settleSecs > 0 && load1 >= ContendedLoad) {
       System.err.println(
         s"[bench] load1 $load1 >= $ContendedLoad at launch; settling up to ${settleSecs}s")
@@ -178,10 +210,20 @@ object Bench {
     // 50-minute single query on a calm box is low-variance, and the
     // rep count + load label in the JSON record exactly what was run.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    // This JVM's cumulative process-CPU time (ns); -1 if the platform
+    // bean doesn't expose it (per-query cpu_wall then reports 0).
+    def procCpu: Long = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+    var queryEnv = List.empty[(String, (Double, Double))]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val before = metrics.map { l => l.settle(); l.snapshot }
+      val cpu0 = procCpu
+      val wall0 = System.nanoTime()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -191,6 +233,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Per-query environment stamp (r15 verdict: mid-run transients must
+      // be attributable from the artifact alone): load1 right after the
+      // reps + this JVM's cpu-time/wall-time ratio across them.
+      val wallNs = System.nanoTime() - wall0
+      val cpu1 = procCpu
+      val cpuWall =
+        if (cpu0 >= 0 && cpu1 >= 0 && wallNs > 0) (cpu1 - cpu0).toDouble / wallNs
+        else 0.0
+      queryEnv ::= name -> (load1, math.rint(cpuWall * 100) / 100)
       metrics.foreach { l =>
         l.settle()
         val (m0, d0, s0, _) = before.get
@@ -225,11 +276,22 @@ object Bench {
     // durable record, never truncated. FULL runs only — a filtered
     // dev-loop run must not overwrite the round's record with a partial
     // total (burned on this in round 5).
+    val envByName = queryEnv.reverse
+    // Suspect stamp for the stdout line: only queries whose own wall AND
+    // end-of-query load1 cross the rule — normally empty, so the
+    // truncation budget is untouched; on a transient it carries exactly
+    // the attribution the adjudicator needs.
+    val suspects = results.filter { case (n, w) =>
+      envByName.find(_._1 == n).exists { case (_, (l, _)) => suspectQuery(w, l) }
+    }.map(_._1).toSet
+    val suspectJson =
+      if (suspects.isEmpty) ""
+      else s""","suspect":${queryEnvJson(envByName.filter(e => suspects(e._1)))}"""
     if (only.isEmpty) {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val fullLine =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$loadJson,"failed":$failedJson,"queries":$fullQs}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$loadJson,"failed":$failedJson,"query_env":${queryEnvJson(envByName)},"queries":$fullQs}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH.local.json"),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -249,7 +311,7 @@ object Bench {
       val qjson = qs.map { case (k, v) => f""""$k":$v%.3f""" }
         .mkString("{", ",", "}")
       val omitJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",$loadJson,"failed":$failedJson$omitJson,"queries":$qjson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",$loadJson,"failed":$failedJson$suspectJson$omitJson,"queries":$qjson}"""
     }
     val budget = 1850
     var line = render(results, 0)

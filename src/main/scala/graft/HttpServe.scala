@@ -153,10 +153,11 @@ object HttpServe {
     // this: Redis IS the rendered result, invalidated by the consumer's
     // writes). Listings: the same bounded 4-key domain as the plan
     // memo. Point lookups: per-id bodies INCLUDING misses (a 404 is as
-    // immutable as a hit within a generation), bounded by clear-on-full
-    // — a full clear at 4096 keys costs one re-collect per key, and a
-    // serving tier's hot-key skew (the reference's whole Redis design
-    // bet) keeps the steady state inside the bound.
+    // immutable as a hit within a generation), bounded by a true LRU
+    // (r15 verdict #4 — the earlier clear-on-full dropped the hot keys
+    // along with the cold tail whenever key-uniform traffic crossed the
+    // bound; the LRU keeps re-referenced keys resident no matter how
+    // many distinct cold keys stream past).
     private val listingBodies =
       new java.util.concurrent.ConcurrentHashMap[Option[String], String]()
     def listingBody(priority: Option[String]): String = {
@@ -165,20 +166,64 @@ object HttpServe {
       if (memoizable(priority)) listingBodies.computeIfAbsent(priority, _ => render)
       else render
     }
-    private val PointCacheMax = 4096
     private val pointBodies =
-      new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
-    def pointBody(id: String): Option[String] = {
-      val hit = pointBodies.get(id)
+      new LruBodyCache[String, Option[String]](PointCacheMax)
+    def pointBody(id: String): Option[String] =
+      pointBodies.get(id) {
+        readModel(view.where(col("id") === id)).limit(1).collect()
+          .headOption.map(rowJson)
+      }
+  }
+
+  private[graft] val PointCacheMax = 4096
+
+  /** Bounded LRU body cache (r15 verdict #4). Access-ordered
+    * LinkedHashMap with eldest-entry eviction; the compute runs OUTSIDE
+    * the lock (a point-lookup collect must not serialize every other
+    * cached probe) — a racing duplicate compute is idempotent, since a
+    * generation's rendered bytes are immutable. Values are non-null by
+    * contract (`Option`, never null).
+    */
+  private[graft] final class LruBodyCache[K, V <: AnyRef](max: Int) {
+    private val map = new java.util.LinkedHashMap[K, V](512, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        this.size() > max
+    }
+    def get(k: K)(compute: => V): V = {
+      val hit = map.synchronized(map.get(k))
       if (hit != null) hit
       else {
-        val v = readModel(view.where(col("id") === id)).limit(1).collect()
-          .headOption.map(rowJson)
-        if (pointBodies.size >= PointCacheMax) pointBodies.clear()
-        pointBodies.put(id, v)
+        val v = compute
+        map.synchronized(map.put(k, v))
         v
       }
     }
+    private[graft] def contains(k: K): Boolean =
+      map.synchronized(map.containsKey(k))
+    private[graft] def size: Int = map.synchronized(map.size())
+  }
+
+  /** TTL verdict cache for the health route (r15 verdict #5 / builder's
+    * own #1): `graft.serve.healthTtlMs` = 0 (the DEFAULT) keeps today's
+    * contract — every probe executes, a probe should probe; a nonzero
+    * TTL serves the memoized verdict for at most ttlMs, taking the
+    * per-request execute (~12-15 ms p50) off a production traffic path
+    * with a STATED staleness bound. Probe failures propagate and are
+    * never cached. Injected clock so the spec pins the bound
+    * deterministically.
+    */
+  private[graft] final class TtlVerdict(ttlMs: Long,
+      now: () => Long = () => System.nanoTime()) {
+    private val state =
+      new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)](null)
+    def get(probe: => Boolean): Boolean =
+      if (ttlMs <= 0) probe
+      else {
+        val s = state.get()
+        val t = now()
+        if (s != null && t - s._1 < ttlMs * 1000000L) s._2
+        else { val v = probe; state.set((t, v)); v }
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -248,20 +293,27 @@ object HttpServe {
       }
     }
 
+  // Concurrent handler pool (r14 verdict #3's second half): with no
+  // executor, com.sun.net.httpserver runs EVERY handler on the one
+  // dispatcher thread — a cached listing then queues behind whatever
+  // uncached collect is in flight (measured: cached-body p50 ~44 ms
+  // behind health's ~56 ms probe; with the pool, ≤ ~5 ms). ONE pool
+  // SHARED by every server in the JVM (r15 ADVICE: a per-start fixed
+  // pool was never shut down, so each ephemeral test server leaked 16
+  // idle threads for the JVM lifetime) — production runs one server per
+  // JVM, so the serving concurrency is unchanged, and stop() needs no
+  // extra lifecycle. Daemon threads so an un-stopped ephemeral server
+  // never blocks JVM exit.
+  private lazy val handlerPool = java.util.concurrent.Executors
+    .newFixedThreadPool(16, (r: Runnable) => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+
   def start(spark: SparkSession, source: ViewSource, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    // Concurrent handler pool (r14 verdict #3's second half): with no
-    // executor, com.sun.net.httpserver runs EVERY handler on the one
-    // dispatcher thread — a cached listing then queues behind whatever
-    // uncached collect is in flight (measured: cached-body p50 ~44 ms
-    // behind health's ~56 ms probe; with the pool, ≤ ~5 ms). Daemon
-    // threads so an un-stopped ephemeral server never blocks JVM exit.
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-http")
-        t.setDaemon(true)
-        t
-      }))
+    server.setExecutor(handlerPool)
 
     // Generation-checked swap: one volatile reference; requests in flight
     // keep serving their generation's plans (parquet generation dirs are
@@ -303,9 +355,15 @@ object HttpServe {
       ex.close()
     }
 
+    // graft.serve.healthTtlMs: 0 (default) = per-request probe (today's
+    // semantics, unchanged); > 0 = serve the memoized verdict for at most
+    // that many ms (see [[TtlVerdict]]).
+    val healthVerdict = new TtlVerdict(
+      spark.conf.getOption("graft.serve.healthTtlMs").map(_.toLong).getOrElse(0L))
     server.createContext("/health", (ex: HttpExchange) =>
       try {
-        if (attempt(_.store.health)) respond(ex, 200, """{"status":"ok"}""")
+        if (healthVerdict.get(attempt(_.store.health)))
+          respond(ex, 200, """{"status":"ok"}""")
         else respond(ex, 503, """{"status":"down"}""")
       } catch {
         case _: Throwable => respond(ex, 503, """{"status":"down"}""")

@@ -115,7 +115,7 @@ object DedupPack extends QueryPack {
     */
   private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir).localCheckpoint(true)
-    val shards = s.conf.get("graft.dedup.bandShards", "1").toInt
+    val shards = bandShardsOf(s, sig)
     if (shards <= 1) lshPairsOf(sig)
     else {
       // graft.dedup.bandShards (r14 verdict #4 — the §3f spill lever):
@@ -141,6 +141,57 @@ object DedupPack extends QueryPack {
       parts.reduce(_ union _).distinct()
     }
   }
+
+  /** Shard-count selection (r15 verdict #2 — the knob, self-set from a
+    * budget): an EXPLICIT `graft.dedup.bandShards` wins, unchanged (the
+    * manual dial stays honored); otherwise a positive
+    * `graft.dedup.scratchBudgetBytes` — the per-node scratch a deploy is
+    * willing to spend on the one-pass df agg + capped self-join — picks
+    * the SMALLEST shard count whose projected per-shard scratch fits:
+    * shards = ⌈sigRows · [[ScratchBytesPerSigRow]] / budget⌉, clamped to
+    * [1, NumBands] (band groups beyond NumBands are empty passes).
+    * Neither conf set → 1, today's default. The count feeding the model
+    * is over the already-checkpointed signature matrix (NumBands rows
+    * per doc — one cheap scan of narrow pinned blocks), taken only on
+    * the auto path.
+    */
+  private[graft] def bandShardsOf(s: SparkSession, sig: DataFrame): Int =
+    s.conf.getOption("graft.dedup.bandShards").map(_.toInt).getOrElse {
+      s.conf.getOption("graft.dedup.scratchBudgetBytes").map(_.toLong)
+        .filter(_ > 0) match {
+        case Some(budget) =>
+          val rows = sig.count()
+          val n = autoBandShards(rows, budget)
+          System.err.println(
+            s"[dedup] bandShards auto-selected $n (sig rows $rows, scratch budget $budget B)")
+          n
+        case None => 1
+      }
+    }
+
+  /** The selection rule itself, pure (spec-pinned at the §3f-addendum
+    * measured points): smallest shard count whose projected one-pass
+    * scratch per shard fits the budget.
+    */
+  private[graft] def autoBandShards(nSigRows: Long, budgetBytes: Long): Int = {
+    val need = nSigRows * ScratchBytesPerSigRow
+    val raw = ((need + budgetBytes - 1) / budgetBytes).toInt
+    math.min(NumBands, math.max(1, raw))
+  }
+
+  /** Projected one-pass scratch per signature row, MEASURED not guessed:
+    * §3f-addendum's shards=1 spill cells read ~63 B/sig-row at 60 M rows
+    * (x3000m: 4.1 GB over 15 M docs × 4 bands) and ~105-125 B/sig-row at
+    * 200 M rows (x10000m: 21.1 GB mem + 3.9 GB disk over 50 M docs × 4 —
+    * the df aggregation and bucket self-join recycle buffers
+    * superlinearly at the onset). 112 B is the 50 M-doc regime's figure,
+    * deliberately conservative at smaller scale where the measured curve
+    * says over-sharding is free or better (x3000m shards=2 and shards=4
+    * both ~44 s vs 76 s unsharded). With a 4 GB budget the rule lands on
+    * the measured optima: x3000m → 2 (spill eliminated, 1.7× faster),
+    * x10000m → 4 (clamped; ~9× less scratch for +24 % wall).
+    */
+  private[operators] val ScratchBytesPerSigRow = 112L
 
   /** [[lshPairs]] over an already-materialized signature matrix (d11
     * shares its matrix between candidate generation and the agreement

@@ -696,39 +696,84 @@ object SamplingPack extends QueryPack {
     // (the same prefixed round chain as x15) with the carryover as a
     // join between them and the rate derivation from the same
     // gopherCtes chain t26 hash-checks.
-    "x17_anneal_schedule" -> ((s, dir) => {
-      val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
-      val src = per.map(_.getString(0))
-      val nUniq = per.map(_.getLong(1))
-      val uTok = per.map(_.getLong(2))
-      val mainRate = per.map(_.getLong(3))
-      val q = sourceQualityScores(s, dir)
-      val aRates = annealRatesOf(src.toSeq.map(x => x -> q(x)))
-      val annealRate = src.map(aRates)
-      val runCap = uTok.map(_ * MaxUniqueEpochs)
-      import s.implicits._
-      var capLeft = runCap
-      var cum = Array.fill(src.length)(0L)
-      val phases = Seq(("main", 1, mainRate, MainBudgetTokens),
-        ("anneal", 2, annealRate, AnnealBudgetTokens))
-      val rows = phases.flatMap { case (phase, ord, rate, budget) =>
-        val capIn = capLeft
-        val (target, alloc, capped, pool) = waterFillCore(rate, capIn, budget)
-        capLeft = capIn.indices.map(i => capIn(i) - alloc(i)).toArray
-        cum = cum.indices.map(i => cum(i) + alloc(i)).toArray
-        src.indices.map { i =>
-          (phase, ord, src(i), nUniq(i), uTok(i), rate(i), target(i),
-            capIn(i), alloc(i), if (capped(i)) 1 else 0,
-            if (alloc(i) > target(i)) 1 else 0, pool, cum(i),
-            cum(i).toDouble / uTok(i).toDouble)
-        }
-      }
-      rows.toDF("phase", "phase_ord", "source", "n_unique", "unique_tokens",
-        "rate", "target_tokens", "cap_tokens", "final_tokens", "data_capped",
-        "got_realloc", "unalloc_tokens", "cum_final_tokens", "cum_repeat_x")
-        .orderBy("phase_ord", "source")
-    })
+    "x17_anneal_schedule" -> ((s, dir) =>
+      annealScheduleDf(s, dir, annealQualityScores(s, dir))),
+
+    // x18: the SAME schedule with the anneal quality measured by the
+    // LEARNED scorer instead of the rule gate (r15 verdict #3 — the
+    // FineWeb-Edu loop feeds the distilled classifier's score back into
+    // the mixture, not the raw rule pass rate): per-source exact integer
+    // mean of t29's pocket margin ([[pocketQualityScores]]), the same
+    // (qscore DESC, source) rank-quartile mapping to [[AnnealTierRates]],
+    // the same two carry-over fills. x18 is the hash-checked twin of
+    // x17's `graft.anneal.quality=scorer` dial (the driver runs defaults,
+    // so the dial's path needs its own oracle-checked query to stay
+    // honest); its oracle replays the scorer ranking through the SAME
+    // shared canon + pocket CTE builders the t29/s23 oracles hash-check,
+    // so the two engines' scorers cannot drift. Scale shape: the added
+    // corpus-sized work is the canon front t29 already prices (shared
+    // [[TextPack.trainFrame]] pin) plus one doc_id join to recover the
+    // source column; everything after is the |sources|-row bounded pull
+    // and the driver-side fills.
+    "x18_anneal_scored" -> ((s, dir) =>
+      annealScheduleDf(s, dir, pocketQualityScores(s, dir)))
   )
+
+  /** The x17/x18 schedule body over an injected per-source quality map —
+    * ONE definition (r15 verdict #3's "selectable by conf" without
+    * letting the two paths drift): the shared budget front, the stated
+    * monotone quality→tier→rate mapping, then the two sequential
+    * water-fills with cap carryover. See the x17 entry's scaladoc for
+    * the full stated semantics.
+    */
+  private[operators] def annealScheduleDf(s: SparkSession, dir: String,
+      q: Map[String, Long]): DataFrame = {
+    val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
+    val src = per.map(_.getString(0))
+    val nUniq = per.map(_.getLong(1))
+    val uTok = per.map(_.getLong(2))
+    val mainRate = per.map(_.getLong(3))
+    val aRates = annealRatesOf(src.toSeq.map(x => x -> q(x)))
+    val annealRate = src.map(aRates)
+    val runCap = uTok.map(_ * MaxUniqueEpochs)
+    import s.implicits._
+    var capLeft = runCap
+    var cum = Array.fill(src.length)(0L)
+    val phases = Seq(("main", 1, mainRate, MainBudgetTokens),
+      ("anneal", 2, annealRate, AnnealBudgetTokens))
+    val rows = phases.flatMap { case (phase, ord, rate, budget) =>
+      val capIn = capLeft
+      val (target, alloc, capped, pool) = waterFillCore(rate, capIn, budget)
+      capLeft = capIn.indices.map(i => capIn(i) - alloc(i)).toArray
+      cum = cum.indices.map(i => cum(i) + alloc(i)).toArray
+      src.indices.map { i =>
+        (phase, ord, src(i), nUniq(i), uTok(i), rate(i), target(i),
+          capIn(i), alloc(i), if (capped(i)) 1 else 0,
+          if (alloc(i) > target(i)) 1 else 0, pool, cum(i),
+          cum(i).toDouble / uTok(i).toDouble)
+      }
+    }
+    rows.toDF("phase", "phase_ord", "source", "n_unique", "unique_tokens",
+      "rate", "target_tokens", "cap_tokens", "final_tokens", "data_capped",
+      "got_realloc", "unalloc_tokens", "cum_final_tokens", "cum_repeat_x")
+      .orderBy("phase_ord", "source")
+  }
+
+  /** x17's quality source, selectable by conf (`graft.anneal.quality`):
+    * `gate` (the DEFAULT — t26 pass rate, the hash-checked x17 path) or
+    * `scorer` (t29 pocket-margin means — the path x18 hash-checks under
+    * its own oracle; the dial exists so a deploy flips ONE conf to move
+    * the whole mixture loop onto the learned scorer). Any other value
+    * fails loudly — a typo'd quality source must not silently anneal on
+    * the wrong signal.
+    */
+  private def annealQualityScores(s: SparkSession, dir: String): Map[String, Long] =
+    s.conf.get("graft.anneal.quality", "gate") match {
+      case "gate" => sourceQualityScores(s, dir)
+      case "scorer" => pocketQualityScores(s, dir)
+      case other => sys.error(
+        s"graft.anneal.quality must be 'gate' or 'scorer', got '$other'")
+    }
 
   /** One source's rebalanced allocation (x15's row, x16's input). */
   private[operators] final case class PlanRow(
@@ -872,6 +917,34 @@ object SamplingPack extends QueryPack {
       .toMap
   }
 
+  /** Per-source measured quality from the LEARNED scorer: t29's pocket
+    * margin per doc ([[TextPack.trainFrame]]/[[TextPack.trainPocket]] —
+    * the SAME pinned frame and pocket weights t29 trains and s23
+    * serves), reduced to the exact integer mean qscore =
+    * (10⁶ · Σ margin) / n_docs per source. Long `/` truncates toward
+    * zero and DuckDB's `//` does the same (verified: −7 // 2 = −3), so
+    * the rounding replays bit for bit even where a source's margin sum
+    * is negative. Overflow headroom: |Σ margin| ≤ n_docs·Σ|w| and the
+    * trainer's own bound keeps Σ|w| ≪ 2⁴⁰ at any fixture/sample scale,
+    * so the 10⁶ scale stays far inside Long. The corpus-sized work is
+    * the canon front t29 already prices plus one doc_id join to recover
+    * the source column; the reduction is a |sources|-row bounded pull.
+    */
+  private[operators] def pocketQualityScores(
+      s: SparkSession, dir: String): Map[String, Long] = {
+    val feats = graft.operators.TextPack.trainFrame(s, dir)
+    val w = graft.operators.TextPack.trainPocket(feats)
+    val scored = feats.select(col("doc_id"),
+      graft.operators.TextPack.canonMargin(w).as("m"))
+    Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("sum_m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2) * 1000000L / r.getLong(1))
+      .toMap
+  }
+
   /** x15's unrolled round count: the fixpoint arrives in ≤ |sources|+2
     * rounds (every non-identity round caps ≥ 1 new source) and the
     * fixtures carry 20 sources, so 24 covers the worst cascade with
@@ -936,24 +1009,26 @@ object SamplingPack extends QueryPack {
     * per-source unique token mass → the x1 rate CASE → Σrates. Shared so
     * the gate and the rebalancer replay the identical frame.
     */
-  private val budgetFrontSql: String =
-    s"""f AS (
+  private def budgetFront(pfx: String): String =
+    s"""${pfx}f AS (
        |  SELECT source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
        |  FROM documents),
-       |u AS (SELECT source, fp, max(n_tokens) AS ut FROM f GROUP BY 1, 2),
-       |b AS (
+       |${pfx}u AS (SELECT source, fp, max(n_tokens) AS ut FROM ${pfx}f GROUP BY 1, 2),
+       |${pfx}b AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
        |    CAST(sum(ut) AS BIGINT) AS unique_tokens
-       |  FROM u GROUP BY 1),
-       |r AS (
+       |  FROM ${pfx}u GROUP BY 1),
+       |${pfx}r AS (
        |  SELECT source, n_unique, unique_tokens,
        |    CAST(CASE (TRY_CAST(substring(source, 4) AS INT) // 5)
        |      ${Rates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
        |      ELSE ${Rates.last} END AS BIGINT) AS rate
-       |  FROM b),
-       |t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM r)""".stripMargin
+       |  FROM ${pfx}b),
+       |${pfx}t AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM ${pfx}r)""".stripMargin
+
+  private val budgetFrontSql: String = budgetFront("")
 
   /** The x15/x16 oracle chain (CTE bodies, no WITH): the budget front,
     * the integer-div targets + caps (`base`), and every water-filling
@@ -994,6 +1069,35 @@ object SamplingPack extends QueryPack {
        |      ELSE ${AnnealTierRates.last} END AS BIGINT) AS rate
        |  FROM b JOIN arnk USING (source)),
        |at AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM ar)""".stripMargin
+
+  /** x18's anneal rate table as CTEs `sar`/`sat`: the SCORER-derived
+    * quality replayed from the SAME canon + pocket chain the t29/s23
+    * oracles hash-check (`sc(doc_id, …, score)` from
+    * [[TextPack.canonPocketCtes]]) — per-source margin sums, exact
+    * integer mean qscore `(sum_m * 10⁶) // n_docs` (DuckDB `//` and
+    * Scala Long `/` both truncate toward zero, so negative sums round
+    * identically), (qscore DESC, source) rank, rank-quartile tier →
+    * [[AnnealTierRates]]. `qb` is the x18 oracle's prefixed budget-front
+    * source table.
+    */
+  private def annealScoredRatesCteSql: String =
+    s"""saq AS MATERIALIZED (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(sc.score) AS BIGINT) AS sum_m
+       |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+       |  GROUP BY d.source),
+       |sarnk AS MATERIALIZED (
+       |  SELECT source,
+       |    row_number() OVER (ORDER BY (sum_m * 1000000) // n_docs DESC, source) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS ns
+       |  FROM saq),
+       |sar AS (
+       |  SELECT b.source, b.n_unique, b.unique_tokens,
+       |    CAST(CASE ((rnk - 1) * 4) // ns
+       |      ${AnnealTierRates.zipWithIndex.map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")}
+       |      ELSE ${AnnealTierRates.last} END AS BIGINT) AS rate
+       |  FROM qb b JOIN sarnk USING (source)),
+       |sat AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM sar)""".stripMargin
 
   /** One water-filling fixpoint as prefixed CTEs — base (integer-div
     * targets + caps from `capSql` over `fromSql`), st0/pl0, and every
@@ -1263,6 +1367,50 @@ object SamplingPack extends QueryPack {
          |  CAST(cl.main_alloc + z.alloc AS BIGINT),
          |  CAST(cl.main_alloc + z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE)
          |FROM abase b JOIN ast$r z ON z.source = b.source
+         |  JOIN carry cl ON cl.source = b.source
+         |ORDER BY phase_ord, source""".stripMargin
+    },
+
+    // x18: x17's schedule with the anneal quality replayed from the
+    // LEARNED scorer — the full t29 canon-feature + pocket-perceptron
+    // chain (the same shared CTE builders the t29/s23 oracles run),
+    // per-source exact integer mean margin, the same rank-quartile tier
+    // mapping, the same two carry-over fill chains. Prefixes keep the
+    // namespaces disjoint: the budget front is q-prefixed (the canon
+    // chain owns `f`), the fills zm/za-prefixed (the pocket chain owns
+    // `mc{e}`).
+    "x18_anneal_scored" -> {
+      val r = RebalanceRounds
+      s"""WITH ${budgetFront("q")},
+         |${fillRoundsSql("zm", MainBudgetTokens,
+            s"$MaxUniqueEpochs * unique_tokens", "qr, qt")},
+         |carry AS MATERIALIZED (
+         |  SELECT b.source, b.cap - z.alloc AS capleft, z.alloc AS main_alloc
+         |  FROM zmbase b JOIN zmst$r z ON z.source = b.source),
+         |${graft.operators.TextPack.canonFeatureCtes},
+         |${graft.operators.TextPack.canonPocketCtes},
+         |$annealScoredRatesCteSql,
+         |${fillRoundsSql("za", AnnealBudgetTokens, "cl.capleft",
+            "sar JOIN carry cl USING (source), sat")}
+         |SELECT 'main' AS phase, 1 AS phase_ord, b.source, b.n_unique,
+         |  b.unique_tokens, b.rate, b.target AS target_tokens,
+         |  b.cap AS cap_tokens, z.alloc AS final_tokens,
+         |  CAST(z.capped AS INTEGER) AS data_capped,
+         |  CAST(z.alloc > b.target AS INTEGER) AS got_realloc,
+         |  (SELECT pool FROM zmpl$r) AS unalloc_tokens,
+         |  z.alloc AS cum_final_tokens,
+         |  CAST(z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE) AS cum_repeat_x
+         |FROM zmbase b JOIN zmst$r z ON z.source = b.source
+         |UNION ALL
+         |SELECT 'anneal', 2, b.source, b.n_unique,
+         |  b.unique_tokens, b.rate, b.target,
+         |  b.cap, z.alloc,
+         |  CAST(z.capped AS INTEGER),
+         |  CAST(z.alloc > b.target AS INTEGER),
+         |  (SELECT pool FROM zapl$r),
+         |  CAST(cl.main_alloc + z.alloc AS BIGINT),
+         |  CAST(cl.main_alloc + z.alloc AS DOUBLE) / CAST(b.unique_tokens AS DOUBLE)
+         |FROM zabase b JOIN zast$r z ON z.source = b.source
          |  JOIN carry cl ON cl.source = b.source
          |ORDER BY phase_ord, source""".stripMargin
     },

@@ -51,4 +51,26 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     // 5 s sleeps against a 20 s budget: 4 polls, then deadline
     assert(polls == 4)
   }
+
+  test("per-query suspect rule: non-trivial wall under contended end-of-query load") {
+    // r15's t11 episode: 31.56 s wall, mid-run spike — the launch stamp
+    // said calm, the per-query load1 would not have
+    assert(Bench.suspectQuery(31.56, 3.2))
+    // calm queries and sub-floor walls are never suspects
+    assert(!Bench.suspectQuery(31.56, 0.4))
+    assert(!Bench.suspectQuery(0.8, 9.9))
+    assert(!Bench.suspectQuery(1.99, 3.0))
+    // boundary: exactly at both thresholds is suspect
+    assert(Bench.suspectQuery(2.0, 3.0))
+  }
+
+  test("queryEnvJson renders per-query load1 + cpu_wall machine-readably") {
+    val j = Bench.queryEnvJson(Seq(
+      "t11_bpe_tokens" -> (2.83, 0.41),
+      "s2_stream_window" -> (0.55, 12.0)))
+    assert(j ==
+      """{"t11_bpe_tokens":{"load1":2.83,"cpu_wall":0.41},"s2_stream_window":{"load1":0.55,"cpu_wall":12.00}}""")
+    // empty env renders an empty object, never a malformed fragment
+    assert(Bench.queryEnvJson(Nil) == "{}")
+  }
 }

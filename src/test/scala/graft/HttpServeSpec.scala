@@ -278,4 +278,52 @@ class HttpServeSpec extends SparkSuite {
       assert(!r.body().contains("\"id\": \"hot-1100\""))
     } finally hotServer.stop(0)
   }
+
+  test("point-body LRU: hot keys survive key-uniform traffic past the bound") {
+    // r15 verdict #4: the clear-on-full cache dropped the hot keys with
+    // the cold tail whenever > PointCacheMax distinct keys streamed by.
+    // Drive a skewed re-reference pattern — one hot key touched between
+    // every cold miss — across 3× the bound: the hot key must compute
+    // exactly once.
+    val computes = scala.collection.mutable.Map.empty[String, Int]
+    val lru = new HttpServe.LruBodyCache[String, Option[String]](HttpServe.PointCacheMax)
+    def fetch(k: String): Option[String] = lru.get(k) {
+      computes(k) = computes.getOrElse(k, 0) + 1
+      Some(s"body-$k")
+    }
+    assert(fetch("hot") == Some("body-hot"))
+    for (i <- 1 to HttpServe.PointCacheMax * 3) {
+      fetch(s"cold-$i")
+      assert(fetch("hot") == Some("body-hot"))
+    }
+    assert(computes("hot") == 1,
+      s"hot key recomputed ${computes("hot")} times — LRU thrashed")
+    assert(lru.size <= HttpServe.PointCacheMax, "cache exceeded its bound")
+    assert(lru.contains("hot"))
+    // and the eldest cold keys were the ones evicted
+    assert(!lru.contains("cold-1"))
+  }
+
+  test("health TTL: default OFF probes every request; a nonzero TTL bounds staleness") {
+    var probes = 0
+    def probe: Boolean = { probes += 1; true }
+    // default (0): every get executes the probe — a probe should probe
+    val off = new HttpServe.TtlVerdict(0L)
+    (1 to 5).foreach(_ => assert(off.get(probe)))
+    assert(probes == 5)
+    // TTL on, injected clock: within the window the verdict is served
+    // memoized; at/after the window it re-probes — staleness ≤ ttlMs
+    probes = 0
+    var nowNs = 0L
+    val on = new HttpServe.TtlVerdict(100L, () => nowNs)
+    assert(on.get(probe)); assert(probes == 1)
+    nowNs = 99L * 1000000L
+    assert(on.get(probe)); assert(probes == 1) // inside the bound: cached
+    nowNs = 100L * 1000000L
+    assert(on.get(probe)); assert(probes == 2) // bound reached: re-probed
+    // a probe FAILURE propagates and is never cached
+    nowNs = 300L * 1000000L
+    intercept[RuntimeException] { on.get(sys.error("probe down")) }
+    assert(on.get(probe)); assert(probes == 3)
+  }
 }

@@ -693,7 +693,8 @@ class PlanSpec extends SparkSuite {
   }
 
   test("t29 scoring reads the pinned feature frame, never re-parsing the corpus") {
-    // the trainer localCheckpoints (doc_id, 4 longs) once; the scoring
+    // the trainer localCheckpoints (doc_id, canon_keep, y, x1..x26) once;
+    // the scoring
     // job must scan that pin (ExistingRDD), not the documents parquet —
     // a parquet scan here means the E+1-scan-front regression returned
     // (measured 165 s vs 18 s at 5 M docs; e22's pin discipline)
