@@ -33,15 +33,22 @@ object Bench {
   /** Per-query suspect rule (r15 verdict "what's wrong" #2: the launch
     * stamp bounds launch load, so a MID-RUN spike — r15's t11 39× single-
     * query transient under load1 2.83 at launch — was invisible in the
-    * artifact). A query is stamped suspect when its own reported wall is
-    * non-trivial AND the 1-min load average read right after its reps is
-    * in the contended regime: the artifact then attributes the outlier
-    * machine-readably instead of needing a manual calm re-run to notice.
-    * Wall floor 2 s — sub-second queries can't carry a 39× story and the
-    * stdout line's truncation budget is real.
+    * artifact). A query is stamped suspect when its reported wall is
+    * non-trivial AND the 1-min load average right after its reps is in
+    * the contended regime AND the JVM's own cpu-time/wall-time ratio
+    * over the reps is LOW: a busy healthy query raises load1 all by
+    * itself (a full-tilt local[32] scan reads cpu_wall ≈ 20+ — measured
+    * on the first capture with this stamp, a d15 scale cell at load1
+    * 20.7 / cpu_wall 23.7 that is plainly self-load), while an
+    * externally-starved query burns wall without cpu. cpu_wall < 2
+    * says the JVM held under 2 cores' worth while the box was hot —
+    * that combination is external contention, not work. Wall floor
+    * 2 s: sub-second queries can't carry a 39× story and the stdout
+    * truncation budget is real.
     */
-  private[graft] def suspectQuery(wallSec: Double, load1AtEnd: Double): Boolean =
-    wallSec >= 2.0 && load1AtEnd >= ContendedLoad
+  private[graft] def suspectQuery(wallSec: Double, load1AtEnd: Double,
+      cpuWall: Double): Boolean =
+    wallSec >= 2.0 && load1AtEnd >= ContendedLoad && cpuWall < 2.0
 
   /** Render the per-query environment map ({name: {load1, cpu_wall}}) —
     * load1 read at the query's end, cpu_wall = this JVM's process-CPU
@@ -282,7 +289,8 @@ object Bench {
     // truncation budget is untouched; on a transient it carries exactly
     // the attribution the adjudicator needs.
     val suspects = results.filter { case (n, w) =>
-      envByName.find(_._1 == n).exists { case (_, (l, _)) => suspectQuery(w, l) }
+      envByName.find(_._1 == n).exists { case (_, (l, cw)) =>
+        suspectQuery(w, l, cw) }
     }.map(_._1).toSet
     val suspectJson =
       if (suspects.isEmpty) ""

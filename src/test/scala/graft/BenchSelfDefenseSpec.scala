@@ -52,16 +52,21 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     assert(polls == 4)
   }
 
-  test("per-query suspect rule: non-trivial wall under contended end-of-query load") {
-    // r15's t11 episode: 31.56 s wall, mid-run spike — the launch stamp
-    // said calm, the per-query load1 would not have
-    assert(Bench.suspectQuery(31.56, 3.2))
+  test("per-query suspect rule: starved wall under contended load, never self-load") {
+    // r15's t11 episode: 31.56 s wall, mid-run spike starving the JVM
+    // (wall burns, cpu doesn't) — the launch stamp said calm, the
+    // per-query stamp would not have
+    assert(Bench.suspectQuery(31.56, 3.2, 0.3))
+    // a busy HEALTHY query raises load1 all by itself: measured d15
+    // x1000m cell at load1 20.7 / cpu_wall 23.7 — self-load, not suspect
+    assert(!Bench.suspectQuery(22.77, 20.68, 23.65))
     // calm queries and sub-floor walls are never suspects
-    assert(!Bench.suspectQuery(31.56, 0.4))
-    assert(!Bench.suspectQuery(0.8, 9.9))
-    assert(!Bench.suspectQuery(1.99, 3.0))
-    // boundary: exactly at both thresholds is suspect
-    assert(Bench.suspectQuery(2.0, 3.0))
+    assert(!Bench.suspectQuery(31.56, 0.4, 0.3))
+    assert(!Bench.suspectQuery(0.8, 9.9, 0.3))
+    assert(!Bench.suspectQuery(1.99, 3.0, 0.3))
+    // boundary: at the wall/load thresholds with a starved cpu ratio
+    assert(Bench.suspectQuery(2.0, 3.0, 1.99))
+    assert(!Bench.suspectQuery(2.0, 3.0, 2.0))
   }
 
   test("queryEnvJson renders per-query load1 + cpu_wall machine-readably") {
