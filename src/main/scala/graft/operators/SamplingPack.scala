@@ -624,34 +624,7 @@ object SamplingPack extends QueryPack {
       val planDf = plan.map { p =>
         (p.source, p.alloc / p.uniqueTokens, p.alloc % p.uniqueTokens)
       }.toDF("source", "full_epochs", "rem_tokens")
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(tokens(col("text"))).as("n_tokens"),
-          md5Prefix60(col("text")).as("fp"))
-      // d1's keep rule: the unique representative is the min doc_id of
-      // its fingerprint group (within the source, matching the front's
-      // per-(source, fp) accounting)
-      val uniq = docs
-        .withColumn("keep_id",
-          min(col("doc_id")).over(Window.partitionBy("source", "fp")))
-        .where(col("doc_id") === col("keep_id"))
-        .drop("keep_id", "fp")
-      // deterministic draw order (content-independent, salted) + the
-      // x3-style uniform rank bucket from its leading hex digits
-      val h = md5(concat(lit("real:"), col("doc_id").cast("string")).cast("binary"))
-      val ordered = uniq.withColumn("hh", h)
-        .withColumn("rbucket", substring(col("hh"), 1, 3))
-      val offsets = ordered.groupBy("source", "rbucket")
-        .agg(sum(col("n_tokens")).as("btok"))
-        .withColumn("boff",
-          sum(col("btok")).over(Window.partitionBy("source").orderBy("rbucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("btok"))
-        .select(col("source"), col("rbucket"), col("boff"))
-      val inBucket = Window.partitionBy("source", "rbucket")
-        .orderBy(col("hh"), col("doc_id"))
-      ordered.join(broadcast(offsets), Seq("source", "rbucket"))
-        .withColumn("cum_after",
-          col("boff") + sum(col("n_tokens")).over(inBucket))
+      realizedCum(s, dir)
         .join(broadcast(planDf), "source")
         .select(col("doc_id"), col("source"),
           col("n_tokens").cast("long").as("n_tokens"),
@@ -660,6 +633,50 @@ object SamplingPack extends QueryPack {
             .as("n_repeats"))
         .where(col("n_repeats") >= 1)
         .orderBy("doc_id")
+    }),
+
+    // x19: REALIZE THE PHASED SCHEDULE — x16's sampler applied to x17's
+    // two phases, closing the loop's last open edge (x17/x18 emit a
+    // token plan per (phase, source); nothing turned it into draws).
+    // Each phase realizes INDEPENDENTLY by exactly x16's stated rule on
+    // its own final_tokens: full_epochs = alloc div unique, plus one
+    // partial epoch — kept docs in the SAME canonical per-source
+    // salted-hash order, running token total ≤ alloc mod unique. One
+    // canonical order per source (not per phase) is deliberate: the
+    // order is content-independent and stable, so a phase manifest can
+    // be regenerated at any time from (alloc, corpus) alone. Stated
+    // consequence: both phases' partial prefixes begin at the same
+    // leading docs, so a doc inside both prefixes draws one extra
+    // repeat relative to a token-contiguous split — the 4-epoch cap is
+    // a TOKEN-level budget rule (cum alloc ≤ 4×unique, held by the
+    // schedule's carryover) and phase-level realized tokens stay ≤ the
+    // phase's alloc with sub-document shortfall, both invariants exact
+    // and spec-pinned. Quality source follows the x17 dial
+    // (graft.anneal.quality), so one conf moves plan AND realization
+    // onto the learned scorer. Scale shape: x16's — the (source, fp)
+    // dedup shuffle, the two-level prefix sum, and a 2·|sources|-row
+    // broadcast plan; the phase dimension only doubles the tiny
+    // broadcast, never the corpus work (the draw frame is computed once
+    // and joined once). Oracle: the full x17 chain, both phases' plan
+    // rows, and x16's realization CTEs verbatim.
+    "x19_anneal_sample" -> ((s, dir) => {
+      val sched = annealScheduleDf(s, dir, annealQualityScores(s, dir))
+        .select("phase", "phase_ord", "source", "unique_tokens",
+          "final_tokens").collect()
+      import s.implicits._
+      val planDf = sched.map { r =>
+        val (u, f) = (r.getLong(3), r.getLong(4))
+        (r.getString(0), r.getInt(1), r.getString(2), f / u, f % u)
+      }.toSeq.toDF("phase", "phase_ord", "source", "full_epochs", "rem_tokens")
+      realizedCum(s, dir)
+        .join(broadcast(planDf), "source")
+        .select(col("phase"), col("phase_ord"), col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("full_epochs") +
+            when(col("cum_after") <= col("rem_tokens"), 1L).otherwise(0L))
+            .as("n_repeats"))
+        .where(col("n_repeats") >= 1)
+        .orderBy("phase_ord", "doc_id")
     }),
 
     // x17: ANNEAL SCHEDULE — the phase dimension of the mixture loop
@@ -774,6 +791,46 @@ object SamplingPack extends QueryPack {
       case other => sys.error(
         s"graft.anneal.quality must be 'gate' or 'scorer', got '$other'")
     }
+
+  /** The realization draw frame x16 and x19 share — ONE definition so
+    * the single-phase sampler and the phased sampler cannot drift:
+    * d1's keep-min-doc_id dedup per (source, fp), the canonical
+    * content-independent salted-hash draw order, and the per-source
+    * running token total as the x2/x3 two-level prefix (within-(source,
+    * rbucket) windows at 4096× parallelism + a broadcast-sized offset
+    * frame — no whole-source window in one task). Returns
+    * (doc_id, source, n_tokens, cum_after).
+    */
+  private def realizedCum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        md5Prefix60(col("text")).as("fp"))
+    // d1's keep rule: the unique representative is the min doc_id of
+    // its fingerprint group (within the source, matching the front's
+    // per-(source, fp) accounting)
+    val uniq = docs
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy("source", "fp")))
+      .where(col("doc_id") === col("keep_id"))
+      .drop("keep_id", "fp")
+    // deterministic draw order (content-independent, salted) + the
+    // x3-style uniform rank bucket from its leading hex digits
+    val h = md5(concat(lit("real:"), col("doc_id").cast("string")).cast("binary"))
+    val ordered = uniq.withColumn("hh", h)
+      .withColumn("rbucket", substring(col("hh"), 1, 3))
+    val offsets = ordered.groupBy("source", "rbucket")
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("boff",
+        sum(col("btok")).over(Window.partitionBy("source").orderBy("rbucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("btok"))
+      .select(col("source"), col("rbucket"), col("boff"))
+    val inBucket = Window.partitionBy("source", "rbucket")
+      .orderBy(col("hh"), col("doc_id"))
+    ordered.join(broadcast(offsets), Seq("source", "rbucket"))
+      .withColumn("cum_after",
+        col("boff") + sum(col("n_tokens")).over(inBucket))
+  }
 
   /** One source's rebalanced allocation (x15's row, x16's input). */
   private[operators] final case class PlanRow(
@@ -1413,6 +1470,60 @@ object SamplingPack extends QueryPack {
          |FROM zabase b JOIN zast$r z ON z.source = b.source
          |  JOIN carry cl ON cl.source = b.source
          |ORDER BY phase_ord, source""".stripMargin
+    },
+
+    // x19: the x17 schedule chain (both fills + carry + the gate-quality
+    // rate derivation), the two phases' (full_epochs, rem_tokens) plan
+    // rows, then x16's realization CTEs verbatim (dedup → salted order →
+    // cumulative window) joined against the phased plan.
+    "x19_anneal_sample" -> {
+      val r = RebalanceRounds
+      s"""WITH $budgetFrontSql,
+         |${fillRoundsSql("m", MainBudgetTokens,
+            s"$MaxUniqueEpochs * unique_tokens", "r, t")},
+         |carry AS MATERIALIZED (
+         |  SELECT b.source, b.cap - z.alloc AS capleft
+         |  FROM mbase b JOIN mst$r z ON z.source = b.source),
+         |$annealRatesCteSql,
+         |${fillRoundsSql("a", AnnealBudgetTokens, "cl.capleft",
+            "ar JOIN carry cl USING (source), at")},
+         |plan2 AS MATERIALIZED (
+         |  SELECT 'main' AS phase, 1 AS phase_ord, b.source,
+         |    CAST(z.alloc // b.unique_tokens AS BIGINT) AS full_epochs,
+         |    CAST(z.alloc % b.unique_tokens AS BIGINT) AS rem_tokens
+         |  FROM mbase b JOIN mst$r z ON z.source = b.source
+         |  UNION ALL
+         |  SELECT 'anneal', 2, b.source,
+         |    CAST(z.alloc // b.unique_tokens AS BIGINT),
+         |    CAST(z.alloc % b.unique_tokens AS BIGINT)
+         |  FROM abase b JOIN ast$r z ON z.source = b.source),
+         |doc AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+         |  FROM documents),
+         |uq AS (
+         |  SELECT doc_id, source, n_tokens FROM (
+         |    SELECT doc_id, source, n_tokens,
+         |      min(doc_id) OVER (PARTITION BY source, fp) AS kid
+         |    FROM doc) WHERE doc_id = kid),
+         |ord AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    md5('real:' || CAST(doc_id AS VARCHAR)) AS hh
+         |  FROM uq),
+         |cum AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+         |  FROM ord)
+         |SELECT p.phase, p.phase_ord, c.doc_id, c.source, c.n_tokens,
+         |  CAST(p.full_epochs
+         |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_repeats
+         |FROM cum c JOIN plan2 p ON p.source = c.source
+         |WHERE p.full_epochs
+         |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END >= 1
+         |ORDER BY p.phase_ord, c.doc_id""".stripMargin
     },
 
     "x1_mixture_sample" ->

@@ -129,4 +129,39 @@ class Round16OpsSpec extends SparkSuite {
     for (m <- Seq(base, moved))
       assert(m.values.map(_._2).sum <= SamplingPack.AnnealBudgetTokens)
   }
+
+  test("x19 realizes each phase within its allocation, cum within the 4-epoch cap") {
+    val sched = SparkEntry.queries("x17_anneal_schedule")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(4), r.getLong(8))).toMap // (phase, source) -> (unique, alloc)
+    val draws = SparkEntry.queries("x19_anneal_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(3), r.getLong(2),
+        r.getLong(4), r.getLong(5))) // (phase, source, doc, n_tokens, n_repeats)
+    assert(draws.nonEmpty && draws.forall(_._5 >= 1))
+    val maxDoc = draws.map(_._4).max
+    val realized = draws.groupBy(d => (d._1, d._2))
+      .view.mapValues(_.map(d => d._4 * d._5).sum).toMap
+    // x16's invariant PER PHASE: realized ≤ alloc, shortfall < one doc
+    for (((ph, src), (_, alloc)) <- sched) {
+      val got = realized.getOrElse((ph, src), 0L)
+      assert(got <= alloc, s"$ph/$src realized $got > alloc $alloc")
+      assert(alloc - got < maxDoc || alloc == 0,
+        s"$ph/$src left ${alloc - got} tokens unrealized (max doc $maxDoc)")
+    }
+    // the run-level token cap holds across phases: Σ realized ≤ 4×unique
+    val bySrc = draws.groupBy(_._2)
+    for ((src, ds) <- bySrc) {
+      val uniq = sched(("main", src))._1
+      val tot = ds.map(d => d._4 * d._5).sum
+      assert(tot <= SamplingPack.MaxUniqueEpochs * uniq,
+        s"$src cumulative realized $tot > 4×unique ${4 * uniq}")
+    }
+    // the fixture must exercise a genuine anneal draw (the schedule's
+    // whole point) and a genuine partial epoch somewhere
+    assert(draws.exists(_._1 == "anneal"), "no anneal-phase draws")
+    val perPhaseRepeats = draws.groupBy(d => (d._1, d._2))
+      .view.mapValues(_.map(_._5).toSet).toMap
+    assert(perPhaseRepeats.values.exists(_.size > 1),
+      "no partial epoch bit on the fixture — the prefix rule is untested")
+  }
 }
