@@ -314,11 +314,21 @@ object DedupPack extends QueryPack {
     *     naive nested plan makes Catalyst re-analysis grow
     *     super-linearly (minutes by round ~30). Lazy checkpoint: the
     *     changed-count is the materializing action, one job per round.
-    *   - the label frame is the candidate-graph NODE SET, so it is
-    *     broadcast into the joins and coalesced to 1 partition; rounds
-    *     cost ~0.35 s of fixed planning overhead, nothing else. At a
-    *     scale where the node set outgrows broadcast, drop the
-    *     hint/coalesce and the identical loop runs with shuffle joins.
+    *   - the label frame is the candidate-graph NODE SET; while it fits
+    *     a broadcast it is hinted into the joins and coalesced to 1
+    *     partition (rounds cost ~0.35 s of fixed planning overhead,
+    *     nothing else). The fit decision SELF-SELECTS per call (r16 —
+    *     the same discipline as trainFrameWidth/scratchBudgetBytes: the
+    *     at-scale form must not live in a comment): nodes ≤
+    *     [[BroadcastNodeLimit]] (8 M rows ≈ 128 MB of packed id/label
+    *     pairs, safely inside executor broadcast memory at any plausible
+    *     heap) → broadcast + single-partition labels; above it the
+    *     IDENTICAL loop runs shuffle joins at session width — same
+    *     exact min-label algebra, so the labels are value-identical by
+    *     construction (spec-pinned). `graft.components
+    *     .broadcastNodeLimit` overrides (0 forces the shuffle path —
+    *     the scaling capture's lever). The node count is one count()
+    *     over the just-checkpointed seed frame.
     *   - never nest propagation rounds without a checkpoint between:
     *     the self-referencing pointer join doubles plan references per
     *     nesting level (measured 10× slower at depth 3).
@@ -331,21 +341,26 @@ object DedupPack extends QueryPack {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    val nodeLimit = s.conf.getOption("graft.components.broadcastNodeLimit")
+      .map(_.toLong).getOrElse(BroadcastNodeLimit)
+    val small = labels.count() <= nodeLimit
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    def shaped(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
       val viaNbr = edges
-        .join(broadcast(labels.select(col("doc_id").as("dst"), col("label"))), "dst")
+        .join(hinted(labels.select(col("doc_id").as("dst"), col("label"))), "dst")
         .select(col("src").as("doc_id"), col("label"))
       val viaPtr = labels.select(col("doc_id"), col("label").as("ptr"))
-        .join(broadcast(labels.select(col("doc_id").as("ptr"), col("label"))), "ptr")
+        .join(hinted(labels.select(col("doc_id").as("ptr"), col("label"))), "ptr")
         .select(col("doc_id"), col("label"))
-      val next = labels.unionAll(viaNbr).unionAll(viaPtr)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .coalesce(1)
+      val next = shaped(
+        labels.unionAll(viaNbr).unionAll(viaPtr)
+          .groupBy("doc_id").agg(min(col("label")).as("label")))
         .localCheckpoint(false)
       changed = next
-        .join(broadcast(labels.select(col("doc_id"), col("label").as("old"))), "doc_id")
+        .join(hinted(labels.select(col("doc_id"), col("label").as("old"))), "doc_id")
         .where(col("label") < col("old")).count()
       labels = next
       rounds += 1
@@ -353,6 +368,14 @@ object DedupPack extends QueryPack {
     edges.unpersist()
     labels
   }
+
+  /** Node-set size up to which the propagation loop broadcasts its label
+    * frame (≈ 128 MB of packed (id, label) pairs at 8 M rows — inside
+    * any plausible executor broadcast budget); beyond it the identical
+    * loop runs shuffle joins. Override: `graft.components
+    * .broadcastNodeLimit` (0 forces the shuffle path).
+    */
+  private[operators] val BroadcastNodeLimit = 8L << 20
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — hash-groupBy on content fingerprint, keep the

@@ -130,6 +130,26 @@ class Round16OpsSpec extends SparkSuite {
       assert(m.values.map(_._2).sum <= SamplingPack.AnnealBudgetTokens)
   }
 
+  test("d7: the shuffle-join propagation path is value-identical to the broadcast path") {
+    // graft.components.broadcastNodeLimit=0 forces the at-scale shape
+    // (shuffle joins, session-width labels) through the SAME min-label
+    // algebra — cluster assignments must not move. maxUnionFindEdges=0
+    // routes d7 through propagateComponents at all, so both paths of
+    // the size dial are the ones under test.
+    def clusters(): Map[Long, Long] =
+      SparkEntry.queries("d7_dedup_clusters")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.components.maxUnionFindEdges", "0")
+    try {
+      val viaBroadcast = clusters()
+      assert(viaBroadcast.nonEmpty)
+      spark.conf.set("graft.components.broadcastNodeLimit", "0")
+      try assert(clusters() == viaBroadcast,
+        "shuffle-path labels diverged from the broadcast path")
+      finally spark.conf.unset("graft.components.broadcastNodeLimit")
+    } finally spark.conf.unset("graft.components.maxUnionFindEdges")
+  }
+
   test("x19 realizes each phase within its allocation, cum within the 4-epoch cap") {
     val sched = SparkEntry.queries("x17_anneal_schedule")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(2)) ->
