@@ -815,10 +815,19 @@ object SamplingPack extends QueryPack {
       .where(col("doc_id") === col("keep_id"))
       .drop("keep_id", "fp")
     // deterministic draw order (content-independent, salted) + the
-    // x3-style uniform rank bucket from its leading hex digits
+    // x3-style uniform rank bucket from its leading hex digits.
+    // MATERIALIZED (eager localCheckpoint, the signatures discipline —
+    // GC-owned blocks): the frame feeds BOTH the offsets aggregation and
+    // the per-doc window join, and unpinned Spark recomputes the corpus
+    // scan + the (source, fp) dedup window for each branch (x19's plan
+    // audit caught the double scan) — at 100 TB that doubles the
+    // heaviest stage. Pinned, the frame is ~40 B/doc and both branches
+    // read the pin (ExistingRDD — PlanSpec-pinned, zero parquet scans in
+    // the realization plan).
     val h = md5(concat(lit("real:"), col("doc_id").cast("string")).cast("binary"))
     val ordered = uniq.withColumn("hh", h)
       .withColumn("rbucket", substring(col("hh"), 1, 3))
+      .localCheckpoint(true)
     val offsets = ordered.groupBy("source", "rbucket")
       .agg(sum(col("n_tokens")).as("btok"))
       .withColumn("boff",

@@ -731,4 +731,23 @@ class PlanSpec extends SparkSuite {
     // sort-merge — both sides grow with the corpus; what must NOT appear
     // is a window sort over the |A|·|B| score matrix, pinned above)
   }
+
+  test("x19 realization: pinned draw frame, broadcast plan/offsets, no whole-source window") {
+    // the realization contract at scale (shared realizedCum — so this
+    // pins x16's shape too): the corpus is parsed ONCE into the pinned
+    // narrow draw frame (ExistingRDD; an unpinned form recomputed the
+    // scan + the (source, fp) dedup window for the offsets branch —
+    // the double scan this pin exists to catch), the per-doc running
+    // sum is the two-level (source, rbucket) window (never a
+    // single-partition or whole-source exchange of the corpus), and
+    // both the offsets frame and the 2·|sources|-row plan come back as
+    // broadcasts — a sort-merge join here means a corpus-sized shuffle
+    // replaced a catalog-sized broadcast
+    val p = plan("x19_anneal_sample")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
