@@ -51,15 +51,64 @@ object Bench {
     wallSec >= 2.0 && load1AtEnd >= ContendedLoad && cpuWall < 2.0
 
   /** Render the per-query environment map ({name: {load1, cpu_wall}}) —
-    * load1 read at the query's end, cpu_wall = this JVM's process-CPU
-    * seconds over the reps divided by their wall seconds (a mid-run
+    * BOTH measured on the rep that produced the REPORTED (min) wall:
+    * load1 read right after that rep, cpu_wall = this JVM's process-CPU
+    * seconds over that rep divided by its wall seconds (a mid-run
     * external spike starves the JVM, so cpu_wall DROPS while wall
     * inflates — the second attribution signal, orthogonal to load1).
+    * Per-rep, not across-reps: min-of-2 already discards a starved rep,
+    * so attributing the surviving calm number with the starved rep's
+    * mixed cpu/load would stamp a valid measurement suspect (review
+    * finding, r16).
     */
   private[graft] def queryEnvJson(env: Seq[(String, (Double, Double))]): String =
     env.map { case (n, (l, cw)) =>
       f""""$n":{"load1":$l,"cpu_wall":$cw%.2f}"""
     }.mkString("{", ",", "}")
+
+  /** Cap for the stdout `suspect` map: the stamp must never push the
+    * headline total out of the driver's ~2000-char tail capture (the
+    * BENCH_r02-r05 truncation regression) — on a box hot for the whole
+    * run, dozens of queries can trip the rule, and the suspect JSON sat
+    * OUTSIDE the shrink loop (review finding, r16). The slowest
+    * [[MaxSuspects]] carry the attribution; the full per-query env is
+    * always in BENCH.local.json.
+    */
+  private[graft] val MaxSuspects = 8
+
+  /** The stdout suspect fragment: slowest-first, capped, with an
+    * explicit omitted count so a capped stamp can't read as complete.
+    */
+  private[graft] def suspectJsonFrag(
+      suspects: Seq[(String, Double, (Double, Double))]): String = {
+    if (suspects.isEmpty) ""
+    else {
+      val kept = suspects.sortBy(-_._2).take(MaxSuspects)
+        .sortBy(_._1).map { case (n, _, e) => n -> e }
+      val omit =
+        if (suspects.size > MaxSuspects)
+          s""","suspects_omitted":${suspects.size - MaxSuspects}"""
+        else ""
+      s""","suspect":${queryEnvJson(kept)}$omit"""
+    }
+  }
+
+  /** SPARK_GRAFT_CONF=k=v,k=v runtime-conf injection — the Bench/
+    * ServeLatency dev-loop contract, ONE definition so the parse cannot
+    * drift between tools. Returns the raw env value (empty when unset)
+    * so a tool can echo the applied confs into its record.
+    */
+  private[graft] def injectConf(spark: SparkSession): String = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+    raw.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v (full value: '$raw')")
+      }
+    }
+    raw
+  }
 
   /** Bounded pre-capture settle (the slope.sh discipline, in-process):
     * poll until the load average drops below [[ContendedLoad]] or the
@@ -139,16 +188,9 @@ object Bench {
     // confs before any query runs — the scaling capture uses it to force
     // operator path selection (e.g. graft.components.maxUnionFindEdges=0
     // drives d7's at-scale propagation path on real data). The driver
-    // never sets it.
-    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
-      kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => spark.conf.set(k, v)
-          case _ => sys.error(
-            s"SPARK_GRAFT_CONF entry '$kv' is not k=v (full value: '$kvs')")
-        }
-      }
-    }
+    // never sets it. ONE definition shared with ServeLatency (the other
+    // tool on this contract).
+    injectConf(spark)
     // warmup: touch every table once (schema + a tiny codegen'd action)
     Tables.all.foreach { t =>
       try Tables(spark, sfDir, t).limit(1).count()
@@ -229,26 +271,28 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val before = metrics.map { l => l.settle(); l.snapshot }
-      val cpu0 = procCpu
-      val wall0 = System.nanoTime()
-      val times = (1 to reps).map { _ =>
+      // Per-rep environment so the stamp attributes the REPORTED number:
+      // (wall, load1 right after the rep, cpu/wall of the rep itself) —
+      // the min-wall rep's env rides in query_env.
+      val repRuns = (1 to reps).map { _ =>
+        val cpu0 = procCpu
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val wallNs = System.nanoTime() - t0
+        val cpu1 = procCpu
+        val cpuWall =
+          if (cpu0 >= 0 && cpu1 >= 0 && wallNs > 0)
+            (cpu1 - cpu0).toDouble / wallNs
+          else 0.0
+        (wallNs / 1e9, load1, math.rint(cpuWall * 100) / 100)
       }
-      // Per-query environment stamp (r15 verdict: mid-run transients must
-      // be attributable from the artifact alone): load1 right after the
-      // reps + this JVM's cpu-time/wall-time ratio across them.
-      val wallNs = System.nanoTime() - wall0
-      val cpu1 = procCpu
-      val cpuWall =
-        if (cpu0 >= 0 && cpu1 >= 0 && wallNs > 0) (cpu1 - cpu0).toDouble / wallNs
-        else 0.0
-      queryEnv ::= name -> (load1, math.rint(cpuWall * 100) / 100)
+      val times = repRuns.map(_._1)
+      val bestRep = repRuns.minBy(_._1)
+      queryEnv ::= name -> (bestRep._2, bestRep._3)
       metrics.foreach { l =>
         l.settle()
         val (m0, d0, s0, _) = before.get
@@ -284,17 +328,17 @@ object Bench {
     // dev-loop run must not overwrite the round's record with a partial
     // total (burned on this in round 5).
     val envByName = queryEnv.reverse
-    // Suspect stamp for the stdout line: only queries whose own wall AND
-    // end-of-query load1 cross the rule — normally empty, so the
-    // truncation budget is untouched; on a transient it carries exactly
-    // the attribution the adjudicator needs.
-    val suspects = results.filter { case (n, w) =>
-      envByName.find(_._1 == n).exists { case (_, (l, cw)) =>
-        suspectQuery(w, l, cw) }
-    }.map(_._1).toSet
-    val suspectJson =
-      if (suspects.isEmpty) ""
-      else s""","suspect":${queryEnvJson(envByName.filter(e => suspects(e._1)))}"""
+    // Suspect stamp for the stdout line: only queries whose reported
+    // wall AND its rep's end-of-rep load1 + starved cpu/wall cross the
+    // rule — normally empty; on a transient it carries exactly the
+    // attribution the adjudicator needs, capped at MaxSuspects so a
+    // hot-for-the-whole-run box can't push the headline total out of
+    // the driver's tail-capture window.
+    val suspectJson = suspectJsonFrag(results.flatMap { case (n, w) =>
+      envByName.find(_._1 == n).collect {
+        case (_, e @ (l, cw)) if suspectQuery(w, l, cw) => (n, w, e)
+      }
+    })
     if (only.isEmpty) {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -175,8 +175,12 @@ object DedupPack extends QueryPack {
     */
   private[graft] def autoBandShards(nSigRows: Long, budgetBytes: Long): Int = {
     val need = nSigRows * ScratchBytesPerSigRow
-    val raw = ((need + budgetBytes - 1) / budgetBytes).toInt
-    math.min(NumBands, math.max(1, raw))
+    // clamp in LONG before narrowing: a huge need/budget ratio (tiny
+    // typo'd budget on a big matrix) overflowed the Int cast and wrapped
+    // NEGATIVE, auto-picking 1 shard — fully unsharded under the tiniest
+    // stated budget, the opposite of the lever's job (review finding)
+    val raw = (need + budgetBytes - 1) / budgetBytes
+    math.min(NumBands.toLong, math.max(1L, raw)).toInt
   }
 
   /** Projected one-pass scratch per signature row, MEASURED not guessed:

@@ -659,25 +659,17 @@ object SamplingPack extends QueryPack {
     // broadcast, never the corpus work (the draw frame is computed once
     // and joined once). Oracle: the full x17 chain, both phases' plan
     // rows, and x16's realization CTEs verbatim.
-    "x19_anneal_sample" -> ((s, dir) => {
-      val sched = annealScheduleDf(s, dir, annealQualityScores(s, dir))
-        .select("phase", "phase_ord", "source", "unique_tokens",
-          "final_tokens").collect()
-      import s.implicits._
-      val planDf = sched.map { r =>
-        val (u, f) = (r.getLong(3), r.getLong(4))
-        (r.getString(0), r.getInt(1), r.getString(2), f / u, f % u)
-      }.toSeq.toDF("phase", "phase_ord", "source", "full_epochs", "rem_tokens")
-      realizedCum(s, dir)
-        .join(broadcast(planDf), "source")
-        .select(col("phase"), col("phase_ord"), col("doc_id"), col("source"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          (col("full_epochs") +
-            when(col("cum_after") <= col("rem_tokens"), 1L).otherwise(0L))
-            .as("n_repeats"))
-        .where(col("n_repeats") >= 1)
-        .orderBy("phase_ord", "doc_id")
-    }),
+    "x19_anneal_sample" -> ((s, dir) =>
+      phasedSample(s, dir, annealQualityScores(s, dir))),
+
+    // x20: x19's realization under the SCORER-derived schedule — the
+    // hash-checked twin of x19's `graft.anneal.quality=scorer` dial
+    // (the same honesty rule as x18 vs x17: the driver runs defaults,
+    // so the dial's realization path needs its own oracle-checked
+    // query — review finding, r16). Same shared phasedSample body; the
+    // oracle is the x18 scored-schedule chain + x16's realization CTEs.
+    "x20_anneal_sample_scored" -> ((s, dir) =>
+      phasedSample(s, dir, pocketQualityScores(s, dir))),
 
     // x17: ANNEAL SCHEDULE — the phase dimension of the mixture loop
     // (x13 card → x14 gate → x15 plan → x16 sample): modern pretraining
@@ -735,6 +727,34 @@ object SamplingPack extends QueryPack {
     "x18_anneal_scored" -> ((s, dir) =>
       annealScheduleDf(s, dir, pocketQualityScores(s, dir)))
   )
+
+  /** The x19/x20 realization body over an injected per-source quality
+    * map — ONE definition (the two queries differ only in where the
+    * qscores come from, exactly the x17/x18 split): the injected-quality
+    * schedule, reduced driver-side to (phase, source, full_epochs,
+    * rem_tokens), realized per phase against the shared pinned draw
+    * frame. See the x19 entry's scaladoc for the stated semantics.
+    */
+  private[operators] def phasedSample(s: SparkSession, dir: String,
+      q: Map[String, Long]): DataFrame = {
+    val sched = annealScheduleDf(s, dir, q)
+      .select("phase", "phase_ord", "source", "unique_tokens",
+        "final_tokens").collect()
+    import s.implicits._
+    val planDf = sched.map { r =>
+      val (u, f) = (r.getLong(3), r.getLong(4))
+      (r.getString(0), r.getInt(1), r.getString(2), f / u, f % u)
+    }.toSeq.toDF("phase", "phase_ord", "source", "full_epochs", "rem_tokens")
+    realizedCum(s, dir)
+      .join(broadcast(planDf), "source")
+      .select(col("phase"), col("phase_ord"), col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("full_epochs") +
+          when(col("cum_after") <= col("rem_tokens"), 1L).otherwise(0L))
+          .as("n_repeats"))
+      .where(col("n_repeats") >= 1)
+      .orderBy("phase_ord", "doc_id")
+  }
 
   /** The x17/x18 schedule body over an injected per-source quality map —
     * ONE definition (r15 verdict #3's "selectable by conf" without
@@ -1165,6 +1185,73 @@ object SamplingPack extends QueryPack {
        |  FROM qb b JOIN sarnk USING (source)),
        |sat AS (SELECT CAST(sum(rate) AS BIGINT) AS sum_rates FROM sar)""".stripMargin
 
+  /** The scored-schedule CTE chain (q-prefixed budget front, zm/za
+    * fills, carryover, the canon + pocket chain, the scorer-derived
+    * rates) — ONE definition shared by the x18 schedule oracle and the
+    * x20 realization oracle, so the dial's two hash-checked twins
+    * replay the identical scored plan.
+    */
+  private lazy val scoredScheduleCtes: String = {
+    val r = RebalanceRounds
+    s"""${budgetFront("q")},
+       |${fillRoundsSql("zm", MainBudgetTokens,
+          s"$MaxUniqueEpochs * unique_tokens", "qr, qt")},
+       |carry AS MATERIALIZED (
+       |  SELECT b.source, b.cap - z.alloc AS capleft, z.alloc AS main_alloc
+       |  FROM zmbase b JOIN zmst$r z ON z.source = b.source),
+       |${graft.operators.TextPack.canonFeatureCtes},
+       |${graft.operators.TextPack.canonPocketCtes},
+       |$annealScoredRatesCteSql,
+       |${fillRoundsSql("za", AnnealBudgetTokens, "cl.capleft",
+          "sar JOIN carry cl USING (source), sat")}""".stripMargin
+  }
+
+  /** The phased-realization oracle tail (x19/x20): both phases'
+    * (full_epochs, rem_tokens) plan rows off the given fill prefixes,
+    * then x16's realization CTEs verbatim (dedup → salted order →
+    * cumulative window) joined against the phased plan.
+    */
+  private def phasedRealizeSql(mPfx: String, aPfx: String): String = {
+    val r = RebalanceRounds
+    s"""plan2 AS MATERIALIZED (
+       |  SELECT 'main' AS phase, 1 AS phase_ord, b.source,
+       |    CAST(z.alloc // b.unique_tokens AS BIGINT) AS full_epochs,
+       |    CAST(z.alloc % b.unique_tokens AS BIGINT) AS rem_tokens
+       |  FROM ${mPfx}base b JOIN ${mPfx}st$r z ON z.source = b.source
+       |  UNION ALL
+       |  SELECT 'anneal', 2, b.source,
+       |    CAST(z.alloc // b.unique_tokens AS BIGINT),
+       |    CAST(z.alloc % b.unique_tokens AS BIGINT)
+       |  FROM ${aPfx}base b JOIN ${aPfx}st$r z ON z.source = b.source),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+       |  FROM documents),
+       |uq AS (
+       |  SELECT doc_id, source, n_tokens FROM (
+       |    SELECT doc_id, source, n_tokens,
+       |      min(doc_id) OVER (PARTITION BY source, fp) AS kid
+       |    FROM doc) WHERE doc_id = kid),
+       |ord AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    md5('real:' || CAST(doc_id AS VARCHAR)) AS hh
+       |  FROM uq),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+       |  FROM ord)
+       |SELECT p.phase, p.phase_ord, c.doc_id, c.source, c.n_tokens,
+       |  CAST(p.full_epochs
+       |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END
+       |    AS BIGINT) AS n_repeats
+       |FROM cum c JOIN plan2 p ON p.source = c.source
+       |WHERE p.full_epochs
+       |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END >= 1
+       |ORDER BY p.phase_ord, c.doc_id""".stripMargin
+  }
+
   /** One water-filling fixpoint as prefixed CTEs — base (integer-div
     * targets + caps from `capSql` over `fromSql`), st0/pl0, and every
     * round replayed CTE-by-CTE. ONE definition shared by the x15/x16
@@ -1444,20 +1531,11 @@ object SamplingPack extends QueryPack {
     // mapping, the same two carry-over fill chains. Prefixes keep the
     // namespaces disjoint: the budget front is q-prefixed (the canon
     // chain owns `f`), the fills zm/za-prefixed (the pocket chain owns
-    // `mc{e}`).
+    // `mc{e}`). The chain itself is [[scoredScheduleCtes]], shared with
+    // the x20 realization oracle.
     "x18_anneal_scored" -> {
       val r = RebalanceRounds
-      s"""WITH ${budgetFront("q")},
-         |${fillRoundsSql("zm", MainBudgetTokens,
-            s"$MaxUniqueEpochs * unique_tokens", "qr, qt")},
-         |carry AS MATERIALIZED (
-         |  SELECT b.source, b.cap - z.alloc AS capleft, z.alloc AS main_alloc
-         |  FROM zmbase b JOIN zmst$r z ON z.source = b.source),
-         |${graft.operators.TextPack.canonFeatureCtes},
-         |${graft.operators.TextPack.canonPocketCtes},
-         |$annealScoredRatesCteSql,
-         |${fillRoundsSql("za", AnnealBudgetTokens, "cl.capleft",
-            "sar JOIN carry cl USING (source), sat")}
+      s"""WITH $scoredScheduleCtes
          |SELECT 'main' AS phase, 1 AS phase_ord, b.source, b.n_unique,
          |  b.unique_tokens, b.rate, b.target AS target_tokens,
          |  b.cap AS cap_tokens, z.alloc AS final_tokens,
@@ -1482,9 +1560,9 @@ object SamplingPack extends QueryPack {
     },
 
     // x19: the x17 schedule chain (both fills + carry + the gate-quality
-    // rate derivation), the two phases' (full_epochs, rem_tokens) plan
-    // rows, then x16's realization CTEs verbatim (dedup → salted order →
-    // cumulative window) joined against the phased plan.
+    // rate derivation), then the shared realization tail ([[
+    // phasedRealizeSql]]: both phases' plan rows + x16's realization
+    // CTEs verbatim, joined against the phased plan).
     "x19_anneal_sample" -> {
       val r = RebalanceRounds
       s"""WITH $budgetFrontSql,
@@ -1496,44 +1574,14 @@ object SamplingPack extends QueryPack {
          |$annealRatesCteSql,
          |${fillRoundsSql("a", AnnealBudgetTokens, "cl.capleft",
             "ar JOIN carry cl USING (source), at")},
-         |plan2 AS MATERIALIZED (
-         |  SELECT 'main' AS phase, 1 AS phase_ord, b.source,
-         |    CAST(z.alloc // b.unique_tokens AS BIGINT) AS full_epochs,
-         |    CAST(z.alloc % b.unique_tokens AS BIGINT) AS rem_tokens
-         |  FROM mbase b JOIN mst$r z ON z.source = b.source
-         |  UNION ALL
-         |  SELECT 'anneal', 2, b.source,
-         |    CAST(z.alloc // b.unique_tokens AS BIGINT),
-         |    CAST(z.alloc % b.unique_tokens AS BIGINT)
-         |  FROM abase b JOIN ast$r z ON z.source = b.source),
-         |doc AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
-         |  FROM documents),
-         |uq AS (
-         |  SELECT doc_id, source, n_tokens FROM (
-         |    SELECT doc_id, source, n_tokens,
-         |      min(doc_id) OVER (PARTITION BY source, fp) AS kid
-         |    FROM doc) WHERE doc_id = kid),
-         |ord AS (
-         |  SELECT doc_id, source, n_tokens,
-         |    md5('real:' || CAST(doc_id AS VARCHAR)) AS hh
-         |  FROM uq),
-         |cum AS (
-         |  SELECT doc_id, source, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
-         |  FROM ord)
-         |SELECT p.phase, p.phase_ord, c.doc_id, c.source, c.n_tokens,
-         |  CAST(p.full_epochs
-         |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END
-         |    AS BIGINT) AS n_repeats
-         |FROM cum c JOIN plan2 p ON p.source = c.source
-         |WHERE p.full_epochs
-         |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END >= 1
-         |ORDER BY p.phase_ord, c.doc_id""".stripMargin
+         |${phasedRealizeSql("m", "a")}""".stripMargin
     },
+
+    // x20: the scorer-path realization twin — the x18 scored-schedule
+    // chain, then the same shared realization tail.
+    "x20_anneal_sample_scored" ->
+      s"""WITH $scoredScheduleCtes,
+         |${phasedRealizeSql("zm", "za")}""".stripMargin,
 
     "x1_mixture_sample" ->
       s"""WITH p AS (

@@ -77,17 +77,11 @@ object ServeLatency {
       .foreach(builder.config("spark.executor.memory", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_CONF=k=v,k=v — the Bench contract, here so serving
-    // dials (graft.serve.healthTtlMs) can be captured under the same
-    // harness; the applied confs ride in the JSON line so the record is
+    // SPARK_GRAFT_CONF=k=v,k=v — Bench's injector, ONE shared definition
+    // (graft.Bench.injectConf) so the parse cannot drift between tools;
+    // the applied confs ride in the JSON line so the record is
     // self-describing.
-    val injectedConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
-    injectedConf.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => spark.conf.set(k, v)
-        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
-      }
-    }
+    val injectedConf = graft.Bench.injectConf(spark)
     def load1: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -185,7 +179,8 @@ object ServeLatency {
           s""","max_ms":${r3(xs.lastOption.getOrElse(0L) / 1000.0)}}"""
       }.mkString(",")
       s"""{"tool":"serve_latency","phase":"$phase","events":$nEvents""" +
-        s""","master":"${spark.sparkContext.master}","conf":"$injectedConf"""" +
+        s""","master":"${spark.sparkContext.master}"""" +
+        s""","conf":"${HttpServe.jsonEscape(injectedConf)}"""" +
         s""","clients":$nClients,"window_sec":$windowSec,"requests":$requests""" +
         s""","errors":${errors.get()},"gen_changes":${genChanges.get()}""" +
         s""","gen_cache_hit_rate":${r3(hitRate)},"routes":{$routeJson}""" +

@@ -69,6 +69,25 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     assert(!Bench.suspectQuery(2.0, 3.0, 2.0))
   }
 
+  test("suspect fragment is empty when clean, capped at the slowest MaxSuspects when hot") {
+    assert(Bench.suspectJsonFrag(Nil) == "")
+    // under the cap: all suspects ride, name-ordered
+    val two = Bench.suspectJsonFrag(Seq(
+      ("zq", 5.0, (3.5, 0.4)), ("aq", 9.0, (4.0, 0.2))))
+    assert(two.startsWith(""","suspect":{"""))
+    assert(two.indexOf("\"aq\"") < two.indexOf("\"zq\""))
+    assert(!two.contains("suspects_omitted"))
+    // over the cap (the whole-run-hot regime): keep the SLOWEST 8 and
+    // say how many were dropped — the stamp must never grow past the
+    // driver's tail-capture budget (the BENCH_r02-r05 truncation bug)
+    val many = (1 to 40).map(i => (f"q$i%02d", i.toDouble, (5.0, 0.3)))
+    val frag = Bench.suspectJsonFrag(many)
+    assert(frag.contains(""""suspects_omitted":32"""), frag)
+    assert(frag.contains("\"q40\"") && frag.contains("\"q33\""), frag)
+    assert(!frag.contains("\"q32\""), frag)
+    assert(frag.length < 600, s"fragment too large: ${frag.length}")
+  }
+
   test("queryEnvJson renders per-query load1 + cpu_wall machine-readably") {
     val j = Bench.queryEnvJson(Seq(
       "t11_bpe_tokens" -> (2.83, 0.41),

@@ -41,6 +41,11 @@ class Round16OpsSpec extends SparkSuite {
     assert(DedupPack.autoBandShards(Long.MaxValue / 256, B) == 4)
     // monotone in the budget: a bigger allowance never shards more
     assert(DedupPack.autoBandShards(60000000L, 8L * B) == 1)
+    // overflow guard (review finding): a typo'd tiny budget on a big
+    // matrix must clamp to NumBands, never wrap the Int cast to 1 —
+    // unsharded under the tiniest budget was the lever's exact opposite
+    assert(DedupPack.autoBandShards(200000000L, 10L) == 4)
+    assert(DedupPack.autoBandShards(Long.MaxValue / 128, 1L) == 4)
   }
 
   test("bandShards precedence: explicit knob wins, then budget, then 1") {
@@ -148,6 +153,22 @@ class Round16OpsSpec extends SparkSuite {
         "shuffle-path labels diverged from the broadcast path")
       finally spark.conf.unset("graft.components.broadcastNodeLimit")
     } finally spark.conf.unset("graft.components.maxUnionFindEdges")
+  }
+
+  test("x20 == x19 under the scorer dial, and the scorer moves the realization") {
+    val x20 = SparkEntry.queries("x20_anneal_sample_scored")(spark, dir).collect()
+    spark.conf.set("graft.anneal.quality", "scorer")
+    val dialed =
+      try SparkEntry.queries("x19_anneal_sample")(spark, dir).collect()
+      finally spark.conf.unset("graft.anneal.quality")
+    assert(x20.toSeq == dialed.toSeq,
+      "the x19 scorer dial and its hash-checked twin x20 drifted")
+    // the two quality sources must produce genuinely different draws on
+    // the fixture (699 vs 678 rows at sf0.001) — otherwise the twin
+    // proves nothing
+    val x19 = SparkEntry.queries("x19_anneal_sample")(spark, dir).collect()
+    assert(x19.toSeq != x20.toSeq,
+      "gate and scorer schedules realized identically — fixture too weak")
   }
 
   test("x19 realizes each phase within its allocation, cum within the 4-epoch cap") {
