@@ -257,17 +257,31 @@ class BucketedStateStore(
     read() match {
       case None => Seq.empty
       case Some(st) =>
+        // Tombstone compaction is a SIGNAL-schema operation on an
+        // otherwise schema-generic store (key/seq are parameters, the
+        // tombstone marker is not): fail loudly and early on a store
+        // without the signal action column (s14's claims store, s12's
+        // struct-ordered store) instead of an opaque AnalysisException
+        // mid-scan — and share the ONE Deleted constant so a marker
+        // change can never silently turn compact into a no-op that
+        // retains every tombstone forever (r16 review finding).
+        require(st.columns.contains("action"),
+          s"compact() requires the signal read-model 'action' column; " +
+            s"this store's schema is [${st.columns.mkString(", ")}]")
+        val tombstone =
+          col("action") === graft.domain.SignalSchema.Deleted
         // Which buckets hold a pre-horizon tombstone? One filtered scan
         // (the action/seq predicates push down to the parquet readers),
         // then a driver collect bounded by numBuckets longs — config-
         // bounded like merge()'s, never a data collect.
         val affected = st
-          .where(col("action") === "deleted" && col(seq) < horizonSeq)
+          .where(tombstone && col(seq) < horizonSeq)
           .select(bucketOf(col(key)).as("_bucket")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
         if (affected.nonEmpty) {
           val kept = readBuckets(affected).get
-            .where(!(col("action") === "deleted" && col(seq) < horizonSeq))
+            .where(!(col("action") === graft.domain.SignalSchema.Deleted &&
+              col(seq) < horizonSeq))
             .withColumn("_bucket", bucketOf(col(key)))
           writeBuckets(kept, affected, gen)
         }

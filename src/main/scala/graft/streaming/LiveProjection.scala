@@ -38,12 +38,25 @@ object LiveProjection {
 
   /** LWW fold for one key: keep the event with the highest seq ever seen
     * (state survives across batches); emit the resulting row.
+    *
+    * Equal-seq tie-break: the LATER-reduced event wins intra-batch
+    * (`b.seq >= a.seq` keeps b), matching the cross-batch rule where an
+    * equal-seq incoming event replaces state (`cur.filter(_.seq > in.seq)`)
+    * — one direction for both paths, so convergence cannot depend on
+    * whether duplicates land in one micro-batch or two (r16 review
+    * finding; the old intra-batch reduce kept the FIRST copy). Every
+    * production wire carries unique seqs (Kafka offsets / the compound
+    * (partition, offset) seq), so ties are only reachable from a
+    * misbehaving producer — and then the batch-split-invariant rule is
+    * the defensible one; with equal seqs Spark's reduce pairing order is
+    * itself unspecified, which is exactly why both paths must at least
+    * agree on the direction.
     */
   def foldKey(
       id: String,
       events: Iterator[KeyedEvent],
       state: GroupState[KeyedEvent]): Iterator[LiveRow] = {
-    val incoming = events.reduceOption((a, b) => if (a.seq >= b.seq) a else b)
+    val incoming = events.reduceOption((a, b) => if (b.seq >= a.seq) b else a)
     val current = state.getOption
     (incoming, current) match {
       case (Some(in), cur) =>

@@ -70,9 +70,30 @@ object StreamingPack extends QueryPack {
   private def stageDoubleDelivery(tmp: String, dir: String, table: String): String = {
     val in = java.nio.file.Paths.get(tmp, "in")
     Files.createDirectory(in)
-    val src = java.nio.file.Paths.get(dir, s"$table.parquet")
-    Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
-    Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+    // ABSOLUTE target: a symlink to a relative path resolves relative to
+    // the LINK's directory (the scratch dir), not the caller's cwd — a
+    // relative fixture dir (scale/x300m on the dev CLI) would stage
+    // dangling links and the stream would silently read zero files.
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet").toAbsolutePath
+    // Layout dispatch (r16, the tableStream discipline): the testdata
+    // fixtures keep the table as ONE file — two symlinks stage the two
+    // deliveries; the scale fixtures keep a DIRECTORY of part files —
+    // symlink each part under a delivery-prefixed name, so every key's
+    // second arrival still lands in a later micro-batch (file-source
+    // ordering falls back to path when mtimes tie, and delivery1-* <
+    // delivery2-* lexicographically).
+    if (Files.isDirectory(src)) {
+      import scala.jdk.CollectionConverters._
+      val parts = Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      for (d <- 1 to 2; (p, i) <- parts.zipWithIndex)
+        Files.createSymbolicLink(
+          in.resolve(f"delivery$d-$i%05d.parquet"), p.toAbsolutePath)
+    } else {
+      Files.createSymbolicLink(in.resolve("delivery1.parquet"), src)
+      Files.createSymbolicLink(in.resolve("delivery2.parquet"), src)
+    }
     in.toString
   }
 
@@ -190,7 +211,7 @@ object StreamingPack extends QueryPack {
     // and the oracle cut at that boundary, excluding the watermark-held
     // tail the stream must NOT have emitted yet.
     "s4_window_append" -> ((s, dir) => {
-      val ss = tunedChild(s, width = 4)
+      val ss = tunedChild(s, width = 4, noData = true)
       val chk = scratch("graft-s4-")
       val q = eventsStream(ss, dir)
         .withWatermark("ts", "1 hour")
@@ -227,7 +248,7 @@ object StreamingPack extends QueryPack {
     // watermark in millis while event time is micros — the boundary
     // session could otherwise land on different sides cross-engine.
     "s8_session_append" -> ((s, dir) => {
-      val ss = tunedChild(s, width = 4)
+      val ss = tunedChild(s, width = 4, noData = true)
       val chk = scratch("graft-s8-")
       val q = eventsStream(ss, dir)
         .withWatermark("ts", "1 hour")
@@ -409,8 +430,12 @@ object StreamingPack extends QueryPack {
       // arrival of every key must hit RocksDB seen-key state, never
       // intra-batch dedup.
       val in = stageDoubleDelivery(tmp, dir, "documents")
-      val full = s.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(dir).schema
+      // layout-robust schema (r16 review finding — this was the one site
+      // the 45dc08e layout fix missed: spark.read on the table PATH
+      // handles both the single-file and directory-of-parts layouts,
+      // while a pathGlobFilter on the parent dir dies with
+      // UNABLE_TO_INFER_SCHEMA on the scale fixtures)
+      val full = graft.Tables.raw(s, dir, "documents").schema
       val q = ss.readStream.schema(full)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -551,7 +576,7 @@ object StreamingPack extends QueryPack {
     "s12_late_lww" -> ((s, dir) => {
       val tmp = scratch("graft-s12-")
       val events = stagedLateWire(s, dir)
-      val ss = tunedChild(s, width = 4)
+      val ss = tunedChild(s, width = 4, noData = true)
       val store = new BucketedStateStore(ss, s"$tmp/state", numBuckets = 4,
         key = "id", seq = "_ord")
       val raw = ss.readStream
@@ -1077,9 +1102,14 @@ object StreamingPack extends QueryPack {
     "s23_stream_quality_score" -> ((s, dir) => {
       val tmp = scratch("graft-s23-")
       // Train offline on the same corpus (the model artifact; t29's
-      // exact loop — shared code, shared weights, shared pinned frame).
-      val w = graft.operators.TextPack.trainPocket(
-        graft.operators.TextPack.trainFrame(s, dir))
+      // exact loop — shared code, shared weights, shared pinned frame),
+      // STAGED once per process per dir like stagedLmModel (r16 review
+      // finding: s23 cited the artifact pattern but re-trained per
+      // invocation, so the serve timing carried the whole batch front;
+      // the weights are a pure deterministic function of the corpus —
+      // same bits every time, t29/x18/x20 keep pricing the training
+      // itself).
+      val w = stagedPocket(s, dir)
       // Serve on the stream: canon features -> literal-weight score.
       val ss = tunedChild(s, width = 4)
       val stream = documentsStream(s, ss, dir)
@@ -1111,20 +1141,27 @@ object StreamingPack extends QueryPack {
     * nothing. Same rows either way.
     */
   private def documentsStream(s: SparkSession, ss: SparkSession,
-      dir: String): DataFrame = {
-    val path = new java.io.File(dir, "documents.parquet")
-    if (path.isDirectory) {
-      val schema = s.read.parquet(path.toString).schema
+      dir: String): DataFrame = tableStream(s, ss, dir, "documents")
+
+  /** The layout dispatch itself, generalized to ANY fixture table (r16
+    * review finding: the fix was special-cased to documents, leaving
+    * eventsStream one ScaleUp-emitted events fixture away from the same
+    * UNABLE_TO_INFER_SCHEMA death). Schema always comes from a batch
+    * read of the table PATH ([[graft.Tables.raw]] — spark.read handles
+    * both layouts); the streaming reader picks the glob per layout.
+    */
+  private def tableStream(s: SparkSession, ss: SparkSession,
+      dir: String, table: String): DataFrame = {
+    val schema = graft.Tables.raw(s, dir, table).schema
+    val path = new java.io.File(dir, s"$table.parquet")
+    if (path.isDirectory)
       ss.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .parquet(path.toString)
-    } else {
-      val schema = s.read.option("pathGlobFilter", "documents.parquet")
-        .parquet(dir).schema
+    else
       ss.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", s"$table.parquet")
         .parquet(dir)
-    }
   }
 
   /** The serialized event log for `dir`, staged ONCE per process and
@@ -1152,6 +1189,21 @@ object StreamingPack extends QueryPack {
     */
   private val stagedModels =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s23's pocket weights, staged ONCE per process per dir — the same
+    * artifact discipline as [[stagedLmModel]]: the weights are a pure,
+    * deterministic function of the documents table (exact integer
+    * training, spec-pinned bit-equal to an independent replay), so
+    * re-training per invocation only pads the SERVE timing; the trainer
+    * itself stays priced by t29/x18/x20, which train unconditionally.
+    */
+  private val stagedPockets =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def stagedPocket(s: SparkSession, dir: String): Array[Long] =
+    stagedPockets.computeIfAbsent(dir, { d =>
+      graft.operators.TextPack.trainPocket(
+        graft.operators.TextPack.trainFrame(s, d))
+    })
   private def stagedLmModel(s: SparkSession, dir: String): String =
     stagedModels.computeIfAbsent(dir, { d =>
       val out = s"${scratch("graft-lm-model-")}/model"
@@ -1302,14 +1354,19 @@ object StreamingPack extends QueryPack {
     * it small; a production deployment sizes it to state volume instead.
     *
     * `noData` controls the no-data flush batch after the last data batch:
-    * REQUIRED wherever append-mode emission is gated on the watermark
-    * advancing past the final data (s4/s5/s8/s12 — a drifted conf would
-    * leave those sinks silently empty, so it is pinned true, not
-    * defaulted). Everywhere else (complete-mode sinks, inner joins that
-    * emit eagerly, update-mode folds, streaming dedup) the flush batch
-    * only evicts state the query is about to drop with the session —
-    * pure per-query fixed cost (one extra planning + state-commit round),
-    * so those queries pin it FALSE.
+    * REQUIRED wherever emission is gated on the watermark advancing past
+    * the final data — s4/s8/s12 pin it true EXPLICITLY (a drifted
+    * default would leave those sinks silently empty or stale; r16 review
+    * finding: this doc once claimed they were pinned while they relied
+    * on the default). s5 is the stated exception: its outer join's
+    * null-extension completes within the staged wire's own data batches,
+    * and the flush round was measured as the suite's single largest
+    * per-query fixed cost — so it pins FALSE deliberately (see the s5
+    * scaladoc). Queries whose sinks don't gate on the watermark
+    * (complete-mode, eager inner joins, update-mode folds, streaming
+    * dedup) pin FALSE where the flush round showed up in timings and
+    * otherwise leave the safe default true — the flush is then one
+    * harmless extra planning round.
     */
   private def tunedChild(
       s: SparkSession, width: Int = 8, noData: Boolean = true): SparkSession = {
@@ -1336,10 +1393,7 @@ object StreamingPack extends QueryPack {
     */
   private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
     val rawSchema = graft.Tables.raw(ss, dir, "events").schema
-    val stream = ss.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    stream.withColumn("ts",
+    tableStream(ss, ss, dir, "events").withColumn("ts",
       graft.Tables.normalizeTsExpr("ts", rawSchema("ts").dataType))
   }
 
