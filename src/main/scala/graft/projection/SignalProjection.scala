@@ -41,6 +41,14 @@ object SignalProjection {
     * decode untouched — ONE definition of the validity rule for every
     * consumer, rather than a re-implemented decode per extra column.
     */
+  /** THE validity rule, one definition (r16 review finding: the
+    * dead-letter split had re-implemented it verbatim, so a future
+    * tightening applied to decode alone would silently fork the skip
+    * semantics between the two entry points).
+    */
+  private def validEvent(e: Column): Column =
+    e.isNotNull && e.getField("action").isNotNull && e.getField("id").isNotNull
+
   def decode(
       raw: DataFrame, valueCol: String = "value", seqCol: String = "seq",
       carry: Seq[String] = Nil): DataFrame = {
@@ -48,29 +56,33 @@ object SignalProjection {
       (col(seqCol).cast("long").as("seq") +: carry.map(col)) :+
         from_json(col(valueCol).cast("string"), SignalSchema.eventSchema).as("e"): _*)
     parsed
-      .where(col("e").isNotNull && col("e.action").isNotNull && col("e.id").isNotNull)
+      .where(validEvent(col("e")))
       .select((col("seq") +: carry.map(col)) ++
         SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
   }
 
   /** Dead-letter split: the operational extension of P1's silent skip
     * (SURVEY §1.3 "optionally route to a dead-letter sink"). One pass,
-    * one predicate evaluated twice against the same parsed column — the
-    * rejected frame carries the raw payload + seq so operators can
-    * replay it after a decoder fix. Both frames share the single scan;
-    * no second parse of the input.
+    * one predicate ([[validEvent]], shared with [[decode]]) evaluated
+    * twice against the same parsed column — the rejected frame carries
+    * the raw payload + seq so operators can replay it after a decoder
+    * fix. Both frames share the single scan; no second parse of the
+    * input. `carry` passes envelope columns through both frames, same
+    * contract as decode's.
     */
   def decodeWithDeadLetter(
-      raw: DataFrame, valueCol: String = "value", seqCol: String = "seq")
-      : (DataFrame, DataFrame) = {
+      raw: DataFrame, valueCol: String = "value", seqCol: String = "seq",
+      carry: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val parsed = raw.select(
-      col(seqCol).cast("long").as("seq"),
-      col(valueCol).cast("string").as("_raw"),
-      from_json(col(valueCol).cast("string"), SignalSchema.eventSchema).as("e"))
-    val ok = col("e").isNotNull && col("e.action").isNotNull && col("e.id").isNotNull
+      (col(seqCol).cast("long").as("seq") +: carry.map(col)) ++ Seq(
+        col(valueCol).cast("string").as("_raw"),
+        from_json(col(valueCol).cast("string"), SignalSchema.eventSchema).as("e")): _*)
+    val ok = validEvent(col("e"))
     val good = parsed.where(ok)
-      .select(col("seq") +: SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
-    val dead = parsed.where(!ok).select(col("seq"), col("_raw").as("raw"))
+      .select((col("seq") +: carry.map(col)) ++
+        SignalSchema.eventSchema.fieldNames.toSeq.map(f => col(s"e.$f")): _*)
+    val dead = parsed.where(!ok)
+      .select(col("seq") +: carry.map(col) :+ col("_raw").as("raw"): _*)
     (good, dead)
   }
 

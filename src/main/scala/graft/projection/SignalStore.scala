@@ -22,9 +22,24 @@ class SignalStore(view: DataFrame) {
     * id desc for determinism. Physical plan: TakeOrderedAndProject — each
     * partition keeps its local top-(stop+1), the driver merges; no global
     * sort at any scale.
+    *
+    * Ordering key by column TYPE (r16 review finding): the LIVE view's
+    * created_at is the all-string read model's RFC3339 STRING, where
+    * lexicographic order diverges from chronological the moment UTC
+    * offsets mix ('…12:00:00+02:00' sorts above '…11:00:00Z' though it
+    * is an hour earlier) and an unparsable value sorts arbitrarily — so
+    * string views order by the shared [[graft.domain.TimeCodec]]
+    * parse-with-0-fallback (the reference's rule, signal.go:147-153:
+    * unparsable = oldest). Typed views keep the native timestamp order —
+    * identical semantics, no parse.
     */
   def listByCreatedAt(start: Int = 0, stop: Int = 49): DataFrame = {
-    val ordered = view.orderBy(desc("created_at"), desc("id"))
+    val tsKey = view.schema("created_at").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        graft.domain.TimeCodec.unixSecondsOrZero(col("created_at"))
+      case _ => col("created_at")
+    }
+    val ordered = view.orderBy(tsKey.desc, desc("id"))
     val limited = if (start > 0) ordered.offset(start) else ordered
     limited.limit(stop - start + 1)
   }

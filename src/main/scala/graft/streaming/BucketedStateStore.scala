@@ -47,6 +47,47 @@ class BucketedStateStore(
 
   def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(numBuckets))
 
+  /** Layout manifest (r16 review finding): `bucketOf` decides which
+    * buckets a merge reads AND where it writes, so reopening an existing
+    * state dir with a different `numBuckets`/`key`/`seq` silently splits
+    * keys across two bucket sets — merge never reads the old copy,
+    * read() unions and serves BOTH rows, and a tombstone can only ever
+    * hide one of them. The manifest is stamped on the store's first
+    * write (temp + rename, the `_dropped` marker discipline) and every
+    * instance validates against it ONCE before its first read or merge;
+    * a mismatch fails loudly with the original parameters in the
+    * message. Pre-manifest dirs (older checkpoints) are stamped with the
+    * opening instance's parameters on first contact — the best available
+    * claim, stated here.
+    */
+  private val manifestDesc = s"numBuckets=$numBuckets,key=$key,seq=$seq"
+  private def manifestPath = new Path(root, "_store_manifest")
+  @volatile private var manifestOk = false
+  private def checkManifest(stampIfAbsent: Boolean): Unit = {
+    if (manifestOk) return
+    val mp = manifestPath
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val got = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      require(got == manifestDesc,
+        s"state dir $dir was written with [$got] but opened with " +
+          s"[$manifestDesc] — a mismatched layout silently splits keys " +
+          "across bucket sets; open the store with the original parameters")
+      manifestOk = true
+    } else if (stampIfAbsent && fs.exists(root)) {
+      val tmp = new Path(root, "_store_manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(manifestDesc.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // a concurrent stamper winning the rename is fine — re-validate
+      if (!fs.rename(tmp, mp)) checkManifest(stampIfAbsent = false)
+      else manifestOk = true
+    }
+  }
+
   private def bucketPath(b: Long): Path = new Path(root, s"bucket=$b")
   private def genPath(b: Long, g: Long): Path = new Path(bucketPath(b), s"gen=$g")
 
@@ -78,7 +119,10 @@ class BucketedStateStore(
       .map(_.getPath.getName.stripPrefix("bucket=").toLong)
 
   /** Current state (tombstones included); None if no state yet. */
-  def read(): Option[DataFrame] = readBuckets(allBuckets)
+  def read(): Option[DataFrame] = {
+    checkManifest(stampIfAbsent = false)
+    readBuckets(allBuckets)
+  }
 
   /** TIME-TRAVEL read: state as of generation `maxGen` (inclusive) —
     * each bucket serves its newest generation ≤ maxGen; buckets first
@@ -99,8 +143,14 @@ class BucketedStateStore(
     * snapshot is unservable and this throws instead of lying.
     */
   def readAt(maxGen: Long): Option[DataFrame] = {
-    allBuckets.foreach { b =>
-      if (listGens(b).forall(_ > maxGen)) {
+    checkManifest(stampIfAbsent = false)
+    // ONE listing per bucket (r16 review finding: the aged-out guard and
+    // latestGenPaths each listed every bucket — doubled metadata RPCs on
+    // an object store): the guard decision and the served path come from
+    // the same listGens result.
+    val paths = allBuckets.flatMap { b =>
+      val eligible = listGens(b).filter(_ <= maxGen)
+      if (eligible.isEmpty) {
         val marker = new Path(bucketPath(b), "_dropped")
         if (fs.exists(marker)) {
           val in = fs.open(marker)
@@ -115,9 +165,15 @@ class BucketedStateStore(
                 "the snapshot is no longer servable; raise retention or " +
                 "read a newer generation")
         }
+        None
+      } else {
+        // skip generations emptied by compaction (no data files)
+        val p = genPath(b, eligible.max)
+        val hasData =
+          fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+        if (hasData) Some(p.toString) else None
       }
     }
-    val paths = latestGenPaths(allBuckets, maxGen)
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
@@ -130,6 +186,7 @@ class BucketedStateStore(
     * Only buckets containing batch keys are read and rewritten.
     */
   def merge(batchLatest: DataFrame, gen: Long): Unit = {
+    checkManifest(stampIfAbsent = false)
     val withBucket = batchLatest.withColumn("_bucket", bucketOf(col(key)))
     // Tiny driver-side collect: at most numBuckets longs (config-bounded,
     // scale-independent) — not a data collect.
@@ -162,10 +219,25 @@ class BucketedStateStore(
     data.repartition(numBuckets, col("_bucket"))
       .write.partitionBy("_bucket").parquet(staging.toString)
 
+    // Stamp/validate the layout manifest once the root exists (the
+    // staging write above created it on a fresh store).
+    checkManifest(stampIfAbsent = true)
+
     affected.foreach { b =>
       val src = new Path(staging, s"_bucket=$b")
       val dst = genPath(b, gen)
       fs.delete(dst, true) // idempotent replay of the same batchId
+      // fs.delete reports failure by returning FALSE like rename below;
+      // renaming into a still-existing dst is the nastier failure — HDFS
+      // then moves src INSIDE dst (gen=N/_bucket=b/part-*), whose
+      // underscore dir is invisible to Spark and to the part- hasData
+      // check, so the generation reads EMPTY and supersedes the bucket's
+      // older data: a silent wipe. Verify the target is gone before
+      // renaming (r16 review finding).
+      require(!fs.exists(dst),
+        s"could not delete existing $dst for idempotent replay — failing " +
+          "the batch so the checkpoint retries instead of committing an " +
+          "empty generation")
       fs.mkdirs(dst.getParent)
       if (fs.exists(src)) {
         // Hadoop FileSystems report most rename failures by returning
@@ -203,17 +275,26 @@ class BucketedStateStore(
   def currentMaxGen: Long =
     allBuckets.flatMap(listGens).foldLeft(-1L)(math.max)
 
-  /** Version TOKEN for serving-layer cache invalidation: the SUM of every
-    * bucket's newest generation. [[currentMaxGen]] is wrong for that job
-    * — a multi-bucket batch renames bucket dirs sequentially, and max()
-    * already reaches its final value on the FIRST rename, so a reader
-    * racing the batch could cache a mixed view under a token that never
-    * moves again. The sum strictly increases with EVERY bucket rename
-    * (generations only grow), so a view resolved mid-batch is invalidated
-    * the moment the remaining buckets land.
+  /** Version TOKEN for serving-layer cache invalidation: the SUM over
+    * buckets of (newest generation + 1). [[currentMaxGen]] is wrong for
+    * that job — a multi-bucket batch renames bucket dirs sequentially,
+    * and max() already reaches its final value on the FIRST rename, so a
+    * reader racing the batch could cache a mixed view under a token that
+    * never moves again. The sum moves with EVERY bucket rename.
+    *
+    * The +1 per bucket (r16 review finding): with the raw gen sum, an
+    * EMPTY store (no buckets, token 0) and the store right after
+    * micro-batch 0 (every touched bucket's max gen = the batchId 0,
+    * token 0) were indistinguishable — a server whose first request
+    * cached the empty view before batch 0 committed would keep serving
+    * it until batch 1; and a bucket dir created by mkdirs before its
+    * first rename contributed −1, letting the token transiently DECREASE
+    * into a collision with a pre-batch value. With +1: empty store = 0,
+    * any committed generation ≥ 1, a gen-less bucket dir contributes 0 —
+    * the token strictly increases with every completed rename.
     */
   def currentGenToken: Long =
-    allBuckets.map(b => listGens(b).foldLeft(-1L)(math.max)).sum
+    allBuckets.map(b => listGens(b).foldLeft(-1L)(math.max) + 1).sum
 
   /** Drop tombstones older than `horizonSeq` (log-compaction analog),
     * writing the compacted buckets as generation `currentMaxGen + 1` —

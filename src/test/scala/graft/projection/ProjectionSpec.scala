@@ -131,6 +131,26 @@ class ProjectionSpec extends SparkSuite {
     assert(ids == Seq("s1", "s2"))
   }
 
+  test("listByCreatedAt on a STRING view orders chronologically across mixed offsets, unparsable oldest") {
+    // the live streaming view serves the all-string read model; r16
+    // review finding: lexicographic RFC3339 order ranks +02:00 noon
+    // above 11:00Z though it is an hour earlier, and the reference's
+    // 0-fallback makes unparsable timestamps the OLDEST, not arbitrary
+    val view = SignalProjection.fromRaw(rawDf(
+      0L -> created.replace("abc-123", "utc11")
+        .replace("2026-02-23T15:00:00-03:00", "2026-02-23T11:00:00Z"),
+      1L -> created.replace("abc-123", "plus2noon")
+        .replace("2026-02-23T15:00:00-03:00", "2026-02-23T12:00:00+02:00"),
+      2L -> created.replace("abc-123", "garbled")
+        .replace("2026-02-23T15:00:00-03:00", "not-a-timestamp")))
+    assert(view.schema("created_at").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val ids = new SignalStore(view).listByCreatedAt()
+      .collect().map(_.getAs[String]("id")).toSeq
+    // 12:00+02:00 = 10:00Z < 11:00Z; garbled = epoch 0 = oldest
+    assert(ids == Seq("utc11", "plus2noon", "garbled"), ids.toString)
+  }
+
   test("listByPriority returns only matching rows; no match is empty") {
     val store = new SignalStore(seeded)
     assert(store.listByPriority("Low").collect()

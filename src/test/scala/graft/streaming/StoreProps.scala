@@ -61,6 +61,35 @@ class StoreProps extends SparkSuite {
     }
   }
 
+  test("gen token: 0 only when empty, moves on batch 0, and a layout mismatch fails loudly") {
+    val dir = Files.createTempDirectory("graft-token-").toString
+    val store = new BucketedStateStore(spark, dir, numBuckets = 4)
+    // r16 review finding: the raw gen SUM read 0 both for an empty store
+    // and right after micro-batch 0 (batchIds start at 0), so a serving
+    // layer that cached the empty view under token 0 never invalidated
+    assert(store.currentGenToken == 0L)
+    val evs = Seq(Ev(0L, "a", "created"), Ev(1L, "b", "created"))
+    store.merge(
+      SignalProjection.latestByKey(SignalProjection.decode(raw(evs))), 0L)
+    val afterBatch0 = store.currentGenToken
+    assert(afterBatch0 > 0L, "batch 0 must move the token off the empty value")
+    store.merge(
+      SignalProjection.latestByKey(SignalProjection.decode(
+        raw(Seq(Ev(2L, "a", "updated"))))), 1L)
+    assert(store.currentGenToken > afterBatch0, "tokens must strictly grow")
+    // layout manifest (r16): reopening with a different bucket count
+    // would silently split keys across bucket sets — it must throw, and
+    // the original parameters must be reopenable
+    val wrong = new BucketedStateStore(spark, dir, numBuckets = 8)
+    val ex = intercept[IllegalArgumentException](wrong.read())
+    assert(ex.getMessage.contains("numBuckets=4"), ex.getMessage)
+    intercept[IllegalArgumentException](
+      wrong.merge(SignalProjection.latestByKey(
+        SignalProjection.decode(raw(Seq(Ev(3L, "c", "created"))))), 2L))
+    assert(new BucketedStateStore(spark, dir, numBuckets = 4)
+      .read().get.count() >= 2)
+  }
+
   test("selective compact equals the full filtered fold on read, and leaves tombstone-free buckets' files untouched") {
     // The 100×-state property: compact(horizon) rewrites ONLY buckets
     // holding a pre-horizon tombstone. Equivalence — the post-compaction
