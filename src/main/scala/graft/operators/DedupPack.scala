@@ -1141,6 +1141,17 @@ object DedupPack extends QueryPack {
        |""".stripMargin
   }
 
+  /** THE capped candidate-pair rule as SQL over `sigk` — ONE definition
+    * for every oracle that consumes the capped signature matrix (r16
+    * review finding: six verbatim copies of this join could drift one
+    * policy change apart — the exact fork [[componentsCte]] exists to
+    * prevent, now applied to the pair rule all its consumers share).
+    */
+  private[graft] val CandidatePairsSql: String =
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n" +
+    "  FROM sigk a JOIN sigk b\n" +
+    "    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id"
+
   /** The recursive connected-components CTE chain over `sigk` (cand →
     * edges → reach → comp(doc_id, cluster)) — the SQL replay of the
     * shared [[clusterLabels]] component stage, appended after
@@ -1150,10 +1161,8 @@ object DedupPack extends QueryPack {
     * not fork across the four consumers.
     */
   private[graft] val componentsCte: String =
-    """, cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sigk a JOIN sigk b
-      |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+    s""", cand AS (
+      |  $CandidatePairsSql),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM cand
       |  UNION SELECT doc_b, doc_a FROM cand),
@@ -1175,9 +1184,7 @@ object DedupPack extends QueryPack {
 
     "d3_lsh_pairs" ->
       (shinglesCte +
-        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |FROM sigk a JOIN sigk b
-          |  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        s"""$CandidatePairsSql
           |ORDER BY doc_a, doc_b""".stripMargin),
 
     // d15: the same capped sigk matrix split by source side, bucket-joined
@@ -1192,7 +1199,7 @@ object DedupPack extends QueryPack {
           |rs AS (
           |  SELECT s.doc_id AS ref_id, s.band, s.minhash FROM sigk s
           |  JOIN documents d USING (doc_id)
-          |  WHERE CAST(substr(d.source, 4) AS INTEGER) < 10),
+          |  WHERE COALESCE(TRY_CAST(substr(d.source, 4) AS INTEGER), 0) < 10),
           |hits AS (
           |  SELECT ns.doc_id, rs.ref_id, count(*) AS shared
           |  FROM ns JOIN rs USING (band, minhash)
@@ -1214,10 +1221,8 @@ object DedupPack extends QueryPack {
     // direction = larger-set-wins with the lesser doc_id on ties.
     "d16_containment_dedup" ->
       (shinglesCte +
-        """, cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+        s""", cand AS (
+          |  $CandidatePairsSql),
           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           |inter AS (
           |  SELECT c.doc_a, c.doc_b, count(*) AS n_both
@@ -1240,9 +1245,7 @@ object DedupPack extends QueryPack {
     "d11_minhash_estimate" ->
       (shinglesCte +
         s""", cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id)
+          |  $CandidatePairsSql)
           |SELECT c.doc_a, c.doc_b, count(*) AS n_agree,
           |  CAST(count(*) AS DOUBLE) / CAST($NumBands AS DOUBLE) AS est_jaccard
           |FROM cand c
@@ -1411,9 +1414,7 @@ object DedupPack extends QueryPack {
       shinglesCte +
         s""",
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM sigk a JOIN sigk b
-           |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+           |  $CandidatePairsSql),
            |edges AS (
            |  SELECT doc_a AS src, doc_b AS dst FROM cand
            |  UNION ALL SELECT doc_b, doc_a FROM cand),
@@ -1428,11 +1429,9 @@ object DedupPack extends QueryPack {
     // candidate-pair CTE.
     "g2_triangle_counts" ->
       (shinglesCte +
-        """,
+        s""",
           |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigk a JOIN sigk b
-          |    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+          |  $CandidatePairsSql),
           |tri AS (
           |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
           |  FROM cand ab

@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_codes, nearest_centroids, sq8_cosine, tokens}
 
+/** One scored candidate in e9's bounded per-query heap; `cos6` is the
+  * cosine in integer micro-units (round(c·1e6)) so ordering is a long
+  * compare both engines replay exactly.
+  */
+final case class KnnScore(q_id: Long, vec_id: Long, cos6: Long)
+
 /** Similarity search over the `embeddings` table (`ARRAY<FLOAT>` vectors).
   *
   * e1/e2: brute-force cosine top-K — the exact baseline. The plan is a
@@ -20,12 +26,6 @@ import graft.functions.{cosine_similarity, cosine_similarity_hof, lsh_bucket_cod
   * re-scoring within buckets. Hyperplanes are deterministic (seeded
   * per-(plane,dim) hash), so results are reproducible run to run.
   */
-/** One scored candidate in e9's bounded per-query heap; `cos6` is the
-  * cosine in integer micro-units (round(c·1e6)) so ordering is a long
-  * compare both engines replay exactly.
-  */
-final case class KnnScore(q_id: Long, vec_id: Long, cos6: Long)
-
 object SimilarityPack extends QueryPack {
 
   private[operators] val Dim = 64
@@ -1657,11 +1657,21 @@ object SimilarityPack extends QueryPack {
     // BIGINTs, one terminal double division — init = the first k raw
     // vectors (float→double is exact, no rounding needed).
     "e10_kmeans_train" -> {
+      // list_reduce, not list_sum (r16 review finding): list_sum's
+      // accumulation order is unpinned (SIMD/pairwise — the IvfIndex.
+      // distListSql note), while the Spark side folds sequentially; a
+      // sum landing within an ulp of a 0.5e-6 rounding boundary would
+      // flip the 6th decimal and the argmin. list_reduce is sequential
+      // by contract — the same r13/r14 convention e5/e17 adopted, which
+      // this CTE had missed (its centroids are relations, so it can't
+      // reuse the literal-centroid distListSql builder).
       def assignCte(a: String, cSrc: String): String =
         s"""$a AS (
            |  SELECT vec_id, cid,
-           |    round(sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
-           |      i -> (v[i] - c[i]) * (v[i] - c[i])))), 6) AS d
+           |    round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(1, ${Dim + 1}),
+           |        i -> (v[i] - c[i]) * (v[i] - c[i]))),
+           |      (acc, x) -> acc + x)), 6) AS d
            |  FROM e, $cSrc),
            |${a}r AS (
            |  SELECT vec_id, cid, d,
