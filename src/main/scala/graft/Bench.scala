@@ -30,40 +30,58 @@ object Bench {
       reps: Int): String =
     s""""load1_start":$load1Start,"load1_end":$load1End,"reps":$reps,"contended":${isContended(load1Start)}"""
 
-  /** Per-query suspect rule (r15 verdict "what's wrong" #2: the launch
-    * stamp bounds launch load, so a MID-RUN spike — r15's t11 39× single-
-    * query transient under load1 2.83 at launch — was invisible in the
-    * artifact). A query is stamped suspect when its reported wall is
-    * non-trivial AND the 1-min load average right after its reps is in
-    * the contended regime AND the JVM's own cpu-time/wall-time ratio
-    * over the reps is LOW: a busy healthy query raises load1 all by
-    * itself (a full-tilt local[32] scan reads cpu_wall ≈ 20+ — measured
-    * on the first capture with this stamp, a d15 scale cell at load1
-    * 20.7 / cpu_wall 23.7 that is plainly self-load), while an
-    * externally-starved query burns wall without cpu. cpu_wall < 2
-    * says the JVM held under 2 cores' worth while the box was hot —
-    * that combination is external contention, not work. Wall floor
-    * 2 s: sub-second queries can't carry a 39× story and the stdout
-    * truncation budget is real.
+  /** Per-query suspect rule, TWO independent triggers:
+    *
+    * (a) Load + starvation (r15 verdict "what's wrong" #2): reported
+    * wall is non-trivial AND the 1-min load average right after its reps
+    * is in the contended regime AND the JVM's own cpu-time/wall-time
+    * ratio over the reps is LOW: a busy healthy query raises load1 all
+    * by itself (a full-tilt local[32] scan reads cpu_wall ≈ 20+ —
+    * measured on the first capture with this stamp, a d15 scale cell at
+    * load1 20.7 / cpu_wall 23.7 that is plainly self-load), while an
+    * externally-starved query burns wall without cpu. cpu_wall < 2 says
+    * the JVM held under 2 cores' worth while the box was hot — external
+    * contention, not work. Wall floor 2 s: sub-second queries can't
+    * carry a 39× story and the stdout truncation budget is real.
+    *
+    * (b) Rep SPREAD (r16 verdict "what's wrong" #1 — the load1 term has
+    * a SUB-THRESHOLD blind spot its own first driver outing
+    * demonstrated: BENCH_r16.json launched at load1 2.9, just under 3.0,
+    * and carried t2 at 13× its calm wall and t29 at 2.3× with ZERO
+    * trips because end-of-query load1 read 2.2-2.4): the reps of one
+    * query run seconds apart on identical work, so on a calm box their
+    * walls agree within noise (committed calm records read spread
+    * 1.0-1.3) while an external spike starves reps UNEQUALLY — a
+    * max/min ratio ≥ 2 on a non-trivial query is a contention signal
+    * that needs no load threshold at all. Wall floor 0.5 s: spread on
+    * near-instant queries is scheduler noise.
     */
   private[graft] def suspectQuery(wallSec: Double, load1AtEnd: Double,
-      cpuWall: Double): Boolean =
-    wallSec >= 2.0 && load1AtEnd >= ContendedLoad && cpuWall < 2.0
+      cpuWall: Double, spread: Double): Boolean =
+    (wallSec >= 2.0 && load1AtEnd >= ContendedLoad && cpuWall < 2.0) ||
+      (wallSec >= 0.5 && spread >= 2.0)
 
-  /** Render the per-query environment map ({name: {load1, cpu_wall}}) —
-    * BOTH measured on the rep that produced the REPORTED (min) wall:
-    * load1 read right after that rep, cpu_wall = this JVM's process-CPU
-    * seconds over that rep divided by its wall seconds (a mid-run
-    * external spike starves the JVM, so cpu_wall DROPS while wall
-    * inflates — the second attribution signal, orthogonal to load1).
-    * Per-rep, not across-reps: min-of-2 already discards a starved rep,
-    * so attributing the surviving calm number with the starved rep's
-    * mixed cpu/load would stamp a valid measurement suspect (review
-    * finding, r16).
+  /** Render the per-query environment map
+    * ({name: {load1, cpu_wall, spread}}) — load1 and cpu_wall measured
+    * on the rep that produced the REPORTED (min) wall: load1 read right
+    * after that rep, cpu_wall = this JVM's process-CPU seconds over that
+    * rep divided by its wall seconds (a mid-run external spike starves
+    * the JVM, so cpu_wall DROPS while wall inflates — the second
+    * attribution signal, orthogonal to load1). Per-rep, not across-reps:
+    * min-of-2 already discards a starved rep, so attributing the
+    * surviving calm number with the starved rep's mixed cpu/load would
+    * stamp a valid measurement suspect (review finding, r16). `spread`
+    * is ACROSS the reps by construction (max wall / min wall — the r17
+    * trigger (b) signal); 1.0 when only one rep ran.
+    *
+    * Values render via Double.toString, never a locale-sensitive
+    * formatter (r16 ADVICE: the f-interpolator writes "0,41" under
+    * comma-decimal default locales — invalid JSON in the durable
+    * record); all three are pre-rounded to 2 decimals at measurement.
     */
-  private[graft] def queryEnvJson(env: Seq[(String, (Double, Double))]): String =
-    env.map { case (n, (l, cw)) =>
-      f""""$n":{"load1":$l,"cpu_wall":$cw%.2f}"""
+  private[graft] def queryEnvJson(env: Seq[(String, (Double, Double, Double))]): String =
+    env.map { case (n, (l, cw, sp)) =>
+      s""""$n":{"load1":$l,"cpu_wall":$cw,"spread":$sp}"""
     }.mkString("{", ",", "}")
 
   /** Cap for the stdout `suspect` map: the stamp must never push the
@@ -80,7 +98,7 @@ object Bench {
     * explicit omitted count so a capped stamp can't read as complete.
     */
   private[graft] def suspectJsonFrag(
-      suspects: Seq[(String, Double, (Double, Double))]): String = {
+      suspects: Seq[(String, Double, (Double, Double, Double))]): String = {
     if (suspects.isEmpty) ""
     else {
       val kept = suspects.sortBy(-_._2).take(MaxSuspects)
@@ -266,7 +284,7 @@ object Bench {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
-    var queryEnv = List.empty[(String, (Double, Double))]
+    var queryEnv = List.empty[(String, (Double, Double, Double))]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -292,7 +310,13 @@ object Bench {
       }
       val times = repRuns.map(_._1)
       val bestRep = repRuns.minBy(_._1)
-      queryEnv ::= name -> (bestRep._2, bestRep._3)
+      // Rep spread (suspect trigger (b)): max/min wall across the reps
+      // just run — identical work seconds apart, so a ratio ≥ 2 is an
+      // external spike regardless of what load1 reads. 1.0 at reps=1.
+      val spread =
+        if (times.size < 2 || times.min <= 0) 1.0
+        else math.rint(times.max / times.min * 100) / 100
+      queryEnv ::= name -> (bestRep._2, bestRep._3, spread)
       metrics.foreach { l =>
         l.settle()
         val (m0, d0, s0, _) = before.get
@@ -336,7 +360,7 @@ object Bench {
     // the driver's tail-capture window.
     val suspectJson = suspectJsonFrag(results.flatMap { case (n, w) =>
       envByName.find(_._1 == n).collect {
-        case (_, e @ (l, cw)) if suspectQuery(w, l, cw) => (n, w, e)
+        case (_, e @ (l, cw, sp)) if suspectQuery(w, l, cw, sp) => (n, w, e)
       }
     })
     if (only.isEmpty) {
@@ -359,11 +383,16 @@ object Bench {
     // queries and say how many were dropped — the headline total and the
     // hottest queries must survive the truncation window; the rest lives
     // in BENCH.local.json.
+    // Locale-pinned ms rounding (r16 ADVICE: the f-interpolator is
+    // locale-sensitive — a comma-decimal default locale would emit
+    // invalid JSON the driver can't parse).
+    def ms3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", x: java.lang.Double)
     def render(qs: Seq[(String, Double)], omitted: Int): String = {
-      val qjson = qs.map { case (k, v) => f""""$k":$v%.3f""" }
+      val qjson = qs.map { case (k, v) => s""""$k":${ms3(v)}""" }
         .mkString("{", ",", "}")
       val omitJson = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",$loadJson,"failed":$failedJson$suspectJson$omitJson,"queries":$qjson}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir",$loadJson,"failed":$failedJson$suspectJson$omitJson,"queries":$qjson}"""
     }
     val budget = 1850
     var line = render(results, 0)

@@ -177,25 +177,57 @@ object HttpServe {
 
   private[graft] val PointCacheMax = 4096
 
+  /** Probe-sample count for the healthTtlAutoK derivation — enough for a
+    * stable median, cheap enough to pay once at server start.
+    */
+  private[graft] val TtlProbeSamples = 5
+
   /** Bounded LRU body cache (r15 verdict #4). Access-ordered
     * LinkedHashMap with eldest-entry eviction; the compute runs OUTSIDE
     * the lock (a point-lookup collect must not serialize every other
-    * cached probe) — a racing duplicate compute is idempotent, since a
-    * generation's rendered bytes are immutable. Values are non-null by
-    * contract (`Option`, never null).
+    * cached probe) and is SINGLE-FLIGHT per key (r16 ADVICE: without
+    * it, a cold-start thundering herd on one id could run up to
+    * pool-width identical Spark collects concurrently — idempotent but
+    * wasted work): concurrent misses on the same key share one compute
+    * through an in-flight future; distinct keys still compute fully in
+    * parallel. Values are non-null by contract (`Option`, never null).
     */
   private[graft] final class LruBodyCache[K, V <: AnyRef](max: Int) {
     private val map = new java.util.LinkedHashMap[K, V](512, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         this.size() > max
     }
+    private val inflight =
+      new java.util.concurrent.ConcurrentHashMap[K, java.util.concurrent.CompletableFuture[V]]()
     def get(k: K)(compute: => V): V = {
       val hit = map.synchronized(map.get(k))
       if (hit != null) hit
       else {
-        val v = compute
-        map.synchronized(map.put(k, v))
-        v
+        val mine = new java.util.concurrent.CompletableFuture[V]()
+        val race = inflight.putIfAbsent(k, mine)
+        if (race != null) {
+          // a concurrent miss on this key is already computing — wait
+          // for its value; unwrap join's CompletionException so waiters
+          // observe the same failure the computer threw
+          try race.join()
+          catch { case e: java.util.concurrent.CompletionException =>
+            throw Option(e.getCause).getOrElse(e)
+          }
+        } else {
+          try {
+            // re-check under the claim: the prior computer may have
+            // cached and released between our map miss and the claim
+            val again = map.synchronized(map.get(k))
+            val v = if (again != null) again else {
+              val computed = compute
+              map.synchronized(map.put(k, computed))
+              computed
+            }
+            mine.complete(v)
+            v
+          } catch { case t: Throwable => mine.completeExceptionally(t); throw t }
+          finally inflight.remove(k, mine)
+        }
       }
     }
     private[graft] def contains(k: K): Boolean =
@@ -208,23 +240,49 @@ object HttpServe {
     * contract — every probe executes, a probe should probe; a nonzero
     * TTL serves the memoized verdict for at most ttlMs, taking the
     * per-request execute (~12-15 ms p50) off a production traffic path
-    * with a STATED staleness bound. Probe failures propagate and are
-    * never cached. Injected clock so the spec pins the bound
-    * deterministically.
+    * with a STATED staleness bound. ASYMMETRIC (r16 verdict "what's
+    * wrong" #3): only HEALTHY verdicts are cached — an unhealthy probe
+    * result re-probes on the very next request, so recovery is visible
+    * immediately instead of up to ttlMs late, at the same cost (during
+    * an outage every request probes, exactly the default-off behavior;
+    * the TTL only shields the healthy steady state, which is where the
+    * traffic is). Probe failures propagate and are never cached.
+    * Injected clock so the spec pins the bound deterministically.
     */
   private[graft] final class TtlVerdict(ttlMs: Long,
       now: () => Long = () => System.nanoTime()) {
-    private val state =
-      new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)](null)
+    // holds the stamp of the last HEALTHY probe only — an unhealthy
+    // verdict is returned but never stored
+    private val okAt =
+      new java.util.concurrent.atomic.AtomicReference[java.lang.Long](null)
     def get(probe: => Boolean): Boolean =
       if (ttlMs <= 0) probe
       else {
-        val s = state.get()
+        val s = okAt.get()
         val t = now()
-        if (s != null && t - s._1 < ttlMs * 1000000L) s._2
-        else { val v = probe; state.set((t, v)); v }
+        if (s != null && t - s.longValue() < ttlMs * 1000000L) true
+        else { val v = probe; if (v) okAt.set(t) else okAt.set(null); v }
       }
   }
+
+  /** Production TTL derived from the probe's OWN measured cost (r16
+    * verdict's #5 ask — the deploy gets the number from evidence, not a
+    * guess): ttl = k × the measured probe p50. The rationale is an
+    * amortization bound: with ttl = k·p50, a steady request stream pays
+    * at most one probe per k probe-lengths of wall time — i.e. the probe
+    * consumes ≤ 1/k of the health route's serving capacity — while
+    * staleness stays ≤ k·p50 (for the HEALTHY verdict only; [[
+    * TtlVerdict]] never caches unhealthy). p50 (the median, lower of the
+    * two middles at even n) rather than mean: one GC-outlier probe must
+    * not inflate the deploy's staleness bound. Empty samples or k ≤ 0
+    * derive 0 = the default-off contract.
+    */
+  private[graft] def derivedTtlMs(probeMs: Seq[Double], k: Long): Long =
+    if (probeMs.isEmpty || k <= 0) 0L
+    else {
+      val p50 = probeMs.sorted.apply((probeMs.size - 1) / 2)
+      math.ceil(k * p50).toLong
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -356,10 +414,39 @@ object HttpServe {
     }
 
     // graft.serve.healthTtlMs: 0 (default) = per-request probe (today's
-    // semantics, unchanged); > 0 = serve the memoized verdict for at most
-    // that many ms (see [[TtlVerdict]]).
-    val healthVerdict = new TtlVerdict(
-      spark.conf.getOption("graft.serve.healthTtlMs").map(_.toLong).getOrElse(0L))
+    // semantics, unchanged); > 0 = serve the memoized healthy verdict for
+    // at most that many ms (see [[TtlVerdict]]). When it is UNSET and
+    // graft.serve.healthTtlAutoK > 0, the TTL is DERIVED from evidence
+    // instead of guessed ([[derivedTtlMs]]): the probe runs
+    // TtlProbeSamples times against the startup serving set and
+    // ttl = k × measured p50. An explicit healthTtlMs always wins over
+    // the derivation; neither conf set keeps the default-off contract.
+    val healthTtlMs =
+      spark.conf.getOption("graft.serve.healthTtlMs").map(_.toLong).getOrElse {
+        val k = spark.conf.getOption("graft.serve.healthTtlAutoK")
+          .map(_.toLong).getOrElse(0L)
+        if (k <= 0) 0L
+        else {
+          val samples =
+            try (1 to TtlProbeSamples).map { _ =>
+              val t0 = System.nanoTime()
+              attempt(_.store.health)
+              (System.nanoTime() - t0) / 1e6
+            }
+            catch { case scala.util.control.NonFatal(e) =>
+              // a probe that can't run yet (empty live store at startup)
+              // must not wedge server start — fall back to default-off
+              System.err.println(
+                s"[http] healthTtlAutoK derivation probe failed (${e.getMessage}); TTL stays 0")
+              Seq.empty[Double]
+            }
+          val ttl = derivedTtlMs(samples, k)
+          System.err.println(s"[http] derived healthTtlMs=$ttl " +
+            s"(k=$k, probe samples ${samples.map(m => f"$m%.1f").mkString("[", ",", "]")} ms)")
+          ttl
+        }
+      }
+    val healthVerdict = new TtlVerdict(healthTtlMs)
     server.createContext("/health", (ex: HttpExchange) =>
       try {
         if (healthVerdict.get(attempt(_.store.health)))

@@ -161,9 +161,11 @@ object DedupPack extends QueryPack {
         .filter(_ > 0) match {
         case Some(budget) =>
           val rows = sig.count()
-          val n = autoBandShards(rows, budget)
+          val perRow = scratchBytesPerRow(s, sig)
+          val n = autoBandShards(rows, budget, perRow)
           System.err.println(
-            s"[dedup] bandShards auto-selected $n (sig rows $rows, scratch budget $budget B)")
+            s"[dedup] bandShards auto-selected $n (sig rows $rows, " +
+              s"$perRow B/row, scratch budget $budget B)")
           n
         case None => 1
       }
@@ -173,8 +175,9 @@ object DedupPack extends QueryPack {
     * measured points): smallest shard count whose projected one-pass
     * scratch per shard fits the budget.
     */
-  private[graft] def autoBandShards(nSigRows: Long, budgetBytes: Long): Int = {
-    val need = nSigRows * ScratchBytesPerSigRow
+  private[graft] def autoBandShards(nSigRows: Long, budgetBytes: Long,
+      perRowBytes: Long = ScratchBytesPerSigRow): Int = {
+    val need = nSigRows * perRowBytes
     // clamp in LONG before narrowing: a huge need/budget ratio (tiny
     // typo'd budget on a big matrix) overflowed the Int cast and wrapped
     // NEGATIVE, auto-picking 1 shard — fully unsharded under the tiniest
@@ -183,17 +186,71 @@ object DedupPack extends QueryPack {
     math.min(NumBands.toLong, math.max(1L, raw)).toInt
   }
 
-  /** Projected one-pass scratch per signature row, MEASURED not guessed:
-    * §3f-addendum's shards=1 spill cells read ~63 B/sig-row at 60 M rows
-    * (x3000m: 4.1 GB over 15 M docs × 4 bands) and ~105-125 B/sig-row at
-    * 200 M rows (x10000m: 21.1 GB mem + 3.9 GB disk over 50 M docs × 4 —
-    * the df aggregation and bucket self-join recycle buffers
-    * superlinearly at the onset). 112 B is the 50 M-doc regime's figure,
+  /** Per-row scratch for the auto-shard model, derived FROM THE MATRIX
+    * ITSELF (r16 verdict next-#3 — the r16 form hard-coded the fixture
+    * family's 112 B, which silently miscalibrates on a corpus whose
+    * signature rows are wider, e.g. a string/binary minhash or extra
+    * carried columns): scratch/row = [[ScratchMultiplier]] ×
+    * [[sampledSigRowBytes]] (the matrix's own sampled in-memory row
+    * width). On THIS engine's (long doc_id, int band, long minhash)
+    * schema the sampled width is 28 B, so the derivation reproduces the
+    * §3f-measured 112 B exactly — every committed auto-pick cell stays
+    * valid, and a wider matrix now scales the model instead of
+    * overflowing the budget silently. An explicit
+    * `graft.dedup.scratchBytesPerSigRow` conf wins (the manual
+    * calibration stays available); a degenerate/empty sample falls back
+    * to the measured constant.
+    */
+  private[graft] def scratchBytesPerRow(s: SparkSession, sig: DataFrame,
+      fraction: Double = 0.05): Long =
+    s.conf.getOption("graft.dedup.scratchBytesPerSigRow").map(_.toLong)
+      .filter(_ > 0).getOrElse {
+        val w = sampledSigRowBytes(sig, fraction)
+        if (w <= 0) ScratchBytesPerSigRow else ScratchMultiplier * w
+      }
+
+  /** The matrix's own average row footprint (bytes), over a bounded
+    * sample: 8 B UnsafeRow header + fixed-width fields at their
+    * in-memory width + variable-width fields (string/binary) at their
+    * sampled lengths plus an 8 B offset/length word — the standard
+    * Tungsten row layout, which is also what the aggregation hash maps
+    * and shuffle buffers hold. One cheap scan of a FRACTION of the
+    * already-pinned narrow matrix (the auto path only), seeded for
+    * replay stability.
+    */
+  private[graft] def sampledSigRowBytes(sig: DataFrame,
+      fraction: Double = 0.05): Long = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val width = sig.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(8L)
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduce(_ + _) + lit(8L)
+    val r = sig.sample(fraction, 17L).agg(avg(width)).head()
+    if (r.isNullAt(0)) 0L else math.ceil(r.getDouble(0)).toLong
+  }
+
+  /** Scratch-to-row-width multiplier, MEASURED not guessed (the §3f
+    * calibration restated as a ratio): §3f-addendum's shards=1 spill
+    * cells read ~63 B/sig-row at 60 M rows (x3000m: 4.1 GB over 15 M
+    * docs × 4 bands) and ~105-125 B/sig-row at 200 M rows (x10000m:
+    * 21.1 GB mem + 3.9 GB disk over 50 M docs × 4 — the df aggregation
+    * and bucket self-join recycle buffers superlinearly at the onset).
+    * 112 B — 4× the 28 B row — is the 50 M-doc regime's figure,
     * deliberately conservative at smaller scale where the measured curve
     * says over-sharding is free or better (x3000m shards=2 and shards=4
-    * both ~44 s vs 76 s unsharded). With a 4 GB budget the rule lands on
-    * the measured optima: x3000m → 2 (spill eliminated, 1.7× faster),
-    * x10000m → 4 (clamped; ~9× less scratch for +24 % wall).
+    * both ~44 s vs 76 s unsharded). With a 4 GB budget the derived
+    * model lands on the measured optima: x3000m → 2 (spill eliminated,
+    * 1.7× faster), x10000m → 4 (clamped; ~9× less scratch for +24 %
+    * wall).
+    */
+  private[operators] val ScratchMultiplier = 4L
+
+  /** The §3f fixture-family figure (4 × the 28 B signature row) — now
+    * the FALLBACK when the sampled derivation has no evidence (empty
+    * matrix) and the default of [[autoBandShards]]'s pure form.
     */
   private[operators] val ScratchBytesPerSigRow = 112L
 

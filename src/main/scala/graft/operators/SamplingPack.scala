@@ -622,7 +622,8 @@ object SamplingPack extends QueryPack {
       val (plan, _) = waterFillPlan(s, dir)
       import s.implicits._
       val planDf = plan.map { p =>
-        (p.source, p.alloc / p.uniqueTokens, p.alloc % p.uniqueTokens)
+        val (fe, rem) = epochSplit(p.alloc, p.uniqueTokens, p.source)
+        (p.source, fe, rem)
       }.toDF("source", "full_epochs", "rem_tokens")
       realizedCum(s, dir)
         .join(broadcast(planDf), "source")
@@ -638,27 +639,35 @@ object SamplingPack extends QueryPack {
     // x19: REALIZE THE PHASED SCHEDULE — x16's sampler applied to x17's
     // two phases, closing the loop's last open edge (x17/x18 emit a
     // token plan per (phase, source); nothing turned it into draws).
-    // Each phase realizes INDEPENDENTLY by exactly x16's stated rule on
-    // its own final_tokens: full_epochs = alloc div unique, plus one
-    // partial epoch — kept docs in the SAME canonical per-source
-    // salted-hash order, running token total ≤ alloc mod unique. One
-    // canonical order per source (not per phase) is deliberate: the
-    // order is content-independent and stable, so a phase manifest can
-    // be regenerated at any time from (alloc, corpus) alone. Stated
-    // consequence: both phases' partial prefixes begin at the same
-    // leading docs, so a doc inside both prefixes draws one extra
-    // repeat relative to a token-contiguous split — the 4-epoch cap is
-    // a TOKEN-level budget rule (cum alloc ≤ 4×unique, held by the
-    // schedule's carryover) and phase-level realized tokens stay ≤ the
-    // phase's alloc with sub-document shortfall, both invariants exact
-    // and spec-pinned. Quality source follows the x17 dial
-    // (graft.anneal.quality), so one conf moves plan AND realization
-    // onto the learned scorer. Scale shape: x16's — the (source, fp)
-    // dedup shuffle, the two-level prefix sum, and a 2·|sources|-row
-    // broadcast plan; the phase dimension only doubles the tiny
-    // broadcast, never the corpus work (the draw frame is computed once
-    // and joined once). Oracle: the full x17 chain, both phases' plan
-    // rows, and x16's realization CTEs verbatim.
+    // TOKEN-CONTIGUOUS attribution (r17, the r16 verdict's #2 ask —
+    // previously each phase realized its own partial prefix from the
+    // same leading docs, so a doc inside BOTH prefixes drew one extra
+    // repeat and the 4-epoch cap held only at token level): the
+    // CUMULATIVE allocation is realized ONCE per source along the ONE
+    // canonical salted-hash draw order, and each phase owns a contiguous
+    // token RANGE of that line — main [0, main_alloc), anneal
+    // [main_alloc, main_alloc + anneal_alloc). A phase's draws are the
+    // DELTA of x16's realization rule evaluated at its range ends
+    // (cumRepeats(A) = A div unique + 1 if cum_after ≤ A mod unique —
+    // monotone in A, so deltas are never negative). One canonical order
+    // per source (not per phase) stays deliberate: content-independent
+    // and stable, so a phase manifest can be regenerated at any time
+    // from (alloc, corpus) alone. Invariants, now EXACT per document:
+    // total repeats across phases = cumRepeats(cum alloc) ≤
+    // MaxUniqueEpochs (the schedule's carryover holds cum ≤ 4×unique);
+    // run-level realized ≤ cum alloc with sub-document shortfall. A doc
+    // STRADDLING the phase boundary is attributed wholly to the later
+    // phase, so per-phase realized tokens sit within ONE document of
+    // the phase's alloc (main ≤ alloc exactly; anneal ± one doc) —
+    // spec-pinned, and the honest price of exact per-doc bounds.
+    // Quality source follows the x17 dial (graft.anneal.quality), so
+    // one conf moves plan AND realization onto the learned scorer.
+    // Scale shape: x16's — the (source, fp) dedup shuffle, the
+    // two-level prefix sum, and a 2·|sources|-row broadcast plan; the
+    // phase dimension only doubles the tiny broadcast, never the corpus
+    // work (the draw frame is computed once and joined once). Oracle:
+    // the full x17 chain, both phases' cumulative plan rows, and x16's
+    // realization CTEs with the same range-delta rule.
     "x19_anneal_sample" -> ((s, dir) =>
       phasedSample(s, dir, annealQualityScores(s, dir))),
 
@@ -731,9 +740,11 @@ object SamplingPack extends QueryPack {
   /** The x19/x20 realization body over an injected per-source quality
     * map — ONE definition (the two queries differ only in where the
     * qscores come from, exactly the x17/x18 split): the injected-quality
-    * schedule, reduced driver-side to (phase, source, full_epochs,
-    * rem_tokens), realized per phase against the shared pinned draw
-    * frame. See the x19 entry's scaladoc for the stated semantics.
+    * schedule, reduced driver-side to per-phase CUMULATIVE range ends
+    * (cum_full/cum_rem at the range's end, prev_full/prev_rem at its
+    * start — the token-contiguous attribution), realized as range
+    * DELTAS against the shared pinned draw frame. See the x19 entry's
+    * scaladoc for the stated semantics.
     */
   private[operators] def phasedSample(s: SparkSession, dir: String,
       q: Map[String, Long]): DataFrame = {
@@ -741,19 +752,54 @@ object SamplingPack extends QueryPack {
       .select("phase", "phase_ord", "source", "unique_tokens",
         "final_tokens").collect()
     import s.implicits._
-    val planDf = sched.map { r =>
-      val (u, f) = (r.getLong(3), r.getLong(4))
-      (r.getString(0), r.getInt(1), r.getString(2), f / u, f % u)
-    }.toSeq.toDF("phase", "phase_ord", "source", "full_epochs", "rem_tokens")
+    // Driver-side over the 2·|sources|-row schedule (e10's bounded-pull
+    // contract): fold each source's phases in phase order into
+    // cumulative token boundaries, then split each boundary into x16's
+    // (full, rem) coordinates via the ONE guarded division.
+    val planRows = sched.groupBy(_.getString(2)).toSeq.flatMap {
+      case (src, rows) =>
+        var prev = 0L
+        rows.sortBy(_.getInt(1)).map { r =>
+          val u = r.getLong(3)
+          val start = prev
+          val end = start + r.getLong(4)
+          prev = end
+          val (cf, cr) = epochSplit(end, u, src)
+          val (pf, pr) = epochSplit(start, u, src)
+          (r.getString(0), r.getInt(1), src, cf, cr, pf, pr)
+        }
+    }
+    val planDf = planRows.toDF("phase", "phase_ord", "source",
+      "cum_full", "cum_rem", "prev_full", "prev_rem")
     realizedCum(s, dir)
       .join(broadcast(planDf), "source")
       .select(col("phase"), col("phase_ord"), col("doc_id"), col("source"),
         col("n_tokens").cast("long").as("n_tokens"),
-        (col("full_epochs") +
-          when(col("cum_after") <= col("rem_tokens"), 1L).otherwise(0L))
+        (col("cum_full") - col("prev_full") +
+          when(col("cum_after") <= col("cum_rem"), 1L).otherwise(0L) -
+          when(col("cum_after") <= col("prev_rem"), 1L).otherwise(0L))
           .as("n_repeats"))
       .where(col("n_repeats") >= 1)
       .orderBy("phase_ord", "doc_id")
+  }
+
+  /** Integer split of an allocation into (full_epochs, rem_tokens) —
+    * the ONE plan→draws division x16 and x19/x20 share. LOUD on a
+    * zero-unique-token source (r16 verdict "what's wrong" #2: a
+    * degenerate/empty shard of a real corpus can tokenize to zero, and
+    * the raw `alloc / uniqueTokens` threw an anonymous
+    * ArithmeticException deep in the plan instead of this codebase's
+    * stated-failure discipline). Such a source cannot buy epochs and its
+    * water-fill cap is 0 — the right fix is upstream filtering, and the
+    * message says so.
+    */
+  private[operators] def epochSplit(alloc: Long, uniqueTokens: Long,
+      source: String): (Long, Long) = {
+    require(uniqueTokens > 0,
+      s"source '$source' has zero unique tokens — its allocation " +
+        s"($alloc) cannot buy epochs; filter degenerate/empty sources " +
+        "out of the catalog before planning draws")
+    (alloc / uniqueTokens, alloc % uniqueTokens)
   }
 
   /** The x17/x18 schedule body over an injected per-source quality map —
@@ -1207,22 +1253,30 @@ object SamplingPack extends QueryPack {
   }
 
   /** The phased-realization oracle tail (x19/x20): both phases'
-    * (full_epochs, rem_tokens) plan rows off the given fill prefixes,
-    * then x16's realization CTEs verbatim (dedup → salted order →
-    * cumulative window) joined against the phased plan.
+    * CUMULATIVE range ends off the given fill prefixes (the
+    * token-contiguous attribution — main's range is [0, main_alloc),
+    * anneal's [main_alloc, main_alloc + anneal_alloc)), then x16's
+    * realization CTEs verbatim (dedup → salted order → cumulative
+    * window) with each phase's draws as the DELTA of the cumulative
+    * realization rule at its range's two ends.
     */
   private def phasedRealizeSql(mPfx: String, aPfx: String): String = {
     val r = RebalanceRounds
     s"""plan2 AS MATERIALIZED (
        |  SELECT 'main' AS phase, 1 AS phase_ord, b.source,
-       |    CAST(z.alloc // b.unique_tokens AS BIGINT) AS full_epochs,
-       |    CAST(z.alloc % b.unique_tokens AS BIGINT) AS rem_tokens
+       |    CAST(z.alloc // b.unique_tokens AS BIGINT) AS cum_full,
+       |    CAST(z.alloc % b.unique_tokens AS BIGINT) AS cum_rem,
+       |    CAST(0 AS BIGINT) AS prev_full,
+       |    CAST(0 AS BIGINT) AS prev_rem
        |  FROM ${mPfx}base b JOIN ${mPfx}st$r z ON z.source = b.source
        |  UNION ALL
        |  SELECT 'anneal', 2, b.source,
-       |    CAST(z.alloc // b.unique_tokens AS BIGINT),
-       |    CAST(z.alloc % b.unique_tokens AS BIGINT)
-       |  FROM ${aPfx}base b JOIN ${aPfx}st$r z ON z.source = b.source),
+       |    CAST((m.alloc + z.alloc) // b.unique_tokens AS BIGINT),
+       |    CAST((m.alloc + z.alloc) % b.unique_tokens AS BIGINT),
+       |    CAST(m.alloc // b.unique_tokens AS BIGINT),
+       |    CAST(m.alloc % b.unique_tokens AS BIGINT)
+       |  FROM ${aPfx}base b JOIN ${aPfx}st$r z ON z.source = b.source
+       |    JOIN ${mPfx}st$r m ON m.source = b.source),
        |doc AS (
        |  SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1243,12 +1297,14 @@ object SamplingPack extends QueryPack {
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
        |  FROM ord)
        |SELECT p.phase, p.phase_ord, c.doc_id, c.source, c.n_tokens,
-       |  CAST(p.full_epochs
-       |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END
+       |  CAST(p.cum_full - p.prev_full
+       |    + CASE WHEN c.cum_after <= p.cum_rem THEN 1 ELSE 0 END
+       |    - CASE WHEN c.cum_after <= p.prev_rem THEN 1 ELSE 0 END
        |    AS BIGINT) AS n_repeats
        |FROM cum c JOIN plan2 p ON p.source = c.source
-       |WHERE p.full_epochs
-       |    + CASE WHEN c.cum_after <= p.rem_tokens THEN 1 ELSE 0 END >= 1
+       |WHERE p.cum_full - p.prev_full
+       |    + CASE WHEN c.cum_after <= p.cum_rem THEN 1 ELSE 0 END
+       |    - CASE WHEN c.cum_after <= p.prev_rem THEN 1 ELSE 0 END >= 1
        |ORDER BY p.phase_ord, c.doc_id""".stripMargin
   }
 

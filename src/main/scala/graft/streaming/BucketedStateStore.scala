@@ -56,9 +56,21 @@ class BucketedStateStore(
     * write (temp + rename, the `_dropped` marker discipline) and every
     * instance validates against it ONCE before its first read or merge;
     * a mismatch fails loudly with the original parameters in the
-    * message. Pre-manifest dirs (older checkpoints) are stamped with the
-    * opening instance's parameters on first contact — the best available
-    * claim, stated here.
+    * message.
+    *
+    * Pre-manifest dirs (older checkpoints) get an EXPLICIT adoption gate
+    * (r16 ADVICE: the r16 form silently stamped the OPENING instance's
+    * parameters on first write — so opening an old checkpoint with the
+    * wrong numBuckets both performed the split-key merge the manifest
+    * exists to prevent AND canonized the wrong layout as manifest
+    * truth): first contact (read OR merge) with a manifest-less dir
+    * that already has bucket dirs throws unless
+    * `graft.store.adoptLayout=true`, and adoption validates the one
+    * direction the layout itself can refute — an existing `bucket=N`
+    * with N ≥ numBuckets proves the original store was wider (the
+    * other direction is unprovable from a sparse listing, which is why
+    * adoption is an explicit operator claim, not an inference). Fresh
+    * dirs (no bucket dirs yet) stamp on first write as before.
     */
   private val manifestDesc = s"numBuckets=$numBuckets,key=$key,seq=$seq"
   private def manifestPath = new Path(root, "_store_manifest")
@@ -76,15 +88,38 @@ class BucketedStateStore(
           s"[$manifestDesc] — a mismatched layout silently splits keys " +
           "across bucket sets; open the store with the original parameters")
       manifestOk = true
-    } else if (stampIfAbsent && fs.exists(root)) {
-      val tmp = new Path(root, "_store_manifest.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(manifestDesc.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // a concurrent stamper winning the rename is fine — re-validate
-      if (!fs.rename(tmp, mp)) checkManifest(stampIfAbsent = false)
-      else manifestOk = true
+    } else {
+      // Manifest absent. A dir that ALREADY has bucket data predates the
+      // manifest — the opening instance's parameters are a claim, not a
+      // fact, so require the operator to make the claim explicitly
+      // before any read/merge touches the buckets (and refuse outright
+      // when the layout itself disproves it).
+      val preManifest = allBuckets
+      if (preManifest.nonEmpty) {
+        require(spark.conf.getOption("graft.store.adoptLayout")
+            .contains("true"),
+          s"state dir $dir has bucket data but no layout manifest (a " +
+            "pre-manifest checkpoint); opening it with the wrong " +
+            "parameters would silently split keys across bucket sets. " +
+            "If these opening parameters ARE the original ones " +
+            s"[$manifestDesc], set graft.store.adoptLayout=true to " +
+            "adopt and stamp them")
+        val maxB = preManifest.max
+        require(maxB < numBuckets,
+          s"state dir $dir holds bucket=$maxB but was opened with " +
+            s"numBuckets=$numBuckets — the original store was wider; " +
+            "the adoption claim is refuted by the layout itself")
+      }
+      if (stampIfAbsent && fs.exists(root)) {
+        val tmp = new Path(root, "_store_manifest.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(manifestDesc.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // a concurrent stamper winning the rename is fine — re-validate
+        if (!fs.rename(tmp, mp)) checkManifest(stampIfAbsent = false)
+        else manifestOk = true
+      }
     }
   }
 

@@ -84,9 +84,14 @@ object StreamingPack extends QueryPack {
     // delivery2-* lexicographically).
     if (Files.isDirectory(src)) {
       import scala.jdk.CollectionConverters._
-      val parts = Files.list(src).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+      // Files.list holds a directory handle until closed (r16 ADVICE:
+      // consuming the iterator alone leaked one per staged scratch dir)
+      val listing = Files.list(src)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
       for (d <- 1 to 2; (p, i) <- parts.zipWithIndex)
         Files.createSymbolicLink(
           in.resolve(f"delivery$d-$i%05d.parquet"), p.toAbsolutePath)

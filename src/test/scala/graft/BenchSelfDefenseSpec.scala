@@ -55,32 +55,58 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
   test("per-query suspect rule: starved wall under contended load, never self-load") {
     // r15's t11 episode: 31.56 s wall, mid-run spike starving the JVM
     // (wall burns, cpu doesn't) — the launch stamp said calm, the
-    // per-query stamp would not have
-    assert(Bench.suspectQuery(31.56, 3.2, 0.3))
+    // per-query stamp would not have. Spread 1.0 = trigger (a) alone.
+    assert(Bench.suspectQuery(31.56, 3.2, 0.3, 1.0))
     // a busy HEALTHY query raises load1 all by itself: measured d15
     // x1000m cell at load1 20.7 / cpu_wall 23.7 — self-load, not suspect
-    assert(!Bench.suspectQuery(22.77, 20.68, 23.65))
+    assert(!Bench.suspectQuery(22.77, 20.68, 23.65, 1.0))
     // calm queries and sub-floor walls are never suspects
-    assert(!Bench.suspectQuery(31.56, 0.4, 0.3))
-    assert(!Bench.suspectQuery(0.8, 9.9, 0.3))
-    assert(!Bench.suspectQuery(1.99, 3.0, 0.3))
+    assert(!Bench.suspectQuery(31.56, 0.4, 0.3, 1.0))
+    assert(!Bench.suspectQuery(0.8, 9.9, 0.3, 1.0))
+    assert(!Bench.suspectQuery(1.99, 3.0, 0.3, 1.0))
     // boundary: at the wall/load thresholds with a starved cpu ratio
-    assert(Bench.suspectQuery(2.0, 3.0, 1.99))
-    assert(!Bench.suspectQuery(2.0, 3.0, 2.0))
+    assert(Bench.suspectQuery(2.0, 3.0, 1.99, 1.0))
+    assert(!Bench.suspectQuery(2.0, 3.0, 2.0, 1.0))
+  }
+
+  test("suspect trigger (b): rep spread trips the sub-threshold blind spot") {
+    // The r16 driver capture's own episode (BENCH_r16.json, launched at
+    // load1 2.9 — just under 3.0): t2_quality_score reported 2.72 s vs
+    // its committed calm 0.20 s (cpu_wall 1.01) and t29 5.98 s vs 2.55 s
+    // calm (cpu_wall 1.82), yet ZERO trips because end-of-query load1
+    // read 2.2-2.4 < ContendedLoad. Starved reps disagree with each
+    // other — the same external spike never taxes two reps equally — so
+    // the spread rule trips them with no load term at all.
+    assert(Bench.suspectQuery(2.72, 2.4, 1.01, 2.5)) // the t2 pattern
+    assert(Bench.suspectQuery(5.98, 2.2, 1.82, 2.1)) // the t29 pattern
+    // committed-calm pattern: reps agree (spread ~1.0-1.3) — clean
+    assert(!Bench.suspectQuery(2.72, 2.4, 1.01, 1.3))
+    assert(!Bench.suspectQuery(0.20, 0.5, 18.0, 1.1))
+    // full-tilt SELF-load: a healthy heavy query's reps still agree
+    // (identical work back to back) — high load1 + high cpu_wall +
+    // spread ~1 stays clean under BOTH triggers
+    assert(!Bench.suspectQuery(22.77, 20.68, 23.65, 1.2))
+    // boundaries: spread floor 2.0, wall floor 0.5 s
+    assert(Bench.suspectQuery(0.5, 0.1, 5.0, 2.0))
+    assert(!Bench.suspectQuery(0.49, 0.1, 5.0, 9.9))
+    assert(!Bench.suspectQuery(0.5, 0.1, 5.0, 1.99))
+    // trigger (a) still fires on its own when reps were EQUALLY starved
+    // (spread blind, load + cpu starvation visible)
+    assert(Bench.suspectQuery(31.56, 3.2, 0.3, 1.0))
   }
 
   test("suspect fragment is empty when clean, capped at the slowest MaxSuspects when hot") {
     assert(Bench.suspectJsonFrag(Nil) == "")
     // under the cap: all suspects ride, name-ordered
     val two = Bench.suspectJsonFrag(Seq(
-      ("zq", 5.0, (3.5, 0.4)), ("aq", 9.0, (4.0, 0.2))))
+      ("zq", 5.0, (3.5, 0.4, 1.0)), ("aq", 9.0, (4.0, 0.2, 2.5))))
     assert(two.startsWith(""","suspect":{"""))
     assert(two.indexOf("\"aq\"") < two.indexOf("\"zq\""))
     assert(!two.contains("suspects_omitted"))
     // over the cap (the whole-run-hot regime): keep the SLOWEST 8 and
     // say how many were dropped — the stamp must never grow past the
     // driver's tail-capture budget (the BENCH_r02-r05 truncation bug)
-    val many = (1 to 40).map(i => (f"q$i%02d", i.toDouble, (5.0, 0.3)))
+    val many = (1 to 40).map(i => (f"q$i%02d", i.toDouble, (5.0, 0.3, 1.0)))
     val frag = Bench.suspectJsonFrag(many)
     assert(frag.contains(""""suspects_omitted":32"""), frag)
     assert(frag.contains("\"q40\"") && frag.contains("\"q33\""), frag)
@@ -88,13 +114,25 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     assert(frag.length < 600, s"fragment too large: ${frag.length}")
   }
 
-  test("queryEnvJson renders per-query load1 + cpu_wall machine-readably") {
+  test("queryEnvJson renders per-query load1 + cpu_wall + spread machine-readably") {
     val j = Bench.queryEnvJson(Seq(
-      "t11_bpe_tokens" -> (2.83, 0.41),
-      "s2_stream_window" -> (0.55, 12.0)))
+      "t11_bpe_tokens" -> (2.83, 0.41, 1.05),
+      "s2_stream_window" -> (0.55, 12.0, 2.5)))
+    // Double.toString rendering, never a locale-sensitive formatter
+    // (r16 ADVICE: f"%.2f" writes "0,41" under comma-decimal locales —
+    // invalid JSON in the durable BENCH.local.json record)
     assert(j ==
-      """{"t11_bpe_tokens":{"load1":2.83,"cpu_wall":0.41},"s2_stream_window":{"load1":0.55,"cpu_wall":12.00}}""")
+      """{"t11_bpe_tokens":{"load1":2.83,"cpu_wall":0.41,"spread":1.05},"s2_stream_window":{"load1":0.55,"cpu_wall":12.0,"spread":2.5}}""")
     // empty env renders an empty object, never a malformed fragment
     assert(Bench.queryEnvJson(Nil) == "{}")
+  }
+
+  test("queryEnvJson stays locale-safe under a comma-decimal default locale") {
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      val j = Bench.queryEnvJson(Seq("q" -> (0.41, 0.41, 1.05)))
+      assert(j == """{"q":{"load1":0.41,"cpu_wall":0.41,"spread":1.05}}""", j)
+    } finally java.util.Locale.setDefault(prev)
   }
 }

