@@ -44,22 +44,33 @@ object Bench {
     * contention, not work. Wall floor 2 s: sub-second queries can't
     * carry a 39× story and the stdout truncation budget is real.
     *
-    * (b) Rep SPREAD (r16 verdict "what's wrong" #1 — the load1 term has
-    * a SUB-THRESHOLD blind spot its own first driver outing
-    * demonstrated: BENCH_r16.json launched at load1 2.9, just under 3.0,
-    * and carried t2 at 13× its calm wall and t29 at 2.3× with ZERO
-    * trips because end-of-query load1 read 2.2-2.4): the reps of one
-    * query run seconds apart on identical work, so on a calm box their
-    * walls agree within noise (committed calm records read spread
-    * 1.0-1.3) while an external spike starves reps UNEQUALLY — a
-    * max/min ratio ≥ 2 on a non-trivial query is a contention signal
-    * that needs no load threshold at all. Wall floor 0.5 s: spread on
-    * near-instant queries is scheduler noise.
+    * (b) Rep SPREAD + starvation (r16 verdict "what's wrong" #1 — the
+    * load1 term has a SUB-THRESHOLD blind spot its own first driver
+    * outing demonstrated: BENCH_r16.json launched at load1 2.9, just
+    * under 3.0, and carried t2 at 13× its calm wall and t29 at 2.3×
+    * with ZERO trips because end-of-query load1 read 2.2-2.4): the reps
+    * of one query run seconds apart on identical work, so an external
+    * spike starves them UNEQUALLY — spread (max/min wall) ≥ 2 with the
+    * REPORTED rep's cpu/wall starved is that episode's exact signature
+    * (t2: cpu_wall 1.01; t29: 1.82), with no load threshold at all.
+    * The cpu term is the same starvation test as (a) and is what keeps
+    * the COLD-FIRST-REP pattern clean — the first touch of a scale
+    * fixture legitimately reads spread 2+ on a calm box, but there the
+    * min rep is the WARM one and its cpu/wall is healthy (measured:
+    * the r17 x19 x1000m cell read spread 2.37 / cpu_wall 22.4 — first
+    * touch, not contention; trigger (b) must not stamp it). When only
+    * the FIRST rep was starved, min-of-2 already discarded it and the
+    * reported rep reads healthy — correctly no stamp: the stamp marks
+    * compromised REPORTED numbers, not noisy runs. Wall floor 0.5 s:
+    * spread on near-instant queries is scheduler noise. Residual blind
+    * spot, stated: reps starved EQUALLY under sub-threshold load read
+    * spread ~1 and stay unstamped — cpu_wall alone can't stamp, since
+    * legitimately serial queries idle most of their wall.
     */
   private[graft] def suspectQuery(wallSec: Double, load1AtEnd: Double,
       cpuWall: Double, spread: Double): Boolean =
     (wallSec >= 2.0 && load1AtEnd >= ContendedLoad && cpuWall < 2.0) ||
-      (wallSec >= 0.5 && spread >= 2.0)
+      (wallSec >= 0.5 && spread >= 2.0 && cpuWall < 2.0)
 
   /** Render the per-query environment map
     * ({name: {load1, cpu_wall, spread}}) — load1 and cpu_wall measured

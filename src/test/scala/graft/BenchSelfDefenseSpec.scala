@@ -69,27 +69,35 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     assert(!Bench.suspectQuery(2.0, 3.0, 2.0, 1.0))
   }
 
-  test("suspect trigger (b): rep spread trips the sub-threshold blind spot") {
+  test("suspect trigger (b): rep spread + starvation trips the sub-threshold blind spot") {
     // The r16 driver capture's own episode (BENCH_r16.json, launched at
     // load1 2.9 — just under 3.0): t2_quality_score reported 2.72 s vs
     // its committed calm 0.20 s (cpu_wall 1.01) and t29 5.98 s vs 2.55 s
     // calm (cpu_wall 1.82), yet ZERO trips because end-of-query load1
     // read 2.2-2.4 < ContendedLoad. Starved reps disagree with each
     // other — the same external spike never taxes two reps equally — so
-    // the spread rule trips them with no load term at all.
+    // spread + a starved reported rep trips them with no load term.
     assert(Bench.suspectQuery(2.72, 2.4, 1.01, 2.5)) // the t2 pattern
     assert(Bench.suspectQuery(5.98, 2.2, 1.82, 2.1)) // the t29 pattern
     // committed-calm pattern: reps agree (spread ~1.0-1.3) — clean
     assert(!Bench.suspectQuery(2.72, 2.4, 1.01, 1.3))
     assert(!Bench.suspectQuery(0.20, 0.5, 18.0, 1.1))
+    // COLD-FIRST-REP on a calm box: the r17 x19 x1000m slope cell read
+    // spread 2.37 with the reported (warm) rep at cpu_wall 22.43 — a
+    // first fixture touch, not contention; the cpu term keeps it clean
+    assert(!Bench.suspectQuery(21.75, 6.66, 22.43, 2.37))
+    // first-rep-only starvation: min-of-2 discarded the bad rep, the
+    // reported rep is healthy — the reported NUMBER is valid, no stamp
+    assert(!Bench.suspectQuery(1.2, 2.8, 8.0, 3.5))
     // full-tilt SELF-load: a healthy heavy query's reps still agree
     // (identical work back to back) — high load1 + high cpu_wall +
     // spread ~1 stays clean under BOTH triggers
     assert(!Bench.suspectQuery(22.77, 20.68, 23.65, 1.2))
-    // boundaries: spread floor 2.0, wall floor 0.5 s
-    assert(Bench.suspectQuery(0.5, 0.1, 5.0, 2.0))
-    assert(!Bench.suspectQuery(0.49, 0.1, 5.0, 9.9))
-    assert(!Bench.suspectQuery(0.5, 0.1, 5.0, 1.99))
+    // boundaries: spread floor 2.0, wall floor 0.5 s, cpu ceiling 2.0
+    assert(Bench.suspectQuery(0.5, 0.1, 1.9, 2.0))
+    assert(!Bench.suspectQuery(0.49, 0.1, 1.9, 9.9))
+    assert(!Bench.suspectQuery(0.5, 0.1, 1.9, 1.99))
+    assert(!Bench.suspectQuery(0.5, 0.1, 2.0, 9.9))
     // trigger (a) still fires on its own when reps were EQUALLY starved
     // (spread blind, load + cpu starvation visible)
     assert(Bench.suspectQuery(31.56, 3.2, 0.3, 1.0))

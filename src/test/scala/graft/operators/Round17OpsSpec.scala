@@ -56,6 +56,33 @@ class Round17OpsSpec extends SparkSuite {
     finally spark.conf.unset("graft.dedup.scratchBytesPerSigRow")
   }
 
+  test("range-delta realization: phases partition the cumulative draws (random property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the per-doc rule, pure: cumRepeats(A) = A div u + [ca <= A mod u]
+    def f(a: Long, u: Long, ca: Long): Long =
+      a / u + (if (ca <= a % u) 1L else 0L)
+    val cases = Gen.listOfN(4000, for {
+      u <- Gen.choose(1L, 500L)
+      m <- Gen.choose(0L, 4L * u)
+      a <- Gen.choose(0L, 4L * u - m) // carryover invariant: m + a <= 4u
+      ca <- Gen.choose(1L, u) // cum_after of some doc in a u-token corpus
+    } yield (u, m, a, ca))(Gen.Parameters.default, Seed(17L)).get
+    for ((u, m, a, ca) <- cases) {
+      val main = f(m, u, ca) - f(0, u, ca)
+      val anneal = f(m + a, u, ca) - f(m, u, ca)
+      // deltas are draws: never negative (cumRepeats is monotone in A)
+      assert(main >= 0 && anneal >= 0, s"($u,$m,$a,$ca)")
+      // phases PARTITION the cumulative realization — no overlap, no gap
+      assert(main + anneal == f(m + a, u, ca), s"($u,$m,$a,$ca)")
+      // per-doc total is exactly capped by the carryover invariant
+      assert(main + anneal <= SamplingPack.MaxUniqueEpochs, s"($u,$m,$a,$ca)")
+      // the main phase is unchanged vs the old per-phase rule (its range
+      // starts at 0, and ca >= 1 > 0 means f(0)=0 on any real doc)
+      assert(main == f(m, u, ca), s"($u,$m,$a,$ca)")
+    }
+  }
+
   test("x19 phases partition ONE cumulative realization; the old per-phase rule overlapped") {
     // Naive re-derivation of the draw line, per source: d1's
     // keep-min-doc_id dedup, the canonical salted-hash order, a plain
