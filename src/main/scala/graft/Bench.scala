@@ -61,16 +61,26 @@ object Bench {
     * touch, not contention; trigger (b) must not stamp it). When only
     * the FIRST rep was starved, min-of-2 already discarded it and the
     * reported rep reads healthy — correctly no stamp: the stamp marks
-    * compromised REPORTED numbers, not noisy runs. Wall floor 0.5 s:
-    * spread on near-instant queries is scheduler noise. Residual blind
-    * spot, stated: reps starved EQUALLY under sub-threshold load read
-    * spread ~1 and stay unstamped — cpu_wall alone can't stamp, since
-    * legitimately serial queries idle most of their wall.
+    * compromised REPORTED numbers, not noisy runs. Wall floor 2 s, the
+    * SAME floor as (a), set by this round's own calm captures: every
+    * ≥ 2 s query read spread 1.0-1.8 calm (healthy reps agree), while
+    * the 0.5-2 s band trips structurally — s23's first rep stages the
+    * pocket weights ONCE PER PROCESS by design (spread 4.7 on a calm
+    * box; min-of-2 exists precisely to discard that rep, and stamping
+    * the correct surviving number contradicts the discipline), and
+    * machinery-dominated streaming walls jitter past 2× with
+    * legitimately low cpu. The r16 episode's queries were 2.72 s and
+    * 5.98 s — the floor costs none of the motivating catches.
+    * Residual blind spots, stated: reps starved EQUALLY under
+    * sub-threshold load read spread ~1 and stay unstamped (cpu_wall
+    * alone can't stamp — legitimately serial queries idle most of
+    * their wall), and sub-2 s starved queries ride on the floor; both
+    * remain visible in query_env for the artifact reader.
     */
   private[graft] def suspectQuery(wallSec: Double, load1AtEnd: Double,
       cpuWall: Double, spread: Double): Boolean =
     (wallSec >= 2.0 && load1AtEnd >= ContendedLoad && cpuWall < 2.0) ||
-      (wallSec >= 0.5 && spread >= 2.0 && cpuWall < 2.0)
+      (wallSec >= 2.0 && spread >= 2.0 && cpuWall < 2.0)
 
   /** Render the per-query environment map
     * ({name: {load1, cpu_wall, spread}}) — load1 and cpu_wall measured

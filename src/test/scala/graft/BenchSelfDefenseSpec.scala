@@ -88,16 +88,21 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     assert(!Bench.suspectQuery(21.75, 6.66, 22.43, 2.37))
     // first-rep-only starvation: min-of-2 discarded the bad rep, the
     // reported rep is healthy — the reported NUMBER is valid, no stamp
-    assert(!Bench.suspectQuery(1.2, 2.8, 8.0, 3.5))
+    assert(!Bench.suspectQuery(2.2, 2.8, 8.0, 3.5))
+    // ONCE-PER-PROCESS setup reps (s23 stages its pocket weights in
+    // rep 1 by design — spread 4.7 on a calm box with the reported rep
+    // the pure serve): min-of-2 discarded the setup rep; the 2 s floor
+    // keeps the correct surviving number unstamped
+    assert(!Bench.suspectQuery(1.12, 2.83, 1.61, 4.7))
     // full-tilt SELF-load: a healthy heavy query's reps still agree
     // (identical work back to back) — high load1 + high cpu_wall +
     // spread ~1 stays clean under BOTH triggers
     assert(!Bench.suspectQuery(22.77, 20.68, 23.65, 1.2))
-    // boundaries: spread floor 2.0, wall floor 0.5 s, cpu ceiling 2.0
-    assert(Bench.suspectQuery(0.5, 0.1, 1.9, 2.0))
-    assert(!Bench.suspectQuery(0.49, 0.1, 1.9, 9.9))
-    assert(!Bench.suspectQuery(0.5, 0.1, 1.9, 1.99))
-    assert(!Bench.suspectQuery(0.5, 0.1, 2.0, 9.9))
+    // boundaries: spread floor 2.0, wall floor 2 s, cpu ceiling 2.0
+    assert(Bench.suspectQuery(2.0, 0.1, 1.9, 2.0))
+    assert(!Bench.suspectQuery(1.99, 0.1, 1.9, 9.9))
+    assert(!Bench.suspectQuery(2.0, 0.1, 1.9, 1.99))
+    assert(!Bench.suspectQuery(2.0, 0.1, 2.0, 9.9))
     // trigger (a) still fires on its own when reps were EQUALLY starved
     // (spread blind, load + cpu starvation visible)
     assert(Bench.suspectQuery(31.56, 3.2, 0.3, 1.0))
