@@ -52,7 +52,11 @@ object StreamingPack extends QueryPack {
     scratchDirs.forEach { d =>
       try {
         import scala.jdk.CollectionConverters._
-        Files.walk(d).iterator().asScala.toSeq.reverseIterator
+        // same close discipline as stageDoubleDelivery's Files.list —
+        // moot at JVM exit, but the pattern should not have exceptions
+        val walk = Files.walk(d)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverseIterator
           .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
       } catch { case _: Throwable => () }
     }))
