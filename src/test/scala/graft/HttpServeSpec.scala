@@ -304,6 +304,55 @@ class HttpServeSpec extends SparkSuite {
     assert(!lru.contains("cold-1"))
   }
 
+  test("point-body LRU matches a reference model over random access patterns") {
+    // Model-based property for the hand-rolled cache: replay a random
+    // op sequence against java's own access-ordered LinkedHashMap with
+    // the same eviction rule, and assert (1) identical hit/miss and
+    // residency at every step, (2) compute runs ONLY on model misses,
+    // (3) size never exceeds the bound. Skewed key distribution so hot
+    // keys genuinely re-reference between evictions.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val bound = 32
+    for (seed <- 1L to 5L) {
+      val lru = new HttpServe.LruBodyCache[String, Option[String]](bound)
+      val model = new java.util.LinkedHashMap[String, Option[String]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Option[String]]): Boolean =
+          this.size() > bound
+      }
+      val keys = Gen.listOfN(800, Gen.frequency(
+        3 -> Gen.choose(0, 7),      // hot set, re-referenced constantly
+        2 -> Gen.choose(0, 63),     // warm band around the bound
+        1 -> Gen.choose(0, 4000)))  // cold tail streaming past
+        .map(_.map(i => s"k$i"))(Gen.Parameters.default, Seed(seed)).get
+      var computes = 0
+      for (k <- keys) {
+        val modelHit = model.get(k) // access-ordered: get() refreshes recency
+        val got = lru.get(k) { computes += 1; Some(s"v-$k") }
+        assert(got == Some(s"v-$k"))
+        if (modelHit == null) model.put(k, Some(s"v-$k"))
+        assert(lru.size == model.size(), s"seed=$seed size drift at $k")
+        assert(lru.contains(k))
+      }
+      // compute count == model misses (single-flight adds none serially)
+      val modelMisses = {
+        // replay the model fresh to count misses independently
+        val m2 = new java.util.LinkedHashMap[String, Boolean](64, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Boolean]): Boolean =
+            this.size() > bound
+        }
+        var miss = 0
+        for (k <- keys) { if (m2.get(k) == null) { miss += 1; m2.put(k, true) } }
+        miss
+      }
+      assert(computes == modelMisses, s"seed=$seed computes=$computes misses=$modelMisses")
+      // residency sets agree exactly at the end
+      import scala.jdk.CollectionConverters._
+      for (k <- model.keySet().asScala) assert(lru.contains(k), s"seed=$seed missing $k")
+      assert(lru.size <= bound)
+    }
+  }
+
   test("health TTL: default OFF probes every request; a nonzero TTL bounds staleness") {
     var probes = 0
     def probe: Boolean = { probes += 1; true }
