@@ -161,7 +161,25 @@ object DedupPack extends QueryPack {
         .filter(_ > 0) match {
         case Some(budget) =>
           val rows = sig.count()
-          val perRow = scratchBytesPerRow(s, sig)
+          val base = scratchBytesPerRow(s, sig)
+          val prior = autoBandShards(rows, budget, base)
+          // Runtime spill probe (r17 verdict next-#1): the prior's
+          // spill-to-width ratio is the §3f fixture family's — a corpus
+          // with much heavier band-collision rates recycles aggregation
+          // buffers harder and would under-shard in exactly the
+          // direction the budget exists to prevent. The probe runs ONLY
+          // when its evidence could move the pick: an explicit per-row
+          // conf is absolute, `graft.dedup.scratchProbe=false` opts
+          // out, and a prior already at the NumBands clamp cannot shard
+          // further (so at e.g. x10000m, where the prior already picks
+          // the max, the probe costs nothing).
+          val confSet = s.conf
+            .getOption("graft.dedup.scratchBytesPerSigRow").exists(_.toLong > 0)
+          val probeOff =
+            s.conf.getOption("graft.dedup.scratchProbe").contains("false")
+          val perRow =
+            if (confSet || probeOff || prior >= NumBands) base
+            else derivedScratchPerRow(base, probedSpillPerRow(s, sig))
           val n = autoBandShards(rows, budget, perRow)
           System.err.println(
             s"[dedup] bandShards auto-selected $n (sig rows $rows, " +
@@ -186,11 +204,11 @@ object DedupPack extends QueryPack {
     math.min(NumBands.toLong, math.max(1L, raw)).toInt
   }
 
-  /** Per-row scratch for the auto-shard model, derived FROM THE MATRIX
-    * ITSELF (r16 verdict next-#3 — the r16 form hard-coded the fixture
-    * family's 112 B, which silently miscalibrates on a corpus whose
-    * signature rows are wider, e.g. a string/binary minhash or extra
-    * carried columns): scratch/row = [[ScratchMultiplier]] ×
+  /** Per-row scratch PRIOR for the auto-shard model, derived FROM THE
+    * MATRIX ITSELF (r16 verdict next-#3 — the r16 form hard-coded the
+    * fixture family's 112 B, which silently miscalibrates on a corpus
+    * whose signature rows are wider, e.g. a string/binary minhash or
+    * extra carried columns): scratch/row = [[ScratchMultiplier]] ×
     * [[sampledSigRowBytes]] (the matrix's own sampled in-memory row
     * width). On THIS engine's (long doc_id, int band, long minhash)
     * schema the sampled width is 28 B, so the derivation reproduces the
@@ -199,7 +217,9 @@ object DedupPack extends QueryPack {
     * overflowing the budget silently. An explicit
     * `graft.dedup.scratchBytesPerSigRow` conf wins (the manual
     * calibration stays available); a degenerate/empty sample falls back
-    * to the measured constant.
+    * to the measured constant. Since r18 this is the PRIOR that
+    * [[derivedScratchPerRow]] floors with — [[bandShardsOf]] raises it
+    * by runtime spill evidence when that could change the pick.
     */
   private[graft] def scratchBytesPerRow(s: SparkSession, sig: DataFrame,
       fraction: Double = 0.05): Long =
@@ -209,6 +229,81 @@ object DedupPack extends QueryPack {
         if (w <= 0) ScratchBytesPerSigRow else ScratchMultiplier * w
       }
 
+  /** The r18 derivation arithmetic, pure (spec-pinned): the fixture
+    * prior floors, the corpus's own observed spill raises. Max, not
+    * replace — spill demand grows superlinearly in rows-per-pass (§3f
+    * measured 63 B/row at 60 M rows vs 105-125 B at 200 M), so the
+    * max-sharded probe regime LOWER-BOUNDS the unsharded ratio: evidence
+    * can only make the model more conservative (more shards), never let
+    * a spill-free probe talk it below the measured prior, and
+    * over-sharding is the cheap direction (§3f: x3000m shards=2 and
+    * shards=4 within noise of each other, both 1.7× faster than
+    * unsharded). probed ≤ 0 (no spill at probe scale, probe skipped,
+    * empty slice) keeps the prior — "fixture fallback on no evidence".
+    */
+  private[graft] def derivedScratchPerRow(priorPerRowBytes: Long,
+      probedPerRowBytes: Long): Long =
+    math.max(priorPerRowBytes, probedPerRowBytes)
+
+  /** Observed (memory+disk) spill bytes per signature row, measured by
+    * RUNNING one band group of the real pair-building workload at
+    * maximum sharding (pmod(band, NumBands) == 0 — the exact slice a
+    * shards=NumBands pass executes) under a TaskMetrics listener. This
+    * is the cheapest slice of real work that reproduces the corpus's own
+    * bucket-collision dynamics; its cost is ~1/NumBands of one pass,
+    * paid only on the auto path where the full job is about to run
+    * anyway. Returns 0 when the slice is empty or nothing spilled.
+    *
+    * The listener is session-wide: a CONCURRENT job's spill during the
+    * probe would inflate the reading — acceptable because (a) the batch
+    * pipelines that reach the auto path run one query at a time, and
+    * (b) inflation over-shards, the cheap/safe direction; never the
+    * silent-overflow one.
+    */
+  private[graft] def probedSpillPerRow(s: SparkSession, sig: DataFrame): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // the probe replays the real pair-building workload, so it needs the
+    // real signature schema; anything else (a caller modeling shard
+    // counts over a synthetic frame) is "no evidence", not an error
+    if (!Seq("doc_id", "band", "minhash").forall(sig.columns.contains))
+      return 0L
+    val slice = sig.where(pmod(col("band"), lit(NumBands)) === 0)
+    val rows = slice.count()
+    if (rows <= 0) 0L
+    else {
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            tasks.incrementAndGet()
+          }
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        rawPairsOf(slice).count()
+        // listener delivery is async: poll until the task counter stops
+        // moving (200 ms quiet, 2 s cap) — the Bench.MetricsListener
+        // settle discipline; a late task only under-counts spill, which
+        // degrades toward the fixture prior, never past it
+        val deadline = System.nanoTime() + 2000000000L
+        var last = -1L
+        while (System.nanoTime() < deadline && tasks.get() != last) {
+          last = tasks.get()
+          Thread.sleep(200)
+        }
+      } finally s.sparkContext.removeSparkListener(listener)
+      val perRow = spill.get() / rows
+      System.err.println(
+        s"[dedup] scratch probe: ${spill.get()} spill B over $rows sig rows " +
+          s"(1 of $NumBands band groups) -> $perRow B/row observed")
+      perRow
+    }
+  }
+
   /** The matrix's own average row footprint (bytes), over a bounded
     * sample: 8 B UnsafeRow header + fixed-width fields at their
     * in-memory width + variable-width fields (string/binary) at their
@@ -216,14 +311,21 @@ object DedupPack extends QueryPack {
     * Tungsten row layout, which is also what the aggregation hash maps
     * and shuffle buffers hold. One cheap scan of a FRACTION of the
     * already-pinned narrow matrix (the auto path only), seeded for
-    * replay stability.
+    * replay stability. Strings are sized with octet_length — UTF-8
+    * BYTES, what UnsafeRow stores — not length()'s character count
+    * (r17 ADVICE: on a non-ASCII corpus the character count undercounts
+    * the row width, which is exactly the silent under-sharding class
+    * this derivation exists to eliminate); length() is already
+    * byte-accurate for binary.
     */
   private[graft] def sampledSigRowBytes(sig: DataFrame,
       fraction: Double = 0.05): Long = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     val width = sig.schema.fields.map { f =>
       f.dataType match {
-        case StringType | BinaryType =>
+        case StringType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(8L)
+        case BinaryType =>
           coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(8L)
         case dt => lit(dt.defaultSize.toLong)
       }
@@ -244,7 +346,9 @@ object DedupPack extends QueryPack {
     * both ~44 s vs 76 s unsharded). With a 4 GB budget the derived
     * model lands on the measured optima: x3000m → 2 (spill eliminated,
     * 1.7× faster), x10000m → 4 (clamped; ~9× less scratch for +24 %
-    * wall).
+    * wall). Since r18 this is the PRIOR/FLOOR of the derivation, not its
+    * whole ratio term: [[probedSpillPerRow]]'s runtime evidence raises
+    * it per corpus (see [[derivedScratchPerRow]]).
     */
   private[operators] val ScratchMultiplier = 4L
 

@@ -109,18 +109,29 @@ class BucketedStateStore(
           s"state dir $dir holds bucket=$maxB but was opened with " +
             s"numBuckets=$numBuckets — the original store was wider; " +
             "the adoption claim is refuted by the layout itself")
-      }
-      if (stampIfAbsent && fs.exists(root)) {
-        val tmp = new Path(root, "_store_manifest.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(manifestDesc.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        // a concurrent stamper winning the rename is fine — re-validate
-        if (!fs.rename(tmp, mp)) checkManifest(stampIfAbsent = false)
-        else manifestOk = true
+        // Validated adoption STAMPS immediately, read path included (r17
+        // verdict #4: validate-only left manifestOk unset, so a read-only
+        // consumer of an adopted legacy dir re-listed every bucket and
+        // re-validated on every read until some merge stamped). Writing
+        // the manifest the operator just claimed IS the point of the
+        // claim — adoption is a one-time explicit upgrade action, after
+        // which the dir is an ordinary manifest'd store.
+        stampManifest()
+      } else if (stampIfAbsent && fs.exists(root)) {
+        stampManifest()
       }
     }
+  }
+
+  private def stampManifest(): Unit = {
+    val tmp = new Path(root, "_store_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(manifestDesc.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // a concurrent stamper winning the rename is fine — re-validate
+    if (!fs.rename(tmp, manifestPath)) checkManifest(stampIfAbsent = false)
+    else manifestOk = true
   }
 
   private def bucketPath(b: Long): Path = new Path(root, s"bucket=$b")

@@ -32,9 +32,15 @@ object ScratchCell {
       .localCheckpoint(true)
     val rows = sig.count()
     val sampled = DedupPack.sampledSigRowBytes(sig)
-    val perRow = DedupPack.scratchBytesPerRow(spark, sig)
+    val prior = DedupPack.scratchBytesPerRow(spark, sig)
+    // The r18 spill probe, run UNCONDITIONALLY here (the production path
+    // in bandShardsOf skips it when it can't move the pick) — this tool
+    // exists to make the whole derivation a committed artifact, probe
+    // reading included.
+    val probed = DedupPack.probedSpillPerRow(spark, sig)
+    val perRow = DedupPack.derivedScratchPerRow(prior, probed)
     val pick = DedupPack.autoBandShards(rows, budget, perRow)
-    println(s"""{"dir":"$sfDir","sig_rows":$rows,"sampled_row_bytes":$sampled,"derived_per_row_scratch":$perRow,"budget_bytes":$budget,"auto_shards":$pick}""")
+    println(s"""{"dir":"$sfDir","sig_rows":$rows,"sampled_row_bytes":$sampled,"prior_per_row_scratch":$prior,"probed_spill_per_row":$probed,"derived_per_row_scratch":$perRow,"budget_bytes":$budget,"auto_shards":$pick}""")
     spark.stop()
   }
 }

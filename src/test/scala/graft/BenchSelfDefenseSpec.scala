@@ -108,6 +108,57 @@ class BenchSelfDefenseSpec extends AnyFunSuite {
     assert(Bench.suspectQuery(31.56, 3.2, 0.3, 1.0))
   }
 
+  test("repSpread: warm-only at reps >= 3, across both at reps = 2") {
+    // reps=2: the spread still contains rep 1 — the setup/cold-touch
+    // ambiguity is exactly why the floor stays 2 s there
+    assert(Bench.repSpread(Seq(4.7, 1.0)) == 4.7)
+    // reps=3: rep 1 dropped — s23's once-per-process staging pattern
+    // (weights staged in rep 1 BY DESIGN) reads ~1.05 over its warm reps
+    assert(Bench.repSpread(Seq(4.7, 1.0, 1.05)) == 1.05)
+    // cold fixture first-touch at reps=3: same shape, same discard
+    assert(Bench.repSpread(Seq(21.7, 9.2, 9.0)) == 1.02)
+    // warm reps that DISAGREE are external by construction — survives
+    assert(Bench.repSpread(Seq(1.0, 0.9, 2.1)) == 2.33)
+    // guards: one rep, failed (zero) wall, empty
+    assert(Bench.repSpread(Seq(5.0)) == 1.0)
+    assert(Bench.repSpread(Seq(5.0, 0.0)) == 1.0)
+    assert(Bench.repSpread(Nil) == 1.0)
+  }
+
+  test("trigger (b) floor drops to 0.5 s only when the spread is warm-only (reps >= 3)") {
+    // r17 verdict next-#2: the 2 s floor existed because the reps=2
+    // spread contains the setup-ambiguous first rep; warm-only spread
+    // removes the ambiguity, so the floor can come down and the stated
+    // sub-2 s blind spot closes.
+    assert(Bench.spreadWallFloor(1) == 2.0)
+    assert(Bench.spreadWallFloor(2) == 2.0)
+    assert(Bench.spreadWallFloor(3) == 0.5)
+    // s23's staging pattern at reps=3: warm spread ~1.05 — unstamped at
+    // ANY wall even though rep 1 read 4.7x (the r17 floor rationale,
+    // now handled by the spread itself instead of the floor)
+    assert(!Bench.suspectQuery(1.12, 2.83, 1.61,
+      Bench.repSpread(Seq(4.7, 1.0, 1.05)), 3))
+    // the r16 t2/t29 episode still trips at reps=2 (the driver default)
+    assert(Bench.suspectQuery(2.72, 2.4, 1.01, 2.5))
+    assert(Bench.suspectQuery(5.98, 2.2, 1.82, 2.1))
+    // the formerly-stated sub-2 s blind spot CLOSES at reps=3: a 1.9 s
+    // version of the r16 t2 episode (warm reps disagree 2.3x, reported
+    // rep starved) now trips...
+    assert(Bench.suspectQuery(1.9, 2.4, 0.8, 2.33, 3))
+    // ...where reps=2 stayed blind (the stated residual at the default)
+    assert(!Bench.suspectQuery(1.9, 2.4, 0.8, 2.33, 2))
+    // floor boundary at reps=3 is exactly 0.5 s
+    assert(Bench.suspectQuery(0.5, 0.1, 1.9, 2.0, 3))
+    assert(!Bench.suspectQuery(0.49, 0.1, 1.9, 9.9, 3))
+    // healthy warm reps that agree stay clean at reps=3, any wall
+    assert(!Bench.suspectQuery(0.9, 0.5, 1.2, 1.1, 3))
+    // trigger (a) keeps its OWN 2 s floor at any reps (its rationale —
+    // a sub-2 s wall can't carry a 39x story — is about the wall, not
+    // the spread)
+    assert(!Bench.suspectQuery(1.9, 9.9, 0.3, 1.0, 3))
+    assert(Bench.suspectQuery(2.0, 3.0, 1.99, 1.0, 3))
+  }
+
   test("suspect fragment is empty when clean, capped at the slowest MaxSuspects when hot") {
     assert(Bench.suspectJsonFrag(Nil) == "")
     // under the cap: all suspects ride, name-ordered

@@ -402,6 +402,77 @@ class HttpServeSpec extends SparkSuite {
     assert(v.get(probe)); assert(probes == 4)
   }
 
+  test("TtlVerdict stores by CAS: a stale healthy probe cannot overwrite a newer observed failure") {
+    // r17 ADVICE: the last-writer-wins store let a SLOW healthy probe —
+    // started before an outage — land after a newer probe had already
+    // observed unhealthy, caching "ok" for a full TTL right after the
+    // observed failure. Interleave the two probes deterministically:
+    // A enters on an empty cache; while its probe is "in flight", B runs
+    // a COMPLETE get that observes the outage; A then returns healthy.
+    var probes = 0
+    var nowNs = 0L
+    val v = new HttpServe.TtlVerdict(100L, () => nowNs)
+    assert(v.get({
+      // B: entered after A, completed first, observed the outage
+      assert(!v.get({ probes += 1; false }))
+      probes += 1
+      true // A's stale healthy result, completing after B
+    })) // A's own caller still gets A's own result
+    nowNs = 1L * 1000000L
+    // inside what WOULD be A's TTL window: A's store lost the CAS (B's
+    // evidence is newer — including this both-entered-empty case, which
+    // the null-reset form left open), so the next request RE-PROBES
+    assert(!v.get({ probes += 1; false }))
+    assert(probes == 3)
+    // recovery then caches normally: the un-raced healthy store works
+    nowNs = 2L * 1000000L
+    assert(v.get({ probes += 1; true }))
+    nowNs = 3L * 1000000L
+    assert(v.get({ probes += 1; sys.error("must be cached") }))
+    assert(probes == 4)
+  }
+
+  test("AutoTtl re-derives k × p50 over served probes, on the cadence only") {
+    // r17 verdict #3: the startup-only derivation froze a long-lived
+    // server's staleness bound at startup probe cost. The evidence ring
+    // is the served traffic itself; the bound moves only at cadence
+    // ticks, in both directions.
+    var nowNs = 0L
+    val auto = new HttpServe.AutoTtl(4L, 1000L, 48L,
+      Seq(12.0, 12.0, 12.0), () => nowNs)
+    assert(auto.current == 48L)
+    // probe cost drifts up 10x — before the cadence the bound holds
+    (1 to 5).foreach(_ => auto.observe(120.0))
+    assert(auto.current == 48L)
+    // cadence reached: the next served probe re-derives over the ring
+    nowNs = 1000L * 1000000L
+    auto.observe(120.0)
+    assert(auto.current == 480L)
+    // the cadence re-arms — immediate further observations wait again
+    (1 to 4).foreach(_ => auto.observe(12.0))
+    assert(auto.current == 480L)
+    // second tick: cost came back down, so does the bound
+    nowNs = 2000L * 1000000L
+    auto.observe(12.0)
+    assert(auto.current == 48L)
+    // cadence 0 freezes the startup value forever (the r17 behavior,
+    // still selectable)
+    var t2 = 0L
+    val frozen = new HttpServe.AutoTtl(4L, 0L, 48L, Seq(12.0), () => t2)
+    (1 to 10).foreach { _ => t2 += 3600L * 1000000000L; frozen.observe(500.0) }
+    assert(frozen.current == 48L)
+    // self-healing start: a failed startup derivation begins at 0
+    // (default-off = probe every request) and derives a REAL bound from
+    // its first served probes at the first tick
+    var t3 = 0L
+    val heal = new HttpServe.AutoTtl(2L, 100L, 0L, Seq.empty, () => t3)
+    assert(heal.current == 0L)
+    (1 to 5).foreach(_ => heal.observe(10.0))
+    t3 = 100L * 1000000L
+    heal.observe(10.0)
+    assert(heal.current == 20L)
+  }
+
   test("derived health TTL: k × measured probe p50, default-off on no evidence") {
     // r16 verdict #5 ask: the production TTL comes from the probe's own
     // measured cost. p50 = the median (lower middle at even n), so one

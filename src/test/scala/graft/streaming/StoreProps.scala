@@ -126,13 +126,32 @@ class StoreProps extends SparkSuite {
       val narrow = new BucketedStateStore(spark, dir, numBuckets = 2)
       val ref = intercept[IllegalArgumentException](narrow.read())
       assert(ref.getMessage.contains("wider"), ref.getMessage)
-      // the true claim adopts: read works and the next merge re-stamps
+      // the true claim adopts — and a VALIDATED adoption stamps the
+      // manifest immediately, read path included (r17 verdict #4: the
+      // validate-only form left a read-only consumer of an adopted
+      // legacy dir re-listing every bucket and re-validating per read
+      // until some merge stamped)
       val adopted = new BucketedStateStore(spark, dir, numBuckets = 4)
       assert(adopted.read().get.count() >= 2)
-      adopted.merge(
+      assert(manifest.exists(),
+        "validated adoption must stamp the manifest on the READ path")
+      // memoization: the adopted instance validated ONCE — delete the
+      // manifest and withdraw the claim out from under it; the SAME
+      // instance keeps reading (no re-validation), while a FRESH
+      // instance sees the manifest-less dir and refuses again
+      assert(manifest.delete(), "fixture: stamped manifest must delete")
+      spark.conf.unset("graft.store.adoptLayout")
+      assert(adopted.read().get.count() >= 2)
+      val fresh = new BucketedStateStore(spark, dir, numBuckets = 4)
+      assert(intercept[IllegalArgumentException](fresh.read())
+        .getMessage.contains("adoptLayout"))
+      // the merge path adopts-and-stamps the same way
+      spark.conf.set("graft.store.adoptLayout", "true")
+      val merger = new BucketedStateStore(spark, dir, numBuckets = 4)
+      merger.merge(
         SignalProjection.latestByKey(SignalProjection.decode(
           raw(Seq(Ev(3L, "d", "created"))))), 1L)
-      assert(manifest.exists(), "adoption must re-stamp the manifest on write")
+      assert(manifest.exists(), "adoption must stamp on the merge path too")
     } finally spark.conf.unset("graft.store.adoptLayout")
     // once re-stamped, the normal mismatch guard is back without the flag
     val wrong = new BucketedStateStore(spark, dir, numBuckets = 8)
