@@ -254,37 +254,52 @@ object DedupPack extends QueryPack {
     * paid only on the auto path where the full job is about to run
     * anyway. Returns 0 when the slice is empty or nothing spilled.
     *
-    * The listener is session-wide: a CONCURRENT job's spill during the
-    * probe would inflate the reading — acceptable because (a) the batch
-    * pipelines that reach the auto path run one query at a time, and
-    * (b) inflation over-shards, the cheap/safe direction; never the
-    * silent-overflow one.
+    * Attribution is JOB-SCOPED, not session-wide: the probe's actions
+    * run under a unique job group, the listener learns which stages
+    * belong to that group from each job-start event's properties, and
+    * only task-end events from those stages are counted — a CONCURRENT
+    * job's spill during the probe (a multi-tenant driver) cannot
+    * inflate the reading. The residual race (a task-end delivered
+    * before its job-start) only under-counts, which degrades toward the
+    * fixture prior — never past it.
     */
   private[graft] def probedSpillPerRow(s: SparkSession, sig: DataFrame): Long = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
     // the probe replays the real pair-building workload, so it needs the
     // real signature schema; anything else (a caller modeling shard
     // counts over a synthetic frame) is "no evidence", not an error
     if (!Seq("doc_id", "band", "minhash").forall(sig.columns.contains))
       return 0L
     val slice = sig.where(pmod(col("band"), lit(NumBands)) === 0)
-    val rows = slice.count()
-    if (rows <= 0) 0L
-    else {
-      val spill = new java.util.concurrent.atomic.AtomicLong
-      val tasks = new java.util.concurrent.atomic.AtomicLong
-      val listener = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-            tasks.incrementAndGet()
-          }
+    val group = s"graft-scratch-probe-${java.util.UUID.randomUUID()}"
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val ours = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val p = js.properties
+        if (p != null && group == p.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => ours.add(id))
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && ours.contains(te.stageId)) {
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          tasks.incrementAndGet()
         }
       }
-      s.sparkContext.addSparkListener(listener)
+    }
+    s.sparkContext.addSparkListener(listener)
+    val rows =
       try {
-        rawPairsOf(slice).count()
+        s.sparkContext.setJobGroup(group,
+          "dedup scratch probe (one band group at max sharding)")
+        try {
+          val n = slice.count()
+          if (n > 0) rawPairsOf(slice).count()
+          n
+        } finally s.sparkContext.clearJobGroup()
+      } finally {
         // listener delivery is async: poll until the task counter stops
         // moving (200 ms quiet, 2 s cap) — the Bench.MetricsListener
         // settle discipline; a late task only under-counts spill, which
@@ -295,7 +310,10 @@ object DedupPack extends QueryPack {
           last = tasks.get()
           Thread.sleep(200)
         }
-      } finally s.sparkContext.removeSparkListener(listener)
+        s.sparkContext.removeSparkListener(listener)
+      }
+    if (rows <= 0) 0L
+    else {
       val perRow = spill.get() / rows
       System.err.println(
         s"[dedup] scratch probe: ${spill.get()} spill B over $rows sig rows " +
