@@ -249,14 +249,21 @@ object HttpServe {
     * state, which is where the traffic is). Probe failures propagate and
     * are never cached.
     *
-    * Stores race by COMPARE-AND-SET against the verdict read at entry
-    * (r17 ADVICE: last-writer-wins let a SLOW healthy probe, started
-    * before a failure, land after a newer probe had already observed
-    * unhealthy — caching "ok" for a full TTL right after an observed
-    * outage). The unhealthy verdict is stored (though never served) for
-    * exactly this reason: it occupies the slot, so the stale healthy
-    * probe's CAS fails against it — including the both-entered-empty
-    * race the null-reset form left open.
+    * Stores are ASYMMETRIC under races, mirroring the serving asymmetry
+    * (r17 ADVICE, tightened by this round's own review): a HEALTHY
+    * result stores by COMPARE-AND-SET against the verdict read at entry
+    * — if ANY probe stored since (healthy or not), that evidence is
+    * newer and the stale healthy result must not overwrite it (the r17
+    * last-writer-wins form let a slow pre-outage healthy probe cache
+    * "ok" for a full TTL right after an observed failure). An UNHEALTHY
+    * result stores UNCONDITIONALLY — it is never served from cache, it
+    * only forces future requests to re-probe, so recording it can only
+    * cost probes, never a wrong 200; a CAS here would be the opposite
+    * bug (review finding: a fast healthy store winning the slot made a
+    * NEWER unhealthy observation lose its CAS and the outage ride the
+    * TTL). Stale-unhealthy-clobbers-newer-healthy is the accepted
+    * residual: it forces re-probes until the next healthy probe, the
+    * safe direction by construction.
     *
     * The ttl is a SUPPLIER (r17 verdict #3): [[AutoTtl]] re-derives the
     * bound on a slow cadence, and each get() reads the current value.
@@ -276,9 +283,8 @@ object HttpServe {
         if (v0 != null && v0.ok && t - v0.at < ttlMs * 1000000L) true
         else {
           val v = probe
-          // a concurrent probe that stored since our entry read wins —
-          // its evidence is newer than ours
-          last.compareAndSet(v0, new V(v, now()))
+          if (v) last.compareAndSet(v0, new V(true, now()))
+          else last.set(new V(false, now()))
           v
         }
       }
@@ -311,21 +317,26 @@ object HttpServe {
     @volatile private var nextAt = now() + rederiveMs * 1000000L
     def current: Long = ttlMs
     def observe(probeMs: Double): Unit = {
-      val snap: Option[Seq[Double]] = ring.synchronized {
+      // derivation + write stay INSIDE the lock (review finding: a
+      // thread stalled between snapshot and write could overwrite a
+      // newer tick's bound with its stale one a cadence later); the
+      // p50 over ≤ 5 doubles costs nothing at once-per-cadence
+      val derived: Option[(Long, Long, Int)] = ring.synchronized {
         ring.addLast(probeMs)
         while (ring.size > TtlProbeSamples) ring.removeFirst()
         if (rederiveMs > 0 && now() >= nextAt) {
           nextAt = now() + rederiveMs * 1000000L
           import scala.jdk.CollectionConverters._
-          Some(ring.asScala.map(_.doubleValue()).toSeq)
+          val t = derivedTtlMs(ring.asScala.map(_.doubleValue()).toSeq, k)
+          val prev = ttlMs
+          ttlMs = t
+          if (t != prev) Some((t, prev, ring.size)) else None
         } else None
       }
-      snap.foreach { s =>
-        val t = derivedTtlMs(s, k)
-        if (t != ttlMs) System.err.println(
-          s"[http] re-derived healthTtlMs=$t (was $ttlMs; k=$k over the " +
-            s"last ${s.size} served probes)")
-        ttlMs = t
+      derived.foreach { case (t, prev, n) =>
+        System.err.println(
+          s"[http] re-derived healthTtlMs=$t (was $prev; k=$k over the " +
+            s"last $n served probes)")
       }
     }
   }

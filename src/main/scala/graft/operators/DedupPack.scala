@@ -259,9 +259,19 @@ object DedupPack extends QueryPack {
     * belong to that group from each job-start event's properties, and
     * only task-end events from those stages are counted — a CONCURRENT
     * job's spill during the probe (a multi-tenant driver) cannot
-    * inflate the reading. The residual race (a task-end delivered
-    * before its job-start) only under-counts, which degrades toward the
-    * fixture prior — never past it.
+    * inflate the reading. The caller's own job group / description /
+    * interrupt-on-cancel local properties are SAVED AND RESTORED, not
+    * cleared (review finding: clearJobGroup would have dropped the
+    * tenant's cancellation scope for the hours-long main passes that
+    * follow). The residual race (a task-end delivered before its
+    * job-start) only under-counts, which degrades toward the fixture
+    * prior — never past it.
+    *
+    * The probe is OPTIONAL EVIDENCE, so it must never fail the query it
+    * serves (review finding — same contract as the HttpServe TTL
+    * derivation probe): any non-fatal failure inside it logs and
+    * returns 0, i.e. the fixture prior carries the pick exactly as if
+    * the probe had been skipped.
     */
   private[graft] def probedSpillPerRow(s: SparkSession, sig: DataFrame): Long = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
@@ -270,6 +280,7 @@ object DedupPack extends QueryPack {
     // counts over a synthetic frame) is "no evidence", not an error
     if (!Seq("doc_id", "band", "minhash").forall(sig.columns.contains))
       return 0L
+    val sc = s.sparkContext
     val slice = sig.where(pmod(col("band"), lit(NumBands)) === 0)
     val group = s"graft-scratch-probe-${java.util.UUID.randomUUID()}"
     val spill = new java.util.concurrent.atomic.AtomicLong
@@ -289,37 +300,50 @@ object DedupPack extends QueryPack {
         }
       }
     }
-    s.sparkContext.addSparkListener(listener)
-    val rows =
-      try {
-        s.sparkContext.setJobGroup(group,
-          "dedup scratch probe (one band group at max sharding)")
+    val groupKeys =
+      Seq("spark.jobGroup.id", "spark.job.description",
+        "spark.job.interruptOnCancel")
+    try {
+      sc.addSparkListener(listener)
+      val saved = groupKeys.map(k => k -> sc.getLocalProperty(k))
+      sc.setJobGroup(group,
+        "dedup scratch probe (one band group at max sharding)")
+      val rows =
         try {
           val n = slice.count()
           if (n > 0) rawPairsOf(slice).count()
           n
-        } finally s.sparkContext.clearJobGroup()
-      } finally {
-        // listener delivery is async: poll until the task counter stops
-        // moving (200 ms quiet, 2 s cap) — the Bench.MetricsListener
-        // settle discipline; a late task only under-counts spill, which
-        // degrades toward the fixture prior, never past it
-        val deadline = System.nanoTime() + 2000000000L
-        var last = -1L
-        while (System.nanoTime() < deadline && tasks.get() != last) {
-          last = tasks.get()
-          Thread.sleep(200)
+        } finally {
+          // restore the CALLER's group (setLocalProperty(k, null) is
+          // Spark's documented removal form, so a caller with no group
+          // gets none back)
+          saved.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+          // listener delivery is async: poll until the task counter
+          // stops moving (200 ms quiet, 2 s cap) — the
+          // Bench.MetricsListener settle discipline; a late task only
+          // under-counts spill, degrading toward the fixture prior
+          val deadline = System.nanoTime() + 2000000000L
+          var last = -1L
+          while (System.nanoTime() < deadline && tasks.get() != last) {
+            last = tasks.get()
+            Thread.sleep(200)
+          }
         }
-        s.sparkContext.removeSparkListener(listener)
+      if (rows <= 0) 0L
+      else {
+        val perRow = spill.get() / rows
+        System.err.println(
+          s"[dedup] scratch probe: ${spill.get()} spill B over $rows sig " +
+            s"rows (1 of $NumBands band groups) -> $perRow B/row observed")
+        perRow
       }
-    if (rows <= 0) 0L
-    else {
-      val perRow = spill.get() / rows
-      System.err.println(
-        s"[dedup] scratch probe: ${spill.get()} spill B over $rows sig rows " +
-          s"(1 of $NumBands band groups) -> $perRow B/row observed")
-      perRow
-    }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[dedup] scratch probe failed (${e.getMessage}); the fixture " +
+            "prior carries the pick")
+        0L
+    } finally sc.removeSparkListener(listener)
   }
 
   /** The matrix's own average row footprint (bytes), over a bounded

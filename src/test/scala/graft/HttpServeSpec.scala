@@ -432,6 +432,33 @@ class HttpServeSpec extends SparkSuite {
     assert(probes == 4)
   }
 
+  test("TtlVerdict: a NEWER unhealthy observation beats an earlier-stored healthy verdict") {
+    // The review finding on the first r18 CAS form: a uniform CAS made
+    // the FIRST writer win, so a fast healthy probe storing before a
+    // slower probe observed the outage left the outage riding the TTL —
+    // the exact class the asymmetry exists to prevent, and a regression
+    // vs the old null-reset form in this interleaving. Unhealthy now
+    // stores UNCONDITIONALLY (it is never served, it only forces
+    // re-probes — recording it can only cost probes, never a wrong 200);
+    // only healthy stores race by CAS.
+    var probes = 0
+    var nowNs = 0L
+    val v = new HttpServe.TtlVerdict(100L, () => nowNs)
+    // B enters on the empty cache; while B's probe is in flight, A runs
+    // a COMPLETE healthy get (and stores "ok"); B then observes the
+    // outage LAST
+    assert(!v.get({
+      assert(v.get({ probes += 1; true })) // A: full cycle, stores healthy
+      probes += 1
+      false // B: the newer evidence — the outage
+    }))
+    nowNs = 1L * 1000000L
+    // inside A's would-be TTL window: B's store evicted the healthy
+    // verdict, so the next request RE-PROBES instead of serving 200
+    assert(!v.get({ probes += 1; false }))
+    assert(probes == 3)
+  }
+
   test("AutoTtl re-derives k × p50 over served probes, on the cadence only") {
     // r17 verdict #3: the startup-only derivation froze a long-lived
     // server's staleness bound at startup probe cost. The evidence ring

@@ -60,6 +60,34 @@ class Round18OpsSpec extends SparkSuite {
     }
   }
 
+  test("probe is optional evidence: failures degrade to the prior, the caller's job group survives") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a probe whose ACTION fails (ANSI division by zero surfaces when
+    // the aggregation first evaluates minhash) must log and return 0 —
+    // the fixture prior carries the pick exactly as if skipped, never
+    // failing the dedup query the probe serves (review finding)
+    val bad = (0L until 8L).flatMap(d => (0 until 4).map(b => (d, b)))
+      .toDF("doc_id", "band").withColumn("minhash", expr("1 div 0"))
+    assert(DedupPack.probedSpillPerRow(spark, bad) == 0L)
+    // the probe scopes its metrics with its own job group but must
+    // RESTORE the caller's (review finding: clearing it would drop a
+    // multi-tenant driver's cancellation scope for the main passes
+    // that follow)
+    val sig = (0L until 16L)
+      .flatMap(d => (0 until 4).map(b => (d, b, d * 31L + b)))
+      .toDF("doc_id", "band", "minhash")
+    sc.setJobGroup("tenant-1", "outer work")
+    try {
+      assert(DedupPack.probedSpillPerRow(spark, sig) == 0L)
+      assert(sc.getLocalProperty("spark.jobGroup.id") == "tenant-1")
+      assert(sc.getLocalProperty("spark.job.description") == "outer work")
+    } finally sc.clearJobGroup()
+    // ...and a caller with NO group gets none left behind
+    assert(DedupPack.probedSpillPerRow(spark, sig) == 0L)
+    assert(sc.getLocalProperty("spark.jobGroup.id") == null)
+  }
+
   test("sampled row width counts UTF-8 BYTES, not characters (r17 ADVICE)") {
     import spark.implicits._
     // 'é' is 1 character but 2 UTF-8 bytes — what UnsafeRow stores. The
