@@ -81,6 +81,12 @@ object HttpChaos {
     if (args.length > 1 && args(1).nonEmpty) builder.config("spark.jars", args(1))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF=k=v,k=v — the Bench/ServeLatency injector, ONE
+    // shared definition, so a chaos run can drive the serving dials
+    // (e.g. the r18 TTL re-derivation) through the same contract; the
+    // applied confs ride in the JSON line so the record is
+    // self-describing.
+    val injectedConf = graft.Bench.injectConf(spark)
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -232,7 +238,8 @@ object HttpChaos {
       s""","max_latency_ms":${maxLatencyMs.get()}""" +
       s""","executor_killed":${killed.get()},"executor_removed_observed":${removedSeen.get()}""" +
       s""","view_rows":$gotRows,"view_hash_match":${gotHash == expHash}""" +
-      s""","probe_lookup_ok":$probeOk,"load1_start":${r3(load1)},"ok":$ok}""")
+      s""","probe_lookup_ok":$probeOk,"conf":"${HttpServe.jsonEscape(injectedConf)}"""" +
+      s""","load1_start":${r3(load1)},"ok":$ok}""")
     spark.stop()
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
