@@ -246,6 +246,24 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE partition-coalescing floor (r18 optimization; guide §2.5's
+      // skew lesson applied to COALESCING): the coalescer targets
+      // max(minPartitionSize, totalShuffleBytes / parallelism) per
+      // partition, so with the default 1 MB floor a CPU-dense shuffle of
+      // a few MB (string windows, listagg, fingerprint chains) collapses
+      // to 1-2 partitions and serializes on one core while the other 31
+      // idle — bytes are the wrong proxy for work on string operators
+      // (measured: x12 1.75 s → 0.68 s with the floor at 64k; d16
+      // 1.66 → 1.43; interleaved same-JVM A/B, min of 3). 64k keeps the
+      // target at totalBytes/defaultParallelism — i.e. "respect the
+      // session's parallelism" — and is SCALE-NEUTRAL: any shuffle over
+      // parallelism × 1 MB (every production-sized stage, where
+      // totalBytes/parallelism ≥ the old floor) coalesces exactly as
+      // before; only sub-32 MB shuffles change, and those exist at
+      // fixture scale, not at 100 TB. The value follows the session's
+      // core count, so the driver's lower-core bench runs scale it
+      // automatically.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
       .foreach(builder.config("spark.executor.memory", _))

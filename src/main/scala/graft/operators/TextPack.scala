@@ -914,9 +914,6 @@ object TextPack extends QueryPack {
 
   private[graft] def trainPocket(feats: DataFrame): Array[Long] = {
     val nx = CanonFeatures.size
-    var w = new Array[Long](nx + 1)
-    var bestW = w.clone()
-    var bestM = Long.MaxValue
     // Per-epoch fixed cost at ANY scale: the weights are literals, so
     // every epoch is a NEW query Catalyst must analyze and optimize.
     // The naive form repeated the 27-term margin inside all 28
@@ -925,6 +922,29 @@ object TextPack extends QueryPack {
     // projecting the miss predicate ONCE and aggregating simple
     // products keeps the epoch plan ~10× smaller. Same exact integers,
     // same results — only the plan size changes.
+    //
+    // AQE is OFF for the loop (r18 optimization): each epoch is one
+    // two-stage global aggregate over the pinned frame, but AQE
+    // materializes the partial-agg shuffle as its own query stage, so
+    // every epoch pays TWO scheduler round trips plus an AQE re-plan —
+    // pure fixed overhead at any scale (the frame is the pinned sample;
+    // a two-stage global agg has nothing for AQE to adapt). Toggled on
+    // the caller's session and restored in finally — a child session
+    // was tried first and rejected: re-rooting the pinned frame through
+    // either bridge (Row round-trip or the InternalRow LogicalRDD)
+    // measured 3-5× MORE task time per epoch scan than the in-session
+    // cached-plan scan. Same exact integers; jobs 55 → 30 (t29).
+    val conf = feats.sparkSession.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try trainPocketLoop(feats, nx)
+    finally conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def trainPocketLoop(feats: DataFrame, nx: Int): Array[Long] = {
+    var w = new Array[Long](nx + 1)
+    var bestW = w.clone()
+    var bestM = Long.MaxValue
     for (e <- 1 to PerceptronEpochs + 1) {
       val misRows = feats.select(
         (when(col("y") * canonMargin(w) <= 0, 1L).otherwise(0L)).as("mis") +:

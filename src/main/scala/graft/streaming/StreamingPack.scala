@@ -1389,6 +1389,22 @@ object StreamingPack extends QueryPack {
     // A production deployment running corpus-sized batch jobs on the same
     // session would keep it on.
     ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // Batch-source SPLIT size (r18 optimization; guide §6 input splits):
+    // each staged wire file is one micro-batch's delivery, and at the
+    // default 128 MB split a whole batch parses in ONE task — measured
+    // (StreamDiag, s12): the JSON-decode job is 0.76 s single-task while
+    // width-4 sits idle; JSON/text decode is ~100× more CPU per byte
+    // than a parquet scan, so splits must be sized to CPU, not bytes.
+    // 1 MB splits fan one wire file across the replay width — measured
+    // (interleaved same-JVM A/B, min of 3): s1 2.64→2.09, s13
+    // 3.25→2.72, s15 2.64→2.11, s6 2.33→1.84, s12 2.90→2.56 s; the
+    // parquet-wire queries are unchanged (one row group stays one
+    // split). Like `width`, this is MICRO-BATCH-sized tuning the child
+    // session exists for — a production stream's batches are many
+    // files × hundreds of MB, where the default split is right; the
+    // dial keeps it overridable per deploy.
+    ss.conf.set("spark.sql.files.maxPartitionBytes",
+      s.conf.get("graft.stream.replayMaxPartitionBytes", "1m"))
     ss
   }
 
