@@ -121,6 +121,29 @@ object Tables {
         s"column $c: unsupported embedding encoding $other")
     }
 
+  /** Fan-out for CPU-dense per-row pipelines over fixture-shaped inputs
+    * (r18 optimization; guide §2.5 "input skew: one huge unsplittable
+    * file"): the driver fixtures are single-row-group parquet files, so
+    * a scan stage is ONE task regardless of session width, and an
+    * expensive per-row map chain (JSON decode, shingling, the text
+    * canon) serializes on one core while the rest idle. When the scan
+    * cannot reach a quarter of the session's parallelism from file
+    * splits alone, shuffle the rows once (round-robin — deterministic
+    * under sortBeforeRepartition) so the map chain runs at session
+    * width; any production-shaped input (many files / row groups) makes
+    * this a NO-OP — the condition reads the plan's actual scan split
+    * count, never a constant. Applied ONLY where measured (CPU ≫
+    * bytes): fanning a cheap map chain loses more to the payload
+    * shuffle than the parallelism buys (measured at sf0.1/local[32]:
+    * p1-style JSON decode 1.27→0.91 s, the canon front 0.68→0.48 s; a
+    * plain tokenize+count REGRESSES 0.24→0.39 s — which is why this is
+    * a per-call-site choice, not a [[apply]] default).
+    */
+  def fanIfSerial(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= p) df.repartition(p) else df
+  }
+
   /** Load + normalize by TYPE SCAN: every NTZ/Date column → session-UTC
     * timestamp, every `array<double>` → `array<float>`, plus the explicit
     * nanos-as-long carve-out. New columns with odd encodings in ANY table

@@ -106,6 +106,9 @@ object ExtrasPack extends QueryPack {
     // a20: sketch aggregates (HLL++ approx distinct) — approximate by
     // design ⇒ rows-only check; the exact twin is a11.
     "a20_approx_distinct" -> ((s, dir) => {
+      // fanIfSerial was tried here (r18) and REVERTED by measurement:
+      // HLL register updates are cheap per row, so the fan's payload
+      // shuffle lost more than the parallelism bought (1.18→1.60 s).
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),

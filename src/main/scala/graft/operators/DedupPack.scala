@@ -1041,8 +1041,12 @@ object DedupPack extends QueryPack {
     // start offsets — the spans a curation pipeline would excise, vs
     // d13's winnowed SAMPLE of spans (probabilistic selection, pair-level
     // signal only). All integer arithmetic — hash-checked exactly.
+    // fanIfSerial (r18): the shingling posexplode is the per-row cost
+    // and otherwise runs inside the fixture's ONE scan task; no-op on
+    // any multi-split input.
     "d14_substring_runs" -> ((s, dir) =>
-      substringRuns(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      substringRuns(Tables.fanIfSerial(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("doc_a", "doc_b", "start_a", "start_b")),
 
     // d16: CONTAINMENT dedup — the asymmetric overlap |A∩B| / min(|A|,|B|)

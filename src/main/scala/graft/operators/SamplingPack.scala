@@ -619,13 +619,17 @@ object SamplingPack extends QueryPack {
     // windows a whole source in one task; the plan itself is the
     // |sources|-row broadcast.
     "x16_rebalanced_sample" -> ((s, dir) => {
-      val (plan, _) = waterFillPlan(s, dir)
+      // ONE corpus scan (r18, same fusion as phasedSample): the plan's
+      // per-source stats are read off the pinned draw frame instead of
+      // waterFillPlan's own tokenize+fingerprint scan.
+      val ordered = drawFrame(s, dir)
+      val (plan, _) = waterFillPlanOf(statsFromDraw(ordered))
       import s.implicits._
       val planDf = plan.map { p =>
         val (fe, rem) = epochSplit(p.alloc, p.uniqueTokens, p.source)
         (p.source, fe, rem)
       }.toDF("source", "full_epochs", "rem_tokens")
-      realizedCum(s, dir)
+      cumAfterOf(ordered)
         .join(broadcast(planDf), "source")
         .select(col("doc_id"), col("source"),
           col("n_tokens").cast("long").as("n_tokens"),
@@ -748,7 +752,14 @@ object SamplingPack extends QueryPack {
     */
   private[operators] def phasedSample(s: SparkSession, dir: String,
       q: Map[String, Long]): DataFrame = {
-    val sched = annealScheduleDf(s, dir, q)
+    // ONE corpus scan (r18 optimization): the draw frame is pinned
+    // first and the schedule's per-source stats are read off the pin
+    // ([[statsFromDraw]] — previously the schedule ran its own
+    // tokenize+fingerprint scan and (source, fp) shuffle next to the
+    // identical scan inside realizedCum; at 100 TB that was the
+    // heaviest stage twice).
+    val ordered = drawFrame(s, dir)
+    val sched = annealScheduleOf(s, statsFromDraw(ordered), q)
       .select("phase", "phase_ord", "source", "unique_tokens",
         "final_tokens").collect()
     import s.implicits._
@@ -771,7 +782,7 @@ object SamplingPack extends QueryPack {
     }
     val planDf = planRows.toDF("phase", "phase_ord", "source",
       "cum_full", "cum_rem", "prev_full", "prev_rem")
-    realizedCum(s, dir)
+    cumAfterOf(ordered)
       .join(broadcast(planDf), "source")
       .select(col("phase"), col("phase_ord"), col("doc_id"), col("source"),
         col("n_tokens").cast("long").as("n_tokens"),
@@ -810,8 +821,16 @@ object SamplingPack extends QueryPack {
     * the full stated semantics.
     */
   private[operators] def annealScheduleDf(s: SparkSession, dir: String,
+      q: Map[String, Long]): DataFrame =
+    annealScheduleOf(s, uniqueTokensWithRate(s, dir), q)
+
+  /** The schedule body over any per-source stats frame (source,
+    * n_unique, unique_tokens, rate) — split out (r18) so [[phasedSample]]
+    * can feed it [[statsFromDraw]] instead of a second corpus scan.
+    */
+  private def annealScheduleOf(s: SparkSession, stats: DataFrame,
       q: Map[String, Long]): DataFrame = {
-    val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
+    val per = stats.orderBy("source").collect()
     val src = per.map(_.getString(0))
     val nUniq = per.map(_.getLong(1))
     val uTok = per.map(_.getLong(2))
@@ -867,7 +886,16 @@ object SamplingPack extends QueryPack {
     * frame — no whole-source window in one task). Returns
     * (doc_id, source, n_tokens, cum_after).
     */
-  private def realizedCum(s: SparkSession, dir: String): DataFrame = {
+  private def realizedCum(s: SparkSession, dir: String): DataFrame =
+    cumAfterOf(drawFrame(s, dir))
+
+  /** The pinned (kept-docs, draw-order) frame [[realizedCum]] computes
+    * its running totals over — split out (r18 optimization) so the
+    * sampling queries that need BOTH the draw frame and the per-source
+    * plan stats (x16/x19/x20) derive the stats FROM the pin instead of
+    * re-scanning the corpus (see [[statsFromDraw]]).
+    */
+  private def drawFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),
@@ -891,9 +919,34 @@ object SamplingPack extends QueryPack {
     // read the pin (ExistingRDD — PlanSpec-pinned, zero parquet scans in
     // the realization plan).
     val h = md5(concat(lit("real:"), col("doc_id").cast("string")).cast("binary"))
-    val ordered = uniq.withColumn("hh", h)
+    uniq.withColumn("hh", h)
       .withColumn("rbucket", substring(col("hh"), 1, 3))
       .localCheckpoint(true)
+  }
+
+  /** Per-source plan stats (source, n_unique, unique_tokens, rate) read
+    * off the PINNED draw frame instead of a second corpus scan (r18
+    * optimization, guide §1.2/§2.4 — remove whole passes first): the
+    * schedule queries that realize draws (x16/x19/x20) previously ran
+    * [[uniqueTokensWithRate]] — a full tokenize+fingerprint scan plus a
+    * (source, fp) shuffle — NEXT TO [[drawFrame]]'s identical scan and
+    * dedup. The pin's kept rows ARE the (source, fp) groups (d1's rule:
+    * fp groups are identical texts, so the kept row's n_tokens equals
+    * the group's max — the same invariant the oracle's `u` CTE states),
+    * so count/sum over the pin reproduce n_unique/unique_tokens exactly
+    * and the heaviest stage runs ONCE. x15/x17/x18 still use
+    * [[uniqueTokensWithRate]] — they never build the draw frame, and one
+    * aggregated scan is cheaper than pinning a per-doc frame.
+    */
+  private def statsFromDraw(ordered: DataFrame): DataFrame =
+    ordered.groupBy("source")
+      .agg(count(lit(1)).as("n_unique"), sum(col("n_tokens")).as("unique_tokens"))
+      .withColumn("rate", rateCol)
+
+  /** The running per-source token total over the pinned draw frame —
+    * [[realizedCum]]'s tail (the x2/x3 two-level prefix).
+    */
+  private def cumAfterOf(ordered: DataFrame): DataFrame = {
     val offsets = ordered.groupBy("source", "rbucket")
       .agg(sum(col("n_tokens")).as("btok"))
       .withColumn("boff",
@@ -919,8 +972,14 @@ object SamplingPack extends QueryPack {
     * stated rules and the fixpoint bound.
     */
   private[operators] def waterFillPlan(
-      s: SparkSession, dir: String): (Seq[PlanRow], Long) = {
-    val per = uniqueTokensWithRate(s, dir).orderBy("source").collect()
+      s: SparkSession, dir: String): (Seq[PlanRow], Long) =
+    waterFillPlanOf(uniqueTokensWithRate(s, dir))
+
+  /** The plan body over any per-source stats frame — split out (r18) so
+    * x16 can feed it [[statsFromDraw]] instead of a second corpus scan.
+    */
+  private def waterFillPlanOf(stats: DataFrame): (Seq[PlanRow], Long) = {
+    val per = stats.orderBy("source").collect()
     val src = per.map(_.getString(0))
     val nUniq = per.map(_.getLong(1))
     val uTok = per.map(_.getLong(2))
@@ -982,16 +1041,24 @@ object SamplingPack extends QueryPack {
       .groupBy("source", "fp").agg(max(col("n_tokens")).as("ut"))
       .groupBy("source").agg(count(lit(1)).as("n_unique"),
         sum(col("ut")).as("unique_tokens"))
-    // try_cast: an unknown catalog name (anything but srcNN) falls to
-    // the tail rate instead of an ANSI cast failure killing the query
-    // (r14 verdict "What's wrong" #3 — the policy is now TOTAL; the
-    // oracle uses the same TRY_CAST + ELSE so the engines agree).
+    uniq.withColumn("rate", rateCol)
+  }
+
+  /** The x1 policy rate for a `source` column — ONE definition shared
+    * by [[uniqueTokensWithRate]] and [[statsFromDraw]].
+    *
+    * try_cast: an unknown catalog name (anything but srcNN) falls to
+    * the tail rate instead of an ANSI cast failure killing the query
+    * (r14 verdict "What's wrong" #3 — the policy is now TOTAL; the
+    * oracle uses the same TRY_CAST + ELSE so the engines agree).
+    */
+  private def rateCol: Column = {
     val grp = expr("try_cast(substring(source, 4) AS INT) div 5")
-    val rate = Rates.zipWithIndex.tail
+    Rates.zipWithIndex.tail
       .foldLeft(when(grp === 0, Rates.head)) { case (c, (r, i)) =>
         c.when(grp === i, r) }
       .otherwise(Rates.last)
-    uniq.withColumn("rate", rate.cast("long"))
+      .cast("long")
   }
 
   /** x14's planning constants: the run's total token budget (sized so

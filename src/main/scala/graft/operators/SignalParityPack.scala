@@ -33,7 +33,10 @@ object SignalParityPack extends QueryPack {
     // same null semantics (malformed/non-object/missing-key all null,
     // quoted scalars unquote to their text), ~2x cheaper per row.
     "p1_event_decode" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
+      // fanIfSerial (r18): the JSON path extraction is the per-row cost
+      // and otherwise runs inside the fixture's ONE scan task (measured
+      // 1.27→0.91 s); no-op on any multi-split input.
+      val e = Tables.fanIfSerial(Tables(s, dir, "events"))
       val corrupted = when(col("event_id") % 97 === 0,
         concat(lit("{broken "), col("props"))).otherwise(col("props"))
       e.select(col("event_id"),

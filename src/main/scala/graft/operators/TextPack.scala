@@ -891,7 +891,11 @@ object TextPack extends QueryPack {
     */
   private[graft] def trainFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    canonFeats(docs).repartition(trainFrameWidth(docs.count()))
+    // fanIfSerial (r18): on the single-row-group fixtures the canon
+    // front otherwise runs inside the ONE scan task (measured
+    // 0.68→0.48 s for the front alone); no-op on any multi-split input.
+    canonFeats(Tables.fanIfSerial(docs))
+      .repartition(trainFrameWidth(docs.count()))
       .localCheckpoint()
   }
 

@@ -292,31 +292,7 @@ object StreamingPack extends QueryPack {
     // full drain equals the batch left-outer join).
     "s5_stream_outer_join" -> ((s, dir) => {
       val tmp = scratch("graft-s5-")
-      val e = Tables(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      // Sentinels must survive the per-side event_type filters
-      // (withWatermark sits AFTER the filter): one purchase-typed and one
-      // click-typed row on disjoint negative users, click strictly later
-      // so the pair cannot join. Built as driver-side literals from one
-      // max(ts) scan — no per-sentinel TakeOrdered jobs.
-      // The sentinel scheme (users -1/-2, result filter p_id >= 0) assumes
-      // real ids are non-negative; a data-generator change to negative ids
-      // would silently corrupt the oracle comparison — fail loudly instead.
-      val stats = e.agg(max(col("ts")), min(col("event_id")), min(col("user_id"))).head()
-      require(stats.getLong(1) >= 0 && stats.getLong(2) >= 0,
-        s"s5 sentinels need non-negative ids: min(event_id)=${stats.getLong(1)}, " +
-          s"min(user_id)=${stats.getLong(2)}")
-      val maxTs = stats.getTimestamp(0)
-      def writeSentinel(days: Int): Unit = {
-        val day = 86400000L
-        s.createDataFrame(Seq(
-            (-1L, new java.sql.Timestamp(maxTs.getTime + days * day), -1L, "purchase"),
-            (-2L, new java.sql.Timestamp(maxTs.getTime + (days + 1) * day), -2L, "click")))
-          .toDF("event_id", "ts", "user_id", "event_type")
-          .coalesce(1).write.mode("append").parquet(s"$tmp/sent")
-      }
-      writeSentinel(30)
-      writeSentinel(60)
+      val sent = stagedSentinels(s, dir)
 
       // noData off: every real outer row flushes inside the second
       // sentinel's DATA batch (eviction runs under the watermark set by
@@ -340,13 +316,13 @@ object StreamingPack extends QueryPack {
       // it would over a multi-topic source. (Either sentinel order works:
       // both are far-future, so whichever lands in batch 0 advances the
       // watermark past all real data and the other's batch flushes.)
-      val sentSchema = s.read.parquet(s"$tmp/sent").schema
+      val sentSchema = s.read.parquet(sent).schema
       def side(tpe: String, u: String, t: String, id: String): DataFrame =
         eventsStream(ss, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
           .unionByName(ss.readStream.schema(sentSchema)
             .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.parquet").parquet(s"$tmp/sent"))
+            .option("pathGlobFilter", "*.parquet").parquet(sent))
           .where(col("event_type") === tpe)
           .select(col("user_id").as(u), col("ts").as(t), col("event_id").as(id))
           .withWatermark(t, "1 hour")
@@ -1292,6 +1268,46 @@ object StreamingPack extends QueryPack {
       stageSplitWire(
         (wire.where(col("seq") % 2 === 1), "ontime"),
         (wire.where(col("seq") % 2 === 0), "late"), "json")
+    })
+
+  /** s5's sentinel side-channel, staged once per process per dir (r18
+    * optimization — the same fixture-staging memo discipline as
+    * [[stagedLateWire]]/[[stagedNeardupWire]]): the two far-future
+    * sentinel files are a pure, deterministic function of the events
+    * table (max ts), so re-deriving max(ts) and re-writing them per
+    * invocation only pads the replay timing; the join itself stays fully
+    * priced. Sentinels must survive the per-side event_type filters
+    * (withWatermark sits AFTER the filter): one purchase-typed and one
+    * click-typed row on disjoint negative users, click strictly later so
+    * the pair cannot join. Built as driver-side literals from one
+    * max(ts) scan — no per-sentinel TakeOrdered jobs.
+    * The sentinel scheme (users -1/-2, result filter p_id >= 0) assumes
+    * real ids are non-negative; a data-generator change to negative ids
+    * would silently corrupt the oracle comparison — fail loudly instead.
+    */
+  private val stagedSentinelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedSentinels(s: SparkSession, dir: String): String =
+    stagedSentinelDirs.computeIfAbsent(dir, { d =>
+      val out = s"${scratch("graft-s5-sent-")}/sent"
+      val e = Tables(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val stats = e.agg(max(col("ts")), min(col("event_id")), min(col("user_id"))).head()
+      require(stats.getLong(1) >= 0 && stats.getLong(2) >= 0,
+        s"s5 sentinels need non-negative ids: min(event_id)=${stats.getLong(1)}, " +
+          s"min(user_id)=${stats.getLong(2)}")
+      val maxTs = stats.getTimestamp(0)
+      def writeSentinel(days: Int): Unit = {
+        val day = 86400000L
+        s.createDataFrame(Seq(
+            (-1L, new java.sql.Timestamp(maxTs.getTime + days * day), -1L, "purchase"),
+            (-2L, new java.sql.Timestamp(maxTs.getTime + (days + 1) * day), -2L, "click")))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(out)
+      }
+      writeSentinel(30)
+      writeSentinel(60)
+      out
     })
 
   /** s14's adversarial delivery, staged once per process: the documents
