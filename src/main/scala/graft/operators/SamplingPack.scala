@@ -895,7 +895,7 @@ object SamplingPack extends QueryPack {
     * plan stats (x16/x19/x20) derive the stats FROM the pin instead of
     * re-scanning the corpus (see [[statsFromDraw]]).
     */
-  private def drawFrame(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def drawFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),
@@ -938,7 +938,7 @@ object SamplingPack extends QueryPack {
     * [[uniqueTokensWithRate]] — they never build the draw frame, and one
     * aggregated scan is cheaper than pinning a per-doc frame.
     */
-  private def statsFromDraw(ordered: DataFrame): DataFrame =
+  private[operators] def statsFromDraw(ordered: DataFrame): DataFrame =
     ordered.groupBy("source")
       .agg(count(lit(1)).as("n_unique"), sum(col("n_tokens")).as("unique_tokens"))
       .withColumn("rate", rateCol)
@@ -1034,7 +1034,7 @@ object SamplingPack extends QueryPack {
     * is THE value) plus the x1 Rates policy rate. ONE (source, fp)
     * shuffle, map-side combined.
     */
-  private def uniqueTokensWithRate(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def uniqueTokensWithRate(s: SparkSession, dir: String): DataFrame = {
     val uniq = Tables(s, dir, "documents")
       .select(col("source"), size(tokens(col("text"))).as("n_tokens"),
         md5Prefix60(col("text")).as("fp"))
