@@ -259,6 +259,13 @@ package object functions {
   def bloom_hits(hashes: Column, bits: Array[Long], k: Int): Column =
     columnOf(BloomHits(exprOf(hashes), exprOf(lit(bits)), exprOf(lit(k))))
 
+  /** Evaluate-exactly-once barrier for an expensive projection: blocks the
+    * optimizer from duplicating the expression into a pushed-down filter
+    * (or past a fan exchange). Zero runtime cost, codegen passthrough.
+    * See [[EvalOnce]] for when NOT to use it.
+    */
+  def eval_once(c: Column): Column = columnOf(EvalOnce(exprOf(c)))
+
   /** Cross-engine-stable 64-bit-ish hash: first 15 hex digits of md5 as a
     * positive long. Used where the DuckDB oracle must reproduce the hash
     * (Spark's xxhash64/hash have no DuckDB equivalent).

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryPack, Tables}
+import graft.functions.eval_once
 import graft.domain.PriorityCodec
 import graft.projection.{SignalProjection, SignalStore}
 
@@ -37,11 +38,17 @@ object SignalParityPack extends QueryPack {
       // and otherwise runs inside the fixture's ONE scan task (measured
       // 1.27→0.91 s); no-op on any multi-split input.
       val e = Tables.fanIfSerial(Tables(s, dir, "events"))
-      val corrupted = when(col("event_id") % 97 === 0,
-        concat(lit("{broken "), col("props"))).otherwise(col("props"))
+      // eval_once (r18, guide §4.4): without the barrier the k-notnull
+      // filter pushes below the fan exchange carrying a CLONE of the whole
+      // JSON decode — every row paid the parse twice, and the filter's
+      // copy ran serially inside the single scan task the fan exists to
+      // escape. The barrier pins one fanned evaluation; the filter then
+      // references the attribute only.
       e.select(col("event_id"),
-          get_json_object(corrupted, "$.k").as("ktext"))
-        .select(col("event_id"), expr("try_cast(ktext AS LONG)").as("k"))
+          eval_once(expr(
+            "try_cast(get_json_object(" +
+              "CASE WHEN event_id % 97 = 0 THEN '{broken ' || props " +
+              "ELSE props END, '$.k') AS LONG)")).as("k"))
         .where(col("k").isNotNull)
         .orderBy("event_id")
     }),

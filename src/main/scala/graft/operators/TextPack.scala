@@ -567,14 +567,23 @@ object TextPack extends QueryPack {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           explode(shingle_hashes_bag(col("text"), 1)).as("h"))
+      // Pin the trained profile (r18, guide §2.4): it IS the published
+      // model artifact (vocab-bounded — one row per distinct token), and
+      // it is consumed twice below (the totals and the scoring join);
+      // unpinned, each consumer re-ran the corpus tokenize + pivot.
       val prof = LangLabels.foldLeft(
           toks.groupBy("h").pivot("lang", LangLabels).agg(count(lit(1)))
             .na.fill(0L)) {
         (df, l) => df.withColumnRenamed(l, s"c_$l") }
-      val totAggs = LangLabels.map(l =>
-        sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l")) :+
-        countDistinct(col("h")).as("v")
-      val tot = toks.agg(totAggs.head, totAggs.tail: _*)
+        .localCheckpoint(true) // eager: GC-owned blocks, see lshPairs
+      // Label totals and V derived FROM the pinned profile, not from a
+      // third corpus tokenize (r18, guide §2.4 remove whole passes) —
+      // exact by construction: Σ_h c_{t,l} telescopes to the row count
+      // per label (every token row lands in exactly one (h, lang) cell),
+      // and V = countDistinct(h) is the profile's own row count.
+      val totAggs = LangLabels.map(l => sum(col(s"c_$l")).as(s"n_$l")) :+
+        count(lit(1)).as("v")
+      val tot = prof.agg(totAggs.head, totAggs.tail: _*)
       val q6 = LangLabels.map { l =>
         round(lit(1000000.0) *
           ((col(s"c_$l") + lit(1)).cast("double") /
@@ -2240,8 +2249,16 @@ object TextPack extends QueryPack {
     * doc_id for the join.
     */
   private[operators] def bm25Factors(docs: DataFrame): DataFrame = {
+    // Pin the (doc_id, w, tf) frame (r18, guide §2.4 remove whole passes):
+    // tf is referenced FOUR times in the expanded tree below (dfreq,
+    // the final join's left side, dl's build, and dl again inside stats),
+    // and Catalyst does not share subtrees — unpinned, every consumer
+    // re-ran the corpus tokenize + the (doc_id, w) shuffle, the heaviest
+    // stage of the whole operator, four times at any scale. Same eager
+    // localCheckpoint discipline as DedupPack.lshPairs (GC-owned blocks).
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("int").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
