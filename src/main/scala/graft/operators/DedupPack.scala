@@ -834,8 +834,13 @@ object DedupPack extends QueryPack {
     // every table) are the documented approximation; d6b brute-verifies
     // a bounded sample and RecallSpec gates the miss rate.
     "d6_embed_neardup" -> ((s, dir) => {
+      // fanIfSerial (r18 §10): the fixture's single-split scan made the
+      // pinned LSH frame ONE partition (plan showed UnknownPartitioning(0)
+      // with 1 task), so the bucket-code pass, the pin write, and every
+      // downstream exchange read serially; no-op on multi-split inputs.
       val sig = SimilarityPack
-        .lshBuckets(s, Tables(s, dir, "embeddings"), NeardupTables)
+        .lshBuckets(s, Tables.fanIfSerial(Tables(s, dir, "embeddings")),
+          NeardupTables)
         .localCheckpoint(true) // eager: GC-owned blocks, see lshPairs
 
       val a = sig.select(col("table"), col("bucket"),
@@ -849,10 +854,16 @@ object DedupPack extends QueryPack {
       // two 64-float embeddings each. Dedup-first measured 24 s at sf0.1;
       // this shape runs in ~2 s. At 100 TB the trade is even more lopsided:
       // recomputing a dot product is always cheaper than shuffling wide rows.
+      // eval_once (r18 §10, guide §4.4): unbarriered, the threshold
+      // filter was cloned into the join condition while the projection
+      // kept its own copy — every ABOVE-threshold pair paid the cosine
+      // twice. The barrier pins one evaluation per candidate; candidates
+      // below threshold cost exactly what they did before.
       a.join(b, Seq("table", "bucket"))
         .where(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
+          graft.functions.eval_once(
+            round(cosine_similarity(col("ea"), col("eb")), 6)).as("cos_sim"))
         .where(col("cos_sim") >= 0.35)
         .dropDuplicates("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
@@ -868,7 +879,9 @@ object DedupPack extends QueryPack {
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(cosine_similarity(col("ea"), col("eb")), 6).as("cos_sim"))
+          // eval_once: same §4.4 clone as d6 — see the d6 note
+          graft.functions.eval_once(
+            round(cosine_similarity(col("ea"), col("eb")), 6)).as("cos_sim"))
         .where(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     }),

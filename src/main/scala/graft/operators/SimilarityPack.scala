@@ -113,7 +113,11 @@ object SimilarityPack extends QueryPack {
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosine_similarity(col("embedding"), col("qe")), 6).as("cos_sim"))
+          // eval_once (r18, guide §4.4): the τ filter otherwise clones
+          // the compiled cosine — in-range rows scored it twice
+          graft.functions.eval_once(
+            round(cosine_similarity(col("embedding"), col("qe")), 6))
+            .as("cos_sim"))
         .where(col("cos_sim") >= RangeTau)
         .orderBy(desc("cos_sim"), col("vec_id"))
     }),

@@ -88,14 +88,27 @@ object SignalProjection {
 
   /** P3/P5: keyed LWW fold — latest event (by `seq`) per key, all columns.
     * One shuffle, map-side combine, no join.
+    *
+    * `alsoGroup` (r18): extra grouping columns that are FUNCTIONS OF THE
+    * KEY (the bucketed store's `_bucket = hash(key) % B`) — grouping by
+    * (key, f(key)) is the same partition of rows as grouping by key, but
+    * it lets a caller that has already repartitioned by f(key) run the
+    * fold WITHOUT a second exchange: HashPartitioning(f(key)) satisfies
+    * ClusteredDistribution(key, f(key)) (partitioning exprs ⊆ clustering
+    * exprs), so the aggregate reuses the layout the write needs anyway.
+    * Callers own the function-of-key invariant; an unrelated column here
+    * would change the fold.
     */
-  def latestByKey(events: DataFrame, key: String = "id", seq: String = "seq"): DataFrame = {
-    val payloadCols = events.columns.filterNot(_ == key)
+  def latestByKey(events: DataFrame, key: String = "id", seq: String = "seq",
+      alsoGroup: Seq[String] = Nil): DataFrame = {
+    val payloadCols =
+      events.columns.filterNot(c => c == key || alsoGroup.contains(c))
     val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
     events
-      .groupBy(col(key))
+      .groupBy((key +: alsoGroup).map(col): _*)
       .agg(max_by(payload, col(seq)).as("_r"))
-      .select(col(key) +: payloadCols.toSeq.map(f => col(s"_r.$f").as(f)): _*)
+      .select((col(key) +: alsoGroup.map(col)) ++
+        payloadCols.toSeq.map(f => col(s"_r.$f").as(f)): _*)
   }
 
   /** P3+P4: full projection — LWW fold then tombstone filter. The

@@ -272,24 +272,37 @@ class BucketedStateStore(
       case Some(old) => old.unionByName(withBucket)
       case None => withBucket
     }
-    val merged = SignalProjection.latestByKey(combined, key, seq)
-      .withColumn("_bucket", bucketOf(col(key)))
-    writeBuckets(merged, affected, gen)
+    // ONE exchange per merge, not two (r18, guide §2.1): repartition to
+    // the bucket layout the write needs FIRST, then fold grouped by
+    // (_bucket, key) — _bucket is a function of the key, so the fold is
+    // unchanged, and the bucket partitioning satisfies the aggregate's
+    // distribution, eliding the fold's own key shuffle. (Both inputs are
+    // already per-key latest — the batch by foreachBatch's reduction, the
+    // old state by construction — so the dropped map-side combine had
+    // nothing to combine.)
+    val merged = SignalProjection.latestByKey(
+      combined.repartition(numBuckets, col("_bucket")), key, seq,
+      alsoGroup = Seq("_bucket"))
+    writeBuckets(merged, affected, gen, prePartitioned = true)
   }
 
   /** Write `data` (carrying a `_bucket` column) as generation `gen` of
     * every bucket in `affected` — buckets with no rows get an empty
     * generation, which supersedes (hides) their older data.
     */
-  private def writeBuckets(data: DataFrame, affected: Seq[Long], gen: Long): Unit = {
+  private def writeBuckets(data: DataFrame, affected: Seq[Long], gen: Long,
+      prePartitioned: Boolean = false): Unit = {
     val staging = new Path(root, s"_staging_gen_$gen")
     fs.delete(staging, true)
     // co-locate each bucket into one task before the partitioned write:
     // one file per bucket per generation instead of (shuffle-partitions ×
     // buckets) small files — fewer renames, and readers open exactly one
     // file per bucket. At larger state, raise numBuckets, not files/bucket.
-    data.repartition(numBuckets, col("_bucket"))
-      .write.partitionBy("_bucket").parquet(staging.toString)
+    // `prePartitioned` callers (merge) already hold exactly this layout —
+    // re-shuffling it here would undo the one-exchange plan they built.
+    val laid = if (prePartitioned) data
+      else data.repartition(numBuckets, col("_bucket"))
+    laid.write.partitionBy("_bucket").parquet(staging.toString)
 
     // Stamp/validate the layout manifest once the root exists (the
     // staging write above created it on a fresh store).

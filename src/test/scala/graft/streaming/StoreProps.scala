@@ -61,6 +61,55 @@ class StoreProps extends SparkSuite {
     }
   }
 
+  test("merge folds with ONE exchange and still writes one file per bucket per gen") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-onex-").toString
+    val store = new BucketedStateStore(spark, dir, numBuckets = 4)
+
+    // (a) the r18 one-exchange shape: the (_bucket, key) fold over a
+    // bucket-repartitioned child must not add its own key shuffle —
+    // HashPartitioning(_bucket) already satisfies the aggregate's
+    // distribution (AQE off just for the count: its wrapper hides the
+    // exchange nodes until execution).
+    val evs = (0 until 24).map(i =>
+      Ev(i.toLong, Seq("a", "b", "c", "d", "e")(i % 5), "updated"))
+    // pin the input fold so the exchange count below sees ONLY the merge
+    // fold (in the real merge path this input is foreachBatch's cached
+    // per-key reduction, not part of the merge plan)
+    val batch = SignalProjection.latestByKey(SignalProjection.decode(raw(evs)))
+      .localCheckpoint(true)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val withBucket = batch.withColumn("_bucket", store.bucketOf(col("id")))
+      val merged = SignalProjection.latestByKey(
+        withBucket.repartition(4, col("_bucket")), "id", "seq",
+        alsoGroup = Seq("_bucket"))
+      val exchanges = merged.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size === 1,
+        s"expected exactly the bucket repartition:\n${merged.queryExecution.executedPlan}")
+      // and alsoGroup is a pure relayout — same fold as the plain key fold
+      val plain = SignalProjection.latestByKey(batch, "id", "seq")
+        .collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("seq"))).toSet
+      val relaid = merged.drop("_bucket")
+        .collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("seq"))).toSet
+      assert(relaid === plain)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // (b) the layout contract the skipped write-side repartition must
+    // keep honoring: exactly one data file per touched bucket per gen.
+    store.merge(batch, 0L)
+    val root = new java.io.File(dir)
+    val genDirs = root.listFiles().filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("gen=")))
+    assert(genDirs.nonEmpty)
+    genDirs.foreach { g =>
+      val parts = g.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts === 1, s"$g holds $parts part files, expected 1")
+    }
+  }
+
   test("gen token: 0 only when empty, moves on batch 0, and a layout mismatch fails loudly") {
     val dir = Files.createTempDirectory("graft-token-").toString
     val store = new BucketedStateStore(spark, dir, numBuckets = 4)
