@@ -1143,8 +1143,12 @@ object DedupPack extends QueryPack {
     val bitmap = bloomBitmap(s, dir)
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.bloom_hits(
-          shingle_hashes(col("text"), 3), bitmap, BloomK).as("n_bloom_hits"))
+        // eval_once (r18, guide §4.4): the n_bloom_hits > 0 filter
+        // otherwise pushes below this projection carrying a clone of
+        // the whole shingle+probe chain — every document was shingled
+        // and probed TWICE (d9 and pipeline4's decontam stage).
+        graft.functions.eval_once(graft.functions.bloom_hits(
+          shingle_hashes(col("text"), 3), bitmap, BloomK)).as("n_bloom_hits"))
       .where(col("doc_id") % 97 =!= 0 && col("n_bloom_hits") > 0)
   }
 

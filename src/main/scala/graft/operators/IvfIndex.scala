@@ -93,10 +93,18 @@ object IvfIndex {
     centroids
   }
 
-  /** Assign every vector to its nearest centroid — a pure projection. */
+  /** Assign every vector to its nearest centroid — a pure projection.
+    * The assignment is wrapped in [[graft.functions.eval_once]] (r18,
+    * guide §4.4): consumers join/filter on `cid`, and the optimizer's
+    * inferred predicates (`isnotnull(cid)`, join-key constraints)
+    * otherwise push below this projection carrying a CLONE of the whole
+    * k-way argmin — every corpus row paid the assignment twice (e24's
+    * plan showed 4 evaluations per side). The inferred filters now sit
+    * above the projection on the attribute, which costs nothing.
+    */
   def assign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame =
-    emb.withColumn("cid",
-      nearest_centroid(col("embedding"), centroidsLit(centroids)))
+    emb.withColumn("cid", graft.functions.eval_once(
+      nearest_centroid(col("embedding"), centroidsLit(centroids))))
 
   private val servingLock = new Object
   private val servingRoot =
@@ -284,11 +292,15 @@ object IvfIndex {
   def assignTwoLevelCol(vec: Column, centroids: Array[Array[Float]],
       groupCents: Array[Array[Float]], members: Array[Array[Int]]): Column = {
     import org.apache.spark.sql.functions.typedLit
-    graft.functions.nearest_centroid_two_level(
+    // eval_once: same §4.4 rationale as [[assign]] — e14 filters the
+    // assignment with `isin(probes)`, which otherwise clones the
+    // two-level kernel below the projection (measured: 2 evaluations
+    // per corpus row in e14's plan).
+    graft.functions.eval_once(graft.functions.nearest_centroid_two_level(
       vec,
       centroidsLit(groupCents),
       typedLit(members.map(_.map(centroids).map(_.toSeq).toSeq).toSeq),
-      typedLit(members.map(_.toSeq).toSeq))
+      typedLit(members.map(_.toSeq).toSeq)))
   }
 
   /** Pretrained coarse quantizer ([[kmeans]] k=16, iters=3 on the sf0.01

@@ -72,8 +72,15 @@ object SimilarityPack extends QueryPack {
     val planes = (0 until numTables * PlanesPerTable).map { p =>
       (0 until Dim).map(d => planeSign(p, d))
     }
-    emb.withColumn("_buckets",
-        lsh_bucket_codes(col("embedding"), typedLit(planes), PlanesPerTable))
+    // eval_once (r18, guide §4.4): the optimizer collapses this
+    // projection into the posexplode and then INFERS a
+    // `size(lsh_bucket_codes(...)) > 0` filter below the Generate
+    // (InferFiltersFromGenerate) — every vector dotted all planes twice
+    // (e4's plan; d6's pin build carried the same clone). Barriered, the
+    // generator input stays an attribute and the inferred filter is an
+    // attribute test.
+    emb.withColumn("_buckets", graft.functions.eval_once(
+        lsh_bucket_codes(col("embedding"), typedLit(planes), PlanesPerTable)))
       .select(col("*"), posexplode(col("_buckets")).as(Seq("table", "bucket")))
       .drop("_buckets")
   }
